@@ -1,0 +1,49 @@
+"""Physical and simulation constants.
+
+TPU-native re-design of the reference unit system
+(`/root/reference/space/src/constants.rs:1-30`): positions are measured in AU,
+masses in Earth masses, time in seconds, so the gravitational constant is
+rescaled to ``G = G_ABS * M0 / AU**3``.
+
+Unlike the reference (compile-time Rust consts only), everything here is a
+plain module-level value that the config system (`spacetpu.utils.config`) can
+override per-run; kernels receive them as traced scalars so no recompilation
+is required when tuning ``dt`` live.
+"""
+
+from __future__ import annotations
+
+# --- Physical units (constants.rs:1-9) ---
+#: Average Earth-Sun distance in meters (1 astronomical unit).
+AU: float = 1.495e11
+#: Mass of Earth in kilograms (the mass unit of the simulation).
+M0: float = 5.972e24
+#: SI gravitational constant, m^3 kg^-1 s^-2.
+G_ABS: float = 6.674e-11
+#: Gravitational constant rescaled to (AU, Earth-mass, second) units.
+G: float = G_ABS * M0 / (AU * AU * AU)
+
+# --- Simulation (constants.rs:10-30) ---
+#: Default timestep in seconds per tick (constants.rs:11 `DELTA`).
+DELTA: float = 10.0
+#: Additive softening used by the reference force law: the denominator is
+#: ``r^3 + COLLISION_EPSILON`` (constants.rs:13, sim/mod.rs:25).
+COLLISION_EPSILON: float = 1e-15
+#: Interval in ticks between exchange checks in the sim loop
+#: (constants.rs:20 `CHECK_INTERVAL`).
+CHECK_INTERVAL: int = 1
+#: Length of the per-body position trail ring buffer (constants.rs:22-23).
+TRAIL_MAX_LENGTH: int = 5
+#: Minimum projected size of a rendered body, in clip-space units
+#: (constants.rs:24-25).
+MIN_CIRCLE_SIZE: float = 0.05
+#: Use the tree solver when there are more than this many bodies
+#: (constants.rs:27-28, consumed by `spacetpu.sim.make_simulation`).
+BARNES_HUT_CUTOFF: int = 1000
+#: Default Barnes-Hut opening angle theta (constants.rs:29-30).
+BARNES_HUT_THETA: float = 0.3
+
+# --- Time formatting (sim/mod.rs:129-133) ---
+SEC_PER_HOUR: float = 60.0 * 60.0
+SEC_PER_DAY: float = SEC_PER_HOUR * 24.0
+SEC_PER_YEAR: float = 365.25 * SEC_PER_DAY

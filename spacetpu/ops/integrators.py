@@ -1,0 +1,86 @@
+"""Symplectic integrators over the SoA state.
+
+The reference integrates with semi-implicit (symplectic) Euler:
+``vel += acc*dt; pos += vel*dt`` then zeroes the acceleration buffer
+(`/root/reference/space/src/sim/direct.rs:8-24` `par_add_rec`). That mode is
+reproduced bit-for-bit in structure here for trajectory-parity tests, and a
+leapfrog kick-drift-kick integrator is added for the <1e-4 energy-drift
+north star (the reference has no leapfrog).
+
+All integrators support optional Kahan-compensated accumulation: when the
+state carries ``pos_c``/``vel_c`` compensation arrays, position/velocity
+updates use two-sum arithmetic, recovering most of the precision lost to
+f32 when per-step displacements are ~ulp of the coordinates (AU-scale
+scenes with dt=10s). This replaces the reference's reliance on f64, which
+TPUs only emulate slowly.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+
+from spacetpu.state import State
+
+AccFn = Callable[..., jnp.ndarray]  # (pos, mass) -> acc
+
+INTEGRATORS = ("euler", "leapfrog")
+
+
+def _comp_add(x, c, dx):
+    """Kahan/Neumaier compensated x += dx. Returns (x, c) with c the running
+    compensation. With c=None this is a plain add (fast path)."""
+    if c is None:
+        return x + dx, None
+    # Neumaier variant: works regardless of |x| vs |dx| ordering.
+    y = dx - c
+    t = x + y
+    c_new = (t - x) - y
+    return t, c_new
+
+
+def step_euler(state: State, dt, acc_fn: AccFn) -> State:
+    """Semi-implicit Euler, reference-compatible (`direct.rs:8-24`):
+    one force pass at the current positions, then v += a*dt; x += v*dt."""
+    dt = jnp.asarray(dt, state.pos.dtype)
+    acc = acc_fn(state.pos, state.mass)
+    vel, vel_c = _comp_add(state.vel, state.vel_c, acc * dt)
+    pos, pos_c = _comp_add(state.pos, state.pos_c, vel * dt)
+    return state._replace(
+        pos=pos, vel=vel, acc=acc, pos_c=pos_c, vel_c=vel_c,
+        time=None if state.time is None else state.time + dt,
+    )
+
+
+def step_leapfrog(state: State, dt, acc_fn: AccFn) -> State:
+    """Leapfrog KDK: v += a(x)*dt/2; x += v*dt; v += a(x')*dt/2.
+
+    Uses the acceleration cached in ``state.acc`` for the first kick, so the
+    cost per step is a single force evaluation — but the *first* step of a
+    rollout must be preceded by `prime` to populate the cache.
+    """
+    dt = jnp.asarray(dt, state.pos.dtype)
+    half = dt * 0.5
+    vel, vel_c = _comp_add(state.vel, state.vel_c, state.acc * half)
+    pos, pos_c = _comp_add(state.pos, state.pos_c, vel * dt)
+    acc = acc_fn(pos, state.mass)
+    vel, vel_c = _comp_add(vel, vel_c, acc * half)
+    return state._replace(
+        pos=pos, vel=vel, acc=acc, pos_c=pos_c, vel_c=vel_c,
+        time=None if state.time is None else state.time + dt,
+    )
+
+
+def prime(state: State, acc_fn: AccFn) -> State:
+    """Populate ``state.acc`` with the acceleration at the current positions
+    (needed before the first leapfrog step)."""
+    return state._replace(acc=acc_fn(state.pos, state.mass))
+
+
+def get_stepper(name: str):
+    if name == "euler":
+        return step_euler
+    if name == "leapfrog":
+        return step_leapfrog
+    raise ValueError(f"unknown integrator {name!r} (want one of {INTEGRATORS})")

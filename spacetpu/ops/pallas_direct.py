@@ -1,0 +1,181 @@
+"""Tiled Pallas all-pairs gravity kernel for TPU.
+
+This is the TPU-native replacement for the reference's hot loop — the rayon
+par_iter over target bodies with a serial j-loop
+(`/root/reference/space/src/sim/direct.rs:26-39` +
+`sim/mod.rs:22-37` `get_acc_towards`). The work split is the same (i-bodies
+are the parallel axis), but instead of ~20 CPU threads the grid tiles the
+i-axis across Pallas program instances while j-body tiles stream through
+VMEM, with the softened inverse-cube law fused into a single VPU pipeline:
+
+    grid = (N/TI, N/TJ)           # j innermost: i-tile stays VMEM-resident
+    dx,dy,dz = xj[1,TJ] - xi[TI,1]  # broadcast to (TI, TJ)
+    w = g*mj / (r^2 + eps^2)^{3/2}  (plummer)  |  g*mj / (r^3 + eps) (ref)
+    acc[TI] += sum_j w * d{x,y,z}
+
+Data layout: bodies are packed as an (N, 8) "column" array (x, y, z, g*m,
+4 pad lanes) for i-tiles and an (8, N) "row" array for j-tiles, so both
+broadcast operands arrive in their natural orientation without in-kernel
+transposes, and both arrays tile cleanly against the f32 (8, 128) minimum
+tile. The (N, 3) -> packed conversion is O(N) XLA work, negligible against
+the O(N^2) kernel.
+
+Self-pairs and zero-mass padding rows contribute exactly zero (numerator is
+zero while the softened denominator is positive), so no masking is needed —
+the same property the reference exploits with its additive epsilon.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from spacetpu import constants
+
+# Default tile sizes (tuned on TPU v5e; see bench_kernels.py).
+TILE_I = 256
+TILE_J = 2048
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(cols_ref, rows_ref, out_ref, *, softening: str, eps: float):
+    """One (i-tile, j-tile) interaction block."""
+    xi = cols_ref[:, 0:1]  # (TI, 1)
+    yi = cols_ref[:, 1:2]
+    zi = cols_ref[:, 2:3]
+    xj = rows_ref[0:1, :]  # (1, TJ)
+    yj = rows_ref[1:2, :]
+    zj = rows_ref[2:3, :]
+    gmj = rows_ref[3:4, :]
+
+    dx = xj - xi  # (TI, TJ)
+    dy = yj - yi
+    dz = zj - zi
+    r2 = dx * dx + dy * dy + dz * dz
+
+    if softening == "plummer":
+        d2 = r2 + eps * eps
+        inv = jax.lax.rsqrt(d2)
+        w = gmj * (inv * inv * inv)
+        if eps == 0.0:
+            # rsqrt(0) = inf -> 0*inf = NaN on the diagonal; mask it out.
+            w = jnp.where(d2 > 0.0, w, 0.0)
+    elif softening == "ref":
+        # Reference law (sim/mod.rs:25): denom = r^3 + eps, always > 0.
+        denom = r2 * jnp.sqrt(r2) + eps
+        w = gmj / denom
+    else:
+        raise ValueError(f"unknown softening {softening!r}")
+
+    ax = jnp.sum(w * dx, axis=1, keepdims=True)  # (TI, 1)
+    ay = jnp.sum(w * dy, axis=1, keepdims=True)
+    az = jnp.sum(w * dz, axis=1, keepdims=True)
+    zero = jnp.zeros_like(ax)
+    tile = jnp.concatenate([ax, ay, az, zero, zero, zero, zero, zero], axis=1)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    out_ref[:, :] += tile
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("softening", "eps", "tile_i", "tile_j", "interpret"),
+)
+def _acc_packed(cols, rows, *, softening, eps, tile_i, tile_j, interpret):
+    n_i = cols.shape[0]
+    n_j = rows.shape[1]
+    grid = (n_i // tile_i, n_j // tile_j)
+    kernel = functools.partial(_kernel, softening=softening, eps=float(eps))
+    flops_per_pair = 22 if softening == "plummer" else 23
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_i, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile_j), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_i, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_i, 8), cols.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_pair * n_i * n_j,
+            bytes_accessed=(n_i * 8 + n_j * 8 + n_i * 8) * 4,
+            transcendentals=n_i * n_j,
+        ),
+        interpret=interpret,
+    )(cols, rows)
+    return out[:, :3]
+
+
+def _pack(pos_i, pos_j, mass_j, g, tile_i, tile_j):
+    """Build the (Ni_pad, 8) i-column and (8, Nj_pad) j-row operands."""
+    dtype = pos_i.dtype
+    n_i = pos_i.shape[0]
+    n_j = pos_j.shape[0]
+    n_i_pad = _round_up(max(n_i, tile_i), tile_i)
+    n_j_pad = _round_up(max(n_j, tile_j), tile_j)
+
+    cols = jnp.zeros((n_i_pad, 8), dtype)
+    cols = cols.at[:n_i, :3].set(pos_i)
+
+    rows = jnp.zeros((8, n_j_pad), dtype)
+    rows = rows.at[:3, :n_j].set(pos_j.T)
+    rows = rows.at[3, :n_j].set(jnp.asarray(g, dtype) * mass_j)
+    return cols, rows
+
+
+def _default_interpret() -> bool:
+    return jax.devices()[0].platform != "tpu"
+
+
+def acc_cross_pallas(
+    pos_i,
+    pos_j,
+    mass_j,
+    *,
+    softening: str = "plummer",
+    eps: float | None = None,
+    g: float | None = None,
+    tile_i: int = TILE_I,
+    tile_j: int = TILE_J,
+    interpret: bool | None = None,
+):
+    """Acceleration of `pos_i` targets due to `pos_j`/`mass_j` sources.
+
+    The cross form used by the multi-chip ring pass; `acc_direct_pallas`
+    is the aliased single-array case. Shapes: (M,3),(K,3),(K,) -> (M,3).
+    """
+    if eps is None:
+        eps = constants.COLLISION_EPSILON if softening == "ref" else 0.0
+    if g is None:
+        g = constants.G
+    if interpret is None:
+        interpret = _default_interpret()
+    n_i = pos_i.shape[0]
+    cols, rows = _pack(pos_i, pos_j, mass_j, g, tile_i, tile_j)
+    acc = _acc_packed(
+        cols,
+        rows,
+        softening=softening,
+        eps=float(eps),
+        tile_i=tile_i,
+        tile_j=tile_j,
+        interpret=interpret,
+    )
+    return acc[:n_i]
+
+
+def acc_direct_pallas(pos, mass, **kw):
+    """All-pairs acceleration (N,3),(N,) -> (N,3) via the tiled kernel."""
+    return acc_cross_pallas(pos, pos, mass, **kw)

@@ -1,0 +1,192 @@
+"""Multi-chip body sharding: ring-pass all-pairs over a device mesh.
+
+The reference's only parallel axis is rayon threads over target bodies
+(`/root/reference/space/src/sim/direct.rs:26-39`, pool capped at 20 threads,
+`constants.rs:17-19`). The TPU-native scaling axis is the same split —
+i-bodies — but across chips: each device owns an i-shard of the state, and
+j-shards rotate around the ICI ring via `lax.ppermute` while every device
+accumulates partial accelerations (structurally a ring-attention KV pass;
+SURVEY.md SS2 "Parallelism strategies", SS5 "Distributed communication").
+
+Everything is expressed with `shard_map` over a 1-D `jax.sharding.Mesh`, so
+the identical program runs on a real TPU slice or on the fake 8-device CPU
+mesh used in tests (SURVEY.md SS4d). The per-(i-shard, j-shard) force tile is
+pluggable: plain XLA broadcast on CPU, the Pallas kernel on TPU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from spacetpu import constants
+from spacetpu.ops import direct, integrators
+from spacetpu.state import State
+
+AXIS = "bodies"
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D device mesh over the ``bodies`` axis."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    import numpy as np
+
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def _ring_acc(pos_i, mass_i, *, axis: str, tile_acc: Callable):
+    """Accumulate accelerations on the local i-shard from all j-shards by
+    rotating (pos, mass) one hop around the ring per step.
+
+    Runs inside shard_map: pos_i/mass_i are the *local* shards. D-1 ppermute
+    rotations; each device sees every shard exactly once. The softening
+    weight makes aliased self-pairs contribute zero, so step 0 (j-shard ==
+    i-shard) needs no special casing — mirroring how the reference's
+    epsilon makes its own i==j skip merely cosmetic (sim/mod.rs:22-26).
+    """
+    n_dev = jax.lax.axis_size(axis)
+    perm = [(d, (d + 1) % n_dev) for d in range(n_dev)]
+
+    def body(_, carry):
+        acc, pos_j, mass_j = carry
+        acc = acc + tile_acc(pos_i, pos_j, mass_j)
+        pos_j = jax.lax.ppermute(pos_j, axis, perm)
+        mass_j = jax.lax.ppermute(mass_j, axis, perm)
+        return acc, pos_j, mass_j
+
+    acc = jnp.zeros_like(pos_i)
+    acc, _, _ = jax.lax.fori_loop(0, n_dev, body, (acc, pos_i, mass_i))
+    return acc
+
+
+@dataclasses.dataclass
+class ShardedSimulation:
+    """Body-sharded N-body simulation over a 1-D mesh.
+
+    Integration is purely elementwise so it stays local to each shard; only
+    the force pass communicates (the ring). `step`/`run`/`prime` are jitted
+    with the state donated, exactly like the single-chip `Simulation`.
+    """
+
+    mesh: Mesh
+    n: int
+    softening: str = "plummer"
+    eps: float | None = None
+    g: float = constants.G
+    integrator: str = "leapfrog"
+    backend: str = "auto"  # "xla" | "pallas" | "auto"
+
+    def __post_init__(self):
+        n_dev = self.mesh.devices.size
+        if self.n % n_dev != 0:
+            raise ValueError(
+                f"N={self.n} must be divisible by mesh size {n_dev}; "
+                f"pad with make_state(pad_to=...)"
+            )
+        eps = self.eps
+        if eps is None:
+            eps = constants.COLLISION_EPSILON if self.softening == "ref" else 0.0
+
+        backend = self.backend
+        if backend == "auto":
+            backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+        if backend == "pallas":
+            from spacetpu.ops import pallas_direct
+
+            tile_acc = functools.partial(
+                pallas_direct.acc_cross_pallas,
+                softening=self.softening, eps=eps, g=self.g,
+            )
+        else:
+            tile_acc = functools.partial(
+                direct.acc_cross, softening=self.softening, eps=eps, g=self.g
+            )
+
+        stepper = integrators.get_stepper(self.integrator)
+        acc_fn = functools.partial(_ring_acc, axis=AXIS, tile_acc=tile_acc)
+
+        def local_step(state: State, dt) -> State:
+            return stepper(state, dt, acc_fn)
+
+        def local_prime(state: State) -> State:
+            return integrators.prime(state, acc_fn)
+
+        def local_run(state: State, dt, steps: int) -> State:
+            def body(s, _):
+                return stepper(s, dt, acc_fn), None
+
+            state, _ = jax.lax.scan(body, state, None, length=steps)
+            return state
+
+        smap = functools.partial(
+            jax.shard_map, mesh=self.mesh, check_vma=False,
+        )
+
+        def full_specs(state):
+            return State(
+                pos=P(AXIS), vel=P(AXIS), mass=P(AXIS), acc=P(AXIS),
+                pos_c=None if state.pos_c is None else P(AXIS),
+                vel_c=None if state.vel_c is None else P(AXIS),
+                time=None if state.time is None else P(),
+                n_active=None if state.n_active is None else P(),
+            )
+
+        def make_step():
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def step(state, dt):
+                sp = full_specs(state)
+                return smap(local_step, in_specs=(sp, P()), out_specs=sp)(state, dt)
+
+            return step
+
+        def make_prime():
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def prime(state):
+                sp = full_specs(state)
+                return smap(local_prime, in_specs=(sp,), out_specs=sp)(state)
+
+            return prime
+
+        def make_run():
+            @functools.partial(
+                jax.jit, static_argnames=("steps",), donate_argnums=(0,)
+            )
+            def run(state, dt, steps):
+                sp = full_specs(state)
+                return smap(
+                    functools.partial(local_run, steps=steps),
+                    in_specs=(sp, P()), out_specs=sp,
+                )(state, dt)
+
+            return run
+
+        self.step = make_step()
+        self.prime = make_prime()
+        self.run = make_run()
+
+    def shard_state(self, state: State) -> State:
+        """Place a host/single-device state onto the mesh with the body axis
+        sharded."""
+        def put(leaf, spec):
+            if leaf is None:
+                return None
+            return jax.device_put(leaf, NamedSharding(self.mesh, spec))
+
+        return State(
+            pos=put(state.pos, P(AXIS)),
+            vel=put(state.vel, P(AXIS)),
+            mass=put(state.mass, P(AXIS)),
+            acc=put(state.acc, P(AXIS)),
+            pos_c=put(state.pos_c, P(AXIS)),
+            vel_c=put(state.vel_c, P(AXIS)),
+            time=put(state.time, P()),
+            n_active=put(state.n_active, P()),
+        )

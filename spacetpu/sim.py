@@ -1,0 +1,177 @@
+"""Simulation façade: configure a solver, get a jitted step/rollout.
+
+The TPU-native analogue of the reference's `SimulationImpl` trait +
+`ObjectBuffer` (`/root/reference/space/src/sim/mod.rs:40-127`) and the
+brute-force/Barnes-Hut auto-selection in `run_sim_loop_erased`
+(`event_loop.rs:329-341`). Instead of trait objects and a rayon pool, a
+`Simulation` binds a force backend (XLA broadcast / Pallas tiled / clustered
+tree / multi-chip ring) to an integrator and returns jitted, donatable
+functions:
+
+  sim = make_simulation(n=..., algorithm="auto", backend="auto")
+  state = sim.prime(state)            # populate the acc cache
+  state = sim.step(state, dt)         # one tick
+  state = sim.run(state, dt, steps)   # lax.scan rollout, one device program
+
+``step`` is compiled once per (shape, dtype); dt is a traced argument so
+live dt tuning (reference: `batch_request.rs:31-33`) never recompiles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from spacetpu import constants
+from spacetpu.ops import direct, integrators
+from spacetpu.state import State
+
+ALGORITHMS = ("auto", "direct", "tree")
+BACKENDS = ("auto", "xla", "pallas")
+
+
+def _platform() -> str:
+    return jax.devices()[0].platform
+
+
+def default_backend() -> str:
+    """Pallas kernels on TPU; plain XLA elsewhere (CPU tests/virtual mesh)."""
+    return "pallas" if _platform() == "tpu" else "xla"
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    n: int
+    algorithm: str = "auto"  # direct | tree | auto (N-based, event_loop.rs:334-340)
+    backend: str = "auto"  # pallas | xla | auto (platform-based)
+    integrator: str = "leapfrog"  # leapfrog | euler (reference-compatible)
+    softening: str = "plummer"  # plummer | ref (reference-compatible)
+    eps: float | None = None  # None -> COLLISION_EPSILON for "ref", 0 for plummer
+    g: float = constants.G
+    theta: float = constants.BARNES_HUT_THETA
+    chunk: int | None = None  # i-chunk for the XLA path (None = dense)
+
+    def resolved_algorithm(self) -> str:
+        if self.algorithm != "auto":
+            return self.algorithm
+        # Matches the reference cutoff: tree iff N > BARNES_HUT_CUTOFF
+        # (event_loop.rs:334-340) — though the crossover on TPU is far
+        # higher; "auto" keeps behavioural parity, pass algorithm="direct"
+        # to force the all-pairs kernel.
+        return "tree" if self.n > constants.BARNES_HUT_CUTOFF else "direct"
+
+    def resolved_backend(self) -> str:
+        return default_backend() if self.backend == "auto" else self.backend
+
+    def resolved_eps(self) -> float:
+        if self.eps is not None:
+            return self.eps
+        return constants.COLLISION_EPSILON if self.softening == "ref" else 0.0
+
+
+class Simulation:
+    """Bound (force backend, integrator) pair with jitted step/run."""
+
+    def __init__(self, config: SimConfig):
+        self.config = config
+        self.acc_fn = _build_acc_fn(config)
+        self._stepper = integrators.get_stepper(config.integrator)
+        self.step = jax.jit(self._step, donate_argnums=(0,))
+        self.prime = jax.jit(self._prime, donate_argnums=(0,))
+        self.run = jax.jit(self._run, static_argnames=("steps",), donate_argnums=(0,))
+
+    def _step(self, state: State, dt) -> State:
+        return self._stepper(state, dt, self.acc_fn)
+
+    def _prime(self, state: State) -> State:
+        return integrators.prime(state, self.acc_fn)
+
+    def _run(self, state: State, dt, steps: int) -> State:
+        def body(s, _):
+            return self._stepper(s, dt, self.acc_fn), None
+
+        state, _ = jax.lax.scan(body, state, None, length=steps)
+        return state
+
+
+def _build_acc_fn(config: SimConfig) -> Callable:
+    if config.softening not in direct.SOFTENINGS:
+        raise ValueError(
+            f"unknown softening {config.softening!r} (want one of {direct.SOFTENINGS})"
+        )
+    algo = config.resolved_algorithm()
+    backend = config.resolved_backend()
+    eps = config.resolved_eps()
+    if algo == "direct":
+        if backend == "pallas":
+            from spacetpu.ops import pallas_direct
+
+            return functools.partial(
+                pallas_direct.acc_direct_pallas,
+                softening=config.softening,
+                eps=eps,
+                g=config.g,
+            )
+        if config.chunk:
+            return functools.partial(
+                direct.acc_direct_chunked,
+                softening=config.softening,
+                eps=eps,
+                g=config.g,
+                chunk=config.chunk,
+            )
+        return functools.partial(
+            direct.acc_direct, softening=config.softening, eps=eps, g=config.g
+        )
+    elif algo == "tree":
+        from spacetpu.ops import tree as tree_ops
+
+        return functools.partial(
+            tree_ops.acc_tree,
+            theta=config.theta,
+            softening=config.softening,
+            eps=eps,
+            g=config.g,
+            backend=backend,
+        )
+    raise ValueError(f"unknown algorithm {algo!r}")
+
+
+def make_simulation(
+    n: int,
+    *,
+    algorithm: str = "auto",
+    backend: str = "auto",
+    integrator: str = "leapfrog",
+    softening: str = "plummer",
+    eps: float | None = None,
+    g: float = constants.G,
+    theta: float = constants.BARNES_HUT_THETA,
+    chunk: int | None = None,
+) -> Simulation:
+    return Simulation(
+        SimConfig(
+            n=n,
+            algorithm=algorithm,
+            backend=backend,
+            integrator=integrator,
+            softening=softening,
+            eps=eps,
+            g=g,
+            theta=theta,
+            chunk=chunk,
+        )
+    )
+
+
+def reference_compatible(n: int, **kw) -> Simulation:
+    """A Simulation reproducing the reference force law + integrator:
+    semi-implicit Euler with additive-eps softening (`direct.rs:8-24`,
+    `sim/mod.rs:22-37`). Used by trajectory-parity tests."""
+    kw.setdefault("algorithm", "direct")
+    kw.setdefault("backend", "xla")
+    return make_simulation(n, integrator="euler", softening="ref", **kw)

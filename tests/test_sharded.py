@@ -1,0 +1,84 @@
+"""Multi-chip ring-pass tests on the fake 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spacetpu import make_simulation
+from spacetpu.models import presets
+from spacetpu.parallel import ring
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
+    return ring.make_mesh(8)
+
+
+def _state(n, dtype=jnp.float64, compensated=False):
+    scene = presets.random_cluster(n, seed=5)
+    return scene.state(dtype=dtype, compensated=compensated)
+
+
+def test_sharded_acc_matches_single_device(mesh8):
+    n = 256
+    state = _state(n)
+    sharded = ring.ShardedSimulation(
+        mesh8, n, softening="plummer", eps=0.01, g=1.0, backend="xla"
+    )
+    single = make_simulation(
+        n, algorithm="direct", backend="xla", softening="plummer", eps=0.01, g=1.0
+    )
+    s_sh = sharded.prime(sharded.shard_state(state))
+    s_si = single.prime(_state(n))
+    np.testing.assert_allclose(
+        np.asarray(s_sh.acc), np.asarray(s_si.acc), rtol=1e-10, atol=1e-13
+    )
+
+
+def test_sharded_rollout_matches_single_device(mesh8):
+    n = 128
+    sharded = ring.ShardedSimulation(
+        mesh8, n, softening="plummer", eps=0.05, g=1.0, integrator="leapfrog",
+        backend="xla",
+    )
+    single = make_simulation(
+        n, algorithm="direct", backend="xla", softening="plummer", eps=0.05,
+        g=1.0, integrator="leapfrog",
+    )
+    s_sh = sharded.prime(sharded.shard_state(_state(n)))
+    s_sh = sharded.run(s_sh, 1e-3, 20)
+    s_si = single.prime(_state(n))
+    s_si = single.run(s_si, 1e-3, 20)
+    np.testing.assert_allclose(
+        np.asarray(s_sh.pos), np.asarray(s_si.pos), rtol=1e-9, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_sh.vel), np.asarray(s_si.vel), rtol=1e-9, atol=1e-12
+    )
+
+
+def test_sharded_step_compensated_f32(mesh8):
+    n = 64
+    sharded = ring.ShardedSimulation(
+        mesh8, n, softening="plummer", eps=0.01, g=1.0, backend="xla"
+    )
+    st = sharded.shard_state(_state(n, dtype=jnp.float32, compensated=True))
+    st = sharded.prime(st)
+    st = sharded.step(st, jnp.float32(1e-3))
+    assert st.pos.dtype == jnp.float32
+    assert np.all(np.isfinite(np.asarray(st.pos)))
+
+
+def test_mesh_divisibility_check(mesh8):
+    with pytest.raises(ValueError, match="divisible"):
+        ring.ShardedSimulation(mesh8, 100, backend="xla")
+
+
+def test_sharded_state_sharding(mesh8):
+    n = 64
+    sharded = ring.ShardedSimulation(mesh8, n, backend="xla", g=1.0)
+    st = sharded.shard_state(_state(n))
+    # Body axis actually distributed across the 8 devices.
+    assert len(st.pos.sharding.device_set) == 8
