@@ -21,26 +21,56 @@ from spacetpu import constants
 from spacetpu.state import State
 
 
+#: i-chunk for the pair sum: memory is O(chunk * N), never O(N^2).
+_PE_CHUNK = 1024
+
+
 @functools.partial(jax.jit, static_argnames=("softening",))
 def potential_energy(pos, mass, *, softening: str = "plummer", eps=0.0, g=None):
     """PE = -G * sum_{i<j} m_i m_j / sqrt(r_ij^2 + eps^2)  (plummer)
     or with the reference's bare 1/r (softening="ref": the additive-epsilon
-    force law integrates to ~1/r away from contact)."""
+    force law integrates to ~1/r away from contact).
+
+    Scanned over i-chunks so the working set is O(chunk * N) — the dense
+    (N, N) form would need 256 GB at the north star's N=256k."""
     dtype = pos.dtype
     if g is None:
         g = constants.G
     g = jnp.asarray(g, dtype)
     eps = jnp.asarray(eps, dtype)
-    rel = pos[None, :, :] - pos[:, None, :]
-    r2 = jnp.sum(rel * rel, axis=-1)
-    if softening == "plummer":
-        d2 = r2 + eps * eps
+
+    n = pos.shape[0]
+    pad = (-n) % _PE_CHUNK
+    if pad:
+        # zero-mass padding never contributes (mass product is zero)
+        pos_p = jnp.concatenate([pos, jnp.zeros((pad, 3), dtype)], axis=0)
+        mass_p = jnp.concatenate([mass, jnp.zeros((pad,), dtype)], axis=0)
     else:
-        d2 = r2
-    inv_r = jnp.where(d2 > 0, jax.lax.rsqrt(jnp.maximum(d2, 1e-38)), 0.0)
-    mm = mass[:, None] * mass[None, :]
-    # each unordered pair appears twice in the full matrix
-    return -0.5 * g * jnp.sum(mm * inv_r)
+        pos_p, mass_p = pos, mass
+    n_chunks = pos_p.shape[0] // _PE_CHUNK
+
+    def body(carry, chunk):
+        pos_i, mass_i = chunk  # (C, 3), (C,)
+        rel = pos_p[None, :, :] - pos_i[:, None, :]  # (C, N, 3)
+        r2 = jnp.sum(rel * rel, axis=-1)
+        if softening == "plummer":
+            d2 = r2 + eps * eps
+        else:
+            d2 = r2
+        inv_r = jnp.where(d2 > 0, jax.lax.rsqrt(jnp.maximum(d2, 1e-38)), 0.0)
+        mm = mass_i[:, None] * mass_p[None, :]
+        return carry + jnp.sum(mm * inv_r), None
+
+    total, _ = jax.lax.scan(
+        body,
+        jnp.zeros((), dtype),
+        (
+            pos_p.reshape(n_chunks, _PE_CHUNK, 3),
+            mass_p.reshape(n_chunks, _PE_CHUNK),
+        ),
+    )
+    # each unordered pair appears twice in the full sum
+    return -0.5 * g * total
 
 
 @jax.jit

@@ -87,6 +87,85 @@ def _kernel(cols_ref, rows_ref, out_ref, *, softening: str, eps: float):
     out_ref[:, :] += tile
 
 
+def _kernel_mxu(cols_ref, rows_ref, aux_ref, jcols_ref, out_ref, *, eps: float):
+    """MXU-assisted interaction block (plummer softening only).
+
+    Routes the O(TI*TJ) inner products through the 128x128 systolic array:
+      P   = Xi . Xj^T                 (MXU, K=8 packed coords)
+      d2  = |xi|^2 + |xj|^2 - 2P + eps^2   (VPU, ~3 ops/pair)
+      w   = g*mj * rsqrt(d2)^3             (VPU, ~4 ops/pair)
+      acc8 = W @ [xj | 1]                  (MXU, K=TJ)
+    accumulating [sum w*xj, sum w] in the output; the caller applies the
+    rank-1 correction acc = acc8[:, :3] - acc8[:, 3:4] * xi outside the
+    kernel (one O(N) XLA op).
+
+    Numerics: the expanded form loses ~eps_f32 * |x|^2 / d2 relative
+    precision on close pairs (catastrophic cancellation), so this kernel is
+    for well-softened systems; the "vpu" kernel keeps the exact differences.
+    """
+    # Precision.HIGHEST: without it the MXU truncates f32 operands to bf16
+    # (one-pass), which wrecks close-pair distances; the multi-pass f32
+    # emulation costs little here because the matmuls are a small fraction
+    # of the kernel's work.
+    p = jnp.dot(
+        cols_ref[:, :], rows_ref[:, :],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    sqi = cols_ref[:, 3:4]  # (TI, 1) |xi|^2
+    sqj = aux_ref[0:1, :]  # (1, TJ)  |xj|^2
+    gmj = aux_ref[1:2, :]  # (1, TJ)  g * m_j
+    d2 = (sqi + eps * eps) + (sqj - 2.0 * p)
+    # Cancellation can drive d2 slightly negative for coincident pairs.
+    d2 = jnp.maximum(d2, eps * eps)
+    inv = jax.lax.rsqrt(d2)
+    w = gmj * (inv * inv * inv)
+    if eps == 0.0:
+        w = jnp.where(d2 > 0.0, w, 0.0)
+    acc8 = jnp.dot(
+        w, jcols_ref[:, :],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    out_ref[:, :] += acc8
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "tile_i", "tile_j", "interpret"),
+)
+def _acc_packed_mxu(cols, rows, aux, jcols, *, eps, tile_i, tile_j, interpret):
+    n_i = cols.shape[0]
+    n_j = rows.shape[1]
+    grid = (n_i // tile_i, n_j // tile_j)
+    out = pl.pallas_call(
+        functools.partial(_kernel_mxu, eps=float(eps)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_i, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile_j), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile_j), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_j, 8), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_i, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_i, 8), cols.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=(7 + 2 * 2 * 8) * n_i * n_j,
+            bytes_accessed=(n_i * 16 + n_j * 24) * 4,
+            transcendentals=n_i * n_j,
+        ),
+        interpret=interpret,
+    )(cols, rows, aux, jcols)
+    return out
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("softening", "eps", "tile_i", "tile_j", "interpret"),
@@ -118,8 +197,15 @@ def _acc_packed(cols, rows, *, softening, eps, tile_i, tile_j, interpret):
     return out[:, :3]
 
 
-def _pack(pos_i, pos_j, mass_j, g, tile_i, tile_j):
-    """Build the (Ni_pad, 8) i-column and (8, Nj_pad) j-row operands."""
+def _pack(pos_i, pos_j, mass_j, g, tile_i, tile_j, *, mxu=False):
+    """Build the packed kernel operands.
+
+    vpu method: (Ni_pad, 8) i-columns [x y z 0...] and (8, Nj_pad) j-rows
+    [x; y; z; g*m; 0...].
+    mxu method: additionally |x|^2 in i-column 3, j-rows carry only coords
+    (so Xi@Xj^T is a pure dot product), plus an aux (8, Nj_pad) array
+    [|xj|^2; g*m] and a (Nj_pad, 8) [x y z 1] accumulation operand.
+    """
     dtype = pos_i.dtype
     n_i = pos_i.shape[0]
     n_j = pos_j.shape[0]
@@ -131,8 +217,19 @@ def _pack(pos_i, pos_j, mass_j, g, tile_i, tile_j):
 
     rows = jnp.zeros((8, n_j_pad), dtype)
     rows = rows.at[:3, :n_j].set(pos_j.T)
-    rows = rows.at[3, :n_j].set(jnp.asarray(g, dtype) * mass_j)
-    return cols, rows
+    gm = jnp.asarray(g, dtype) * mass_j
+    if not mxu:
+        rows = rows.at[3, :n_j].set(gm)
+        return cols, rows
+
+    cols = cols.at[:n_i, 3].set(jnp.sum(pos_i * pos_i, axis=-1))
+    aux = jnp.zeros((8, n_j_pad), dtype)
+    aux = aux.at[0, :n_j].set(jnp.sum(pos_j * pos_j, axis=-1))
+    aux = aux.at[1, :n_j].set(gm)
+    jcols = jnp.zeros((n_j_pad, 8), dtype)
+    jcols = jcols.at[:n_j, :3].set(pos_j)
+    jcols = jcols.at[:, 3].set(1.0)
+    return cols, rows, aux, jcols
 
 
 def _default_interpret() -> bool:
@@ -150,11 +247,17 @@ def acc_cross_pallas(
     tile_i: int = TILE_I,
     tile_j: int = TILE_J,
     interpret: bool | None = None,
+    method: str = "vpu",
 ):
     """Acceleration of `pos_i` targets due to `pos_j`/`mass_j` sources.
 
     The cross form used by the multi-chip ring pass; `acc_direct_pallas`
     is the aliased single-array case. Shapes: (M,3),(K,3),(K,) -> (M,3).
+
+    method="vpu": exact pairwise differences, fully VPU-bound (default).
+    method="mxu": expanded-form distances + matmul accumulation on the
+    systolic array — faster, slightly less accurate on close pairs, and
+    plummer-only.
     """
     if eps is None:
         eps = constants.COLLISION_EPSILON if softening == "ref" else 0.0
@@ -163,6 +266,18 @@ def acc_cross_pallas(
     if interpret is None:
         interpret = _default_interpret()
     n_i = pos_i.shape[0]
+    if method == "mxu":
+        if softening != "plummer":
+            raise ValueError("method='mxu' supports softening='plummer' only")
+        cols, rows, aux, jcols = _pack(
+            pos_i, pos_j, mass_j, g, tile_i, tile_j, mxu=True
+        )
+        out = _acc_packed_mxu(
+            cols, rows, aux, jcols,
+            eps=float(eps), tile_i=tile_i, tile_j=tile_j, interpret=interpret,
+        )
+        # Rank-1 correction: acc_i = [sum_j w x_j] - [sum_j w] * x_i.
+        return out[:n_i, :3] - out[:n_i, 3:4] * pos_i
     cols, rows = _pack(pos_i, pos_j, mass_j, g, tile_i, tile_j)
     acc = _acc_packed(
         cols,

@@ -1,0 +1,303 @@
+"""TPU-native Barnes-Hut: Morton-sorted clustered treecode.
+
+The reference's Barnes-Hut (`/root/reference/space/src/sim/barnes_hut/`)
+rebuilds a recursive octree every tick (tree.rs:111-174) and walks it per
+body with an explicit stack (mod.rs:46-76) under a theta-opening criterion
+(mod.rs:64-67). Pointer-chasing stack walks are hostile to the TPU's dense
+vector model, so this module re-derives the same O(N * crit) physics as a
+fully dense, statically-shaped three-phase algorithm:
+
+1. **Sort**: Morton-order the bodies (`spacetpu.ops.morton`), partition the
+   sorted order into leaf clusters of LEAF bodies. Clusters inherit the
+   octree's role of spatial cells; COM/mass/radius per cluster are segment
+   reductions (the analogue of tree.rs:176-188's aggregation).
+2. **Far field**: every body interacts with every cluster's monopole
+   (COM, total mass) — a dense (N x G) pass through the same tiled kernel
+   as the direct solver. No opening tests on this path at all.
+3. **Near correction**: for cluster pairs failing the theta criterion
+   (r_src >= theta * (d - r_tgt), the group-wise analogue of mod.rs:64-67),
+   replace the monopole by exact pairwise forces. Each source cluster is
+   augmented with a pseudo-body at its COM carrying mass -M, so a single
+   direct pass over the augmented cluster computes (direct - monopole) in
+   one sweep, and simply *adding* it to the far-field result performs the
+   replacement. Near lists are top-k nearest accepted clusters with a
+   static cap; overflow degrades gracefully to monopole accuracy (never to
+   unbounded error).
+
+Massless bodies exert no force in any phase (zero-mass monopoles and zero
+pair weights), matching the reference's exclusion of massless particles
+from its tree (tree.rs:124-131).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from spacetpu import constants
+from spacetpu.ops import direct, morton
+
+#: real bodies per leaf cluster; +1 slot for the -M pseudo-body => 256 block
+LEAF = 255
+BLOCK = LEAF + 1
+
+
+def default_k_near(theta: float, n_groups: int) -> int:
+    """Static near-list cap: clusters within d <= r*(1 + 1/theta) of each
+    other are near; for roughly uniform data that is ~(1 + 1/theta)^3
+    clusters, padded by 50% + 8 for clumping."""
+    k = int(1.5 * (1.0 + 1.0 / theta) ** 3) + 8
+    return max(2, min(n_groups, k))
+
+
+def _group_stats(pos_g, mass_g):
+    """COM, total mass, radius per cluster. pos_g: (G, LEAF, 3)."""
+    m_tot = jnp.sum(mass_g, axis=1)  # (G,)
+    com = jnp.sum(pos_g * mass_g[..., None], axis=1) / jnp.maximum(
+        m_tot, 1e-30
+    )[..., None]
+    d = jnp.linalg.norm(pos_g - com[:, None, :], axis=-1)
+    # radius over force-exerting bodies only (massless ones never matter)
+    radius = jnp.max(jnp.where(mass_g > 0, d, 0.0), axis=1)
+    return com, m_tot, radius
+
+
+def _near_lists(com, m_tot, radius, theta: float, k_near: int):
+    """(G, K) indices of the nearest clusters failing the opening test.
+
+    Invalid slots point to the null cluster (index G) whose bodies are all
+    zero-mass. Sources with zero total mass are never near (their monopole
+    and their direct forces are both exactly zero)."""
+    g = com.shape[0]
+    rel = com[:, None, :] - com[None, :, :]
+    dist = jnp.linalg.norm(rel, axis=-1)  # (G, G) target x source
+    near = radius[None, :] >= theta * (dist - radius[:, None])
+    near = jnp.logical_and(near, m_tot[None, :] > 0)
+    masked = jnp.where(near, dist, jnp.inf)
+    neg_d, idx = jax.lax.top_k(-masked, k_near)  # k smallest distances
+    valid = neg_d > -jnp.inf
+    return jnp.where(valid, idx, g).astype(jnp.int32)
+
+
+def _pack_augmented(pos_g, mass_g, com, m_tot, g_const):
+    """Source operand (8, (G+1)*BLOCK): per cluster LEAF bodies followed by
+    the -M pseudo-body at the COM; a trailing all-zero null cluster."""
+    gg = pos_g.shape[0]
+    dtype = pos_g.dtype
+    aug_pos = jnp.concatenate([pos_g, com[:, None, :]], axis=1)  # (G, BLOCK, 3)
+    aug_gm = jnp.concatenate(
+        [mass_g * g_const, -m_tot[:, None] * g_const], axis=1
+    )  # (G, BLOCK)
+    rows = jnp.zeros((8, (gg + 1) * BLOCK), dtype)
+    rows = rows.at[:3, : gg * BLOCK].set(
+        aug_pos.reshape(gg * BLOCK, 3).T
+    )
+    rows = rows.at[3, : gg * BLOCK].set(aug_gm.reshape(gg * BLOCK))
+    return rows
+
+
+def _pack_targets(pos_g):
+    """Target operand (G*BLOCK, 8): LEAF bodies + one dummy row per cluster
+    (keeps target blocks congruent with source blocks)."""
+    gg = pos_g.shape[0]
+    dtype = pos_g.dtype
+    tg = jnp.zeros((gg, BLOCK, 8), dtype)
+    tg = tg.at[:, :LEAF, :3].set(pos_g)
+    return tg.reshape(gg * BLOCK, 8)
+
+
+def _near_kernel(idx_ref, tcols_ref, srows_ref, out_ref, *, softening, eps):
+    """One (target cluster, near-slot) block: direct forces from the
+    augmented source cluster (which embeds its own -M monopole)."""
+    del idx_ref  # consumed by the index maps
+    xi = tcols_ref[:, 0:1]
+    yi = tcols_ref[:, 1:2]
+    zi = tcols_ref[:, 2:3]
+    xj = srows_ref[0:1, :]
+    yj = srows_ref[1:2, :]
+    zj = srows_ref[2:3, :]
+    gmj = srows_ref[3:4, :]
+
+    dx = xj - xi
+    dy = yj - yi
+    dz = zj - zi
+    r2 = dx * dx + dy * dy + dz * dz
+    if softening == "plummer":
+        d2 = r2 + eps * eps
+        inv = jax.lax.rsqrt(d2)
+        w = gmj * (inv * inv * inv)
+        w = jnp.where(d2 > 0.0, w, 0.0)
+    else:  # "ref"
+        denom = r2 * jnp.sqrt(r2) + eps
+        w = jnp.where(denom > 0.0, gmj / denom, 0.0)
+
+    ax = jnp.sum(w * dx, axis=1, keepdims=True)
+    ay = jnp.sum(w * dy, axis=1, keepdims=True)
+    az = jnp.sum(w * dz, axis=1, keepdims=True)
+    zero = jnp.zeros_like(ax)
+    tile = jnp.concatenate([ax, ay, az, zero, zero, zero, zero, zero], axis=1)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    out_ref[:, :] += tile
+
+
+#: max target clusters per near-correction pallas_call: bounds the
+#: scalar-prefetch near-list slice (chunk * 128 lanes * 4B) well under the
+#: 1 MB SMEM budget.
+GROUP_CHUNK = 512
+
+
+@functools.partial(
+    jax.jit, static_argnames=("softening", "eps", "k_near", "interpret")
+)
+def _near_correction_chunk(tcols, srows, idx, *, softening, eps, k_near,
+                           interpret):
+    gg = tcols.shape[0] // BLOCK
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(gg, k_near),
+        in_specs=[
+            pl.BlockSpec((BLOCK, 8), lambda a, k, idx: (a, 0)),
+            pl.BlockSpec((8, BLOCK), lambda a, k, idx: (0, idx[a, k])),
+        ],
+        out_specs=pl.BlockSpec((BLOCK, 8), lambda a, k, idx: (a, 0)),
+    )
+    return pl.pallas_call(
+        functools.partial(_near_kernel, softening=softening, eps=float(eps)),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((gg * BLOCK, 8), tcols.dtype),
+        interpret=interpret,
+    )(idx, tcols, srows)
+
+
+def _near_correction_pallas(tcols, srows, idx, *, softening, eps, k_near,
+                            interpret):
+    """Chunk target clusters so each call's prefetched near-list slice fits
+    SMEM (the full (G, K) int32 list can exceed the ~1 MB scalar memory at
+    N ~ 1M; sources stay shared across chunks)."""
+    gg = tcols.shape[0] // BLOCK
+    outs = []
+    for c0 in range(0, gg, GROUP_CHUNK):
+        c1 = min(c0 + GROUP_CHUNK, gg)
+        outs.append(
+            _near_correction_chunk(
+                tcols[c0 * BLOCK : c1 * BLOCK],
+                srows,
+                idx[c0:c1],
+                softening=softening,
+                eps=eps,
+                k_near=k_near,
+                interpret=interpret,
+            )
+        )
+    out = jnp.concatenate(outs, axis=0)
+    return out.reshape(gg, BLOCK, 8)[:, :LEAF, :3]
+
+
+def _near_correction_xla(pos_g, aug_pos, aug_gm, idx, *, softening, eps):
+    """XLA fallback (CPU tests, virtual meshes): gather the near clusters
+    and run the broadcast pair kernel per target cluster via lax.map."""
+    gg = pos_g.shape[0]
+    # Append the null cluster.
+    aug_pos = jnp.concatenate(
+        [aug_pos, jnp.zeros((1,) + aug_pos.shape[1:], aug_pos.dtype)], axis=0
+    )
+    aug_gm = jnp.concatenate(
+        [aug_gm, jnp.zeros((1,) + aug_gm.shape[1:], aug_gm.dtype)], axis=0
+    )
+
+    def one_group(args):
+        tgt, near_idx = args  # (LEAF, 3), (K,)
+        src_pos = aug_pos[near_idx].reshape(-1, 3)  # (K*BLOCK, 3)
+        src_gm = aug_gm[near_idx].reshape(-1)
+        return direct.acc_cross(
+            tgt, src_pos, src_gm, softening=softening, eps=eps, g=1.0
+        )
+
+    return jax.lax.map(one_group, (pos_g, idx))
+
+
+def acc_tree(
+    pos,
+    mass,
+    *,
+    theta: float = constants.BARNES_HUT_THETA,
+    softening: str = "plummer",
+    eps=None,
+    g=None,
+    backend: str = "xla",
+    k_near: int | None = None,
+    interpret: bool | None = None,
+):
+    """Clustered Barnes-Hut acceleration: (N, 3), (N,) -> (N, 3)."""
+    if softening not in direct.SOFTENINGS:
+        raise ValueError(f"unknown softening {softening!r}")
+    if eps is None:
+        eps = constants.COLLISION_EPSILON if softening == "ref" else 0.0
+    if g is None:
+        g = constants.G
+    n = pos.shape[0]
+    dtype = pos.dtype
+    gg = max(1, math.ceil(n / LEAF))
+    n_pad = gg * LEAF
+    if k_near is None:
+        k_near = default_k_near(theta, gg)
+
+    # Phase 1: sort + cluster.
+    perm, _ = morton.morton_order(pos)
+    pos_s = jnp.concatenate(
+        [pos[perm], jnp.zeros((n_pad - n, 3), dtype)], axis=0
+    )
+    mass_s = jnp.concatenate(
+        [mass[perm], jnp.zeros((n_pad - n,), dtype)], axis=0
+    )
+    pos_g = pos_s.reshape(gg, LEAF, 3)
+    mass_g = mass_s.reshape(gg, LEAF)
+    com, m_tot, radius = _group_stats(pos_g, mass_g)
+    idx = _near_lists(com, m_tot, radius, theta, k_near)
+
+    # Phase 2: dense far field — all bodies vs all cluster monopoles.
+    if backend == "pallas":
+        from spacetpu.ops import pallas_direct
+
+        acc = pallas_direct.acc_cross_pallas(
+            pos_s, com, m_tot, softening=softening, eps=eps, g=g,
+            interpret=interpret,
+        )
+    else:
+        acc = direct.acc_cross(
+            pos_s, com, m_tot, softening=softening, eps=eps, g=g
+        )
+
+    # Phase 3: near-field correction (direct minus monopole per near pair).
+    if backend == "pallas":
+        tcols = _pack_targets(pos_g)
+        srows = _pack_augmented(pos_g, mass_g, com, m_tot, jnp.asarray(g, dtype))
+        corr = _near_correction_pallas(
+            tcols, srows, idx,
+            softening=softening, eps=float(eps), k_near=k_near,
+            interpret=bool(interpret) if interpret is not None
+            else jax.devices()[0].platform != "tpu",
+        )
+    else:
+        aug_pos = jnp.concatenate([pos_g, com[:, None, :]], axis=1)
+        aug_gm = jnp.concatenate(
+            [mass_g * jnp.asarray(g, dtype), -m_tot[:, None] * jnp.asarray(g, dtype)],
+            axis=1,
+        )
+        corr = _near_correction_xla(
+            pos_g, aug_pos, aug_gm, idx, softening=softening, eps=eps
+        )
+    acc = acc + corr.reshape(n_pad, 3)
+
+    # Unsort back to the caller's body order.
+    out = jnp.zeros((n, 3), dtype)
+    return out.at[perm].set(acc[:n])

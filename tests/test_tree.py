@@ -1,0 +1,144 @@
+"""Clustered Barnes-Hut tests: force error vs direct, exactness limits,
+massless handling."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spacetpu.ops import direct, morton, tree
+
+
+def _cluster(n, seed=0, dtype=jnp.float64):
+    rng = np.random.default_rng(seed)
+    u = rng.normal(size=(n, 3))
+    u /= np.linalg.norm(u, axis=-1, keepdims=True)
+    r = rng.uniform(0, 1, size=(n, 1)) ** (1 / 3)
+    pos = jnp.asarray(u * r, dtype)
+    mass = jnp.asarray(rng.uniform(0.5, 1.5, size=n) / n, dtype)
+    return pos, mass
+
+
+def test_morton_keys_locality():
+    # Points in the same octant share high key bits; keys are deterministic.
+    pos = jnp.asarray(
+        [[0.1, 0.1, 0.1], [0.11, 0.1, 0.1], [0.9, 0.9, 0.9]], jnp.float64
+    )
+    k = np.asarray(morton.morton_keys(pos))
+    assert k[0] != k[2]
+    # close points have closer keys than far points
+    assert abs(int(k[0]) - int(k[1])) < abs(int(k[0]) - int(k[2]))
+
+
+def test_morton_order_is_permutation():
+    pos, _ = _cluster(500, seed=1)
+    perm, inv = morton.morton_order(pos)
+    perm = np.asarray(perm)
+    assert sorted(perm.tolist()) == list(range(500))
+    np.testing.assert_array_equal(np.asarray(perm)[np.asarray(inv)], np.arange(500))
+
+
+@pytest.mark.parametrize("theta,bound", [(0.3, 2e-3), (0.5, 8e-3), (0.8, 4e-2)])
+def test_tree_force_error_vs_theta(theta, bound):
+    """Force error decreases with theta, staying within BH-typical bounds
+    (the validation SURVEY.md SS7 step 4 calls for)."""
+    pos, mass = _cluster(2000, seed=2)
+    exact = np.asarray(
+        direct.acc_direct(pos, mass, softening="plummer", eps=1e-3, g=1.0)
+    )
+    got = np.asarray(
+        tree.acc_tree(
+            pos, mass, theta=theta, softening="plummer", eps=1e-3, g=1.0,
+            backend="xla",
+        )
+    )
+    scale = np.linalg.norm(exact, axis=-1).mean()
+    err = np.linalg.norm(got - exact, axis=-1) / scale
+    assert np.median(err) < bound, f"median err {np.median(err)} at theta={theta}"
+
+
+def test_tree_exact_when_everything_near():
+    """theta -> 0 opens every cluster: with an uncapped near list the
+    correction replaces every monopole and the result is exact."""
+    pos, mass = _cluster(700, seed=3)
+    exact = np.asarray(
+        direct.acc_direct(pos, mass, softening="plummer", eps=1e-3, g=1.0)
+    )
+    got = np.asarray(
+        tree.acc_tree(
+            pos, mass, theta=1e-9, softening="plummer", eps=1e-3, g=1.0,
+            backend="xla", k_near=3,  # 700 bodies -> 3 clusters
+        )
+    )
+    np.testing.assert_allclose(got, exact, rtol=1e-9, atol=1e-12)
+
+
+def test_tree_ref_softening():
+    pos, mass = _cluster(1000, seed=4)
+    exact = np.asarray(direct.acc_direct(pos, mass, softening="ref", g=1.0))
+    got = np.asarray(
+        tree.acc_tree(pos, mass, theta=0.4, softening="ref", g=1.0, backend="xla")
+    )
+    scale = np.linalg.norm(exact, axis=-1).mean()
+    err = np.linalg.norm(got - exact, axis=-1) / scale
+    assert np.median(err) < 5e-3
+
+
+def test_tree_massless_bodies():
+    """Massless bodies feel forces but exert none (tree.rs:124-131 parity)."""
+    rng = np.random.default_rng(5)
+    pos = jnp.asarray(rng.uniform(-1, 1, (600, 3)), jnp.float64)
+    mass = jnp.zeros((600,), jnp.float64).at[0].set(100.0)
+    exact = np.asarray(direct.acc_direct(pos, mass, softening="plummer", eps=1e-2, g=1.0))
+    got = np.asarray(
+        tree.acc_tree(pos, mass, theta=0.5, softening="plummer", eps=1e-2,
+                      g=1.0, backend="xla")
+    )
+    scale = np.abs(exact).max()
+    np.testing.assert_allclose(got, exact, atol=2e-2 * scale)
+
+
+def test_tree_all_massless():
+    """No massive bodies at all: zero forces (the empty-tree early-out,
+    barnes_hut/mod.rs:19-21)."""
+    pos, _ = _cluster(300, seed=6)
+    mass = jnp.zeros((300,), jnp.float64)
+    got = np.asarray(
+        tree.acc_tree(pos, mass, theta=0.5, softening="plummer", eps=1e-3,
+                      g=1.0, backend="xla")
+    )
+    np.testing.assert_array_equal(got, 0.0)
+
+
+def test_tree_simulation_e2e():
+    """algorithm='tree' through the Simulation facade (the auto-selected
+    path for N > BARNES_HUT_CUTOFF, event_loop.rs:334-340 parity)."""
+    from spacetpu import make_simulation
+    from spacetpu.models import presets
+    from spacetpu.ops import energy
+
+    scene = presets.plummer_sphere(1500, seed=9)
+    sim = make_simulation(
+        1500, algorithm="auto", backend="xla", integrator="leapfrog",
+        softening="plummer", eps=1e-2, g=1.0, theta=0.4,
+    )
+    assert sim.config.resolved_algorithm() == "tree"
+    st = sim.prime(scene.state(dtype=jnp.float64))
+    e0 = float(energy.total_energy(st.pos, st.vel, st.mass, eps=1e-2, g=1.0))
+    st = sim.run(st, 1e-3, 100)
+    e1 = float(energy.total_energy(st.pos, st.vel, st.mass, eps=1e-2, g=1.0))
+    assert np.all(np.isfinite(np.asarray(st.pos)))
+    assert abs((e1 - e0) / e0) < 1e-3
+
+
+def test_tree_pallas_interpret_matches_xla():
+    pos, mass = _cluster(1200, seed=7, dtype=jnp.float32)
+    a = np.asarray(
+        tree.acc_tree(pos, mass, theta=0.5, softening="plummer", eps=1e-2,
+                      g=1.0, backend="xla")
+    )
+    b = np.asarray(
+        tree.acc_tree(pos, mass, theta=0.5, softening="plummer", eps=1e-2,
+                      g=1.0, backend="pallas", interpret=True)
+    )
+    scale = np.abs(a).max()
+    np.testing.assert_allclose(b, a, atol=5e-5 * scale)
