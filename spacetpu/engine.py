@@ -1,0 +1,185 @@
+"""Asynchronous simulation engine: the sim-thread / UI-thread split.
+
+The reference decouples physics rate from frame rate with a dedicated sim
+OS-thread (`/root/reference/space/src/main.rs:83`) running an infinite tick
+loop (`event_loop.rs:305-327`) and a lock-light exchange object
+(`batch_request.rs:10-63`): a CAS'd should-sample flag, a mutex'd f32
+position snapshot, an atomic tick counter and an atomic live-tunable dt.
+
+The TPU-native engine keeps that architecture — it is a good one — but the
+"simulation" the thread drives is a single donated jitted step whose
+dispatch is already asynchronous, so the thread's job is feeding the device
+queue and occasionally (on request) downcasting a position snapshot to f32
+for the renderer, exactly the role of BatchRequest::store's f64->f32 copy
+(batch_request.rs:43-51).
+
+`run_sim_loop` matches the reference loop's control flow
+(CHECK_INTERVAL ticks per exchange poll, dt re-read on publish, stop-token
+exit), and `make_engine_for` matches run_sim_loop_erased's N-based
+algorithm auto-select (event_loop.rs:329-341).
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spacetpu import constants
+from spacetpu.sim import Simulation, make_simulation
+from spacetpu.state import State
+
+
+#: Serializes device dispatch/transfers across host threads. The reference's
+#: two OS threads share nothing but BatchRequest; here they share one TPU
+#: device queue, and some PJRT transports (remote-tunnelled backends in
+#: particular) deadlock on concurrent host->device/device->host transfers
+#: from different Python threads. Every device touchpoint in the engine and
+#: the viewers takes this lock; dispatch stays async underneath so the sim
+#: thread still overlaps compute with the UI thread's rendering.
+DEVICE_LOCK = threading.RLock()
+
+
+class Exchange:
+    """Sim <-> UI bridge with BatchRequest's exact surface
+    (batch_request.rs:10-63): should_store (CAS), store/sample (snapshot),
+    current_ticks, delta/set_delta (live dt)."""
+
+    def __init__(self, n_objects: int, delta: float = constants.DELTA):
+        self._sample = np.zeros((n_objects, 3), np.float32)
+        self._lock = threading.Lock()
+        self._should_sample = True
+        self._tick = 0
+        self._delta = delta
+
+    # --- dt (batch_request.rs:27-33) ---
+    def delta(self) -> float:
+        return self._delta
+
+    def set_delta(self, value: float):
+        self._delta = value
+
+    # --- handshake (batch_request.rs:36-58) ---
+    def should_store(self) -> bool:
+        """CAS the should-sample flag: true at most once per UI request."""
+        with self._lock:
+            if self._should_sample:
+                self._should_sample = False
+                return True
+            return False
+
+    def store(self, positions, tick: int):
+        """Publish an f32 position snapshot + the tick count."""
+        snap = np.asarray(positions, np.float32)
+        with self._lock:
+            self._sample[:] = snap[: len(self._sample)]
+            self._tick = tick
+
+    def sample(self) -> np.ndarray:
+        """Retrieve the latest snapshot and request a new one."""
+        with self._lock:
+            out = self._sample.copy()
+            self._should_sample = True
+        return out
+
+    def current_ticks(self) -> int:
+        with self._lock:
+            return self._tick
+
+
+def run_sim_loop(
+    sim: Simulation,
+    state: State,
+    exchange: Exchange,
+    stop: threading.Event,
+    *,
+    check_interval: int = constants.CHECK_INTERVAL,
+) -> State:
+    """The tick loop (event_loop.rs:305-327): step check_interval ticks,
+    publish a snapshot iff the UI asked, re-read dt, exit on the token."""
+    import time as _time
+
+    tick = 0
+    delta = exchange.delta()
+    with DEVICE_LOCK:
+        state = sim.prime(state)
+    while True:
+        with DEVICE_LOCK:
+            for _ in range(check_interval):
+                state = sim.step(state, delta)
+            # Scalar readback: bounds the async dispatch queue so a later
+            # framebuffer transfer from the UI thread never sits behind an
+            # unbounded backlog of enqueued steps.
+            np.asarray(state.pos[0, 0])
+        tick += check_interval
+        if exchange.should_store():
+            # device -> host downcast snapshot (the store() of
+            # batch_request.rs:43-51; one small transfer per UI frame)
+            with DEVICE_LOCK:
+                snap = np.asarray(state.pos, np.float32)
+            exchange.store(snap, tick)
+            delta = exchange.delta()
+        elif stop.is_set():
+            break
+        # Give the UI thread a fair shot at DEVICE_LOCK between batches.
+        _time.sleep(0)
+    return state
+
+
+class SimEngine:
+    """Owns the sim thread + exchange; the analogue of what main.rs:78-95
+    wires up by hand (spawn, stop token, join)."""
+
+    def __init__(self, sim: Simulation, state: State, *,
+                 delta: float = constants.DELTA,
+                 check_interval: int = constants.CHECK_INTERVAL):
+        self.sim = sim
+        self.exchange = Exchange(state.n, delta)
+        self._stop = threading.Event()
+        self._state0 = state
+        self.final_state: Optional[State] = None
+        self._check_interval = check_interval
+        self._thread: Optional[threading.Thread] = None
+
+    def start(self):
+        def run():
+            self.final_state = run_sim_loop(
+                self.sim, self._state0, self.exchange, self._stop,
+                check_interval=self._check_interval,
+            )
+
+        self._thread = threading.Thread(target=run, name="sim", daemon=True)
+        self._thread.start()
+
+    def stop(self, timeout: float = 30.0):
+        """Set the stop token and join (main.rs:92-95)."""
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout)
+
+    def __enter__(self):
+        self.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.stop()
+
+
+def make_engine_for(
+    scene_state: State,
+    *,
+    delta: float = constants.DELTA,
+    cutoff: int = constants.BARNES_HUT_CUTOFF,
+    theta: float = constants.BARNES_HUT_THETA,
+    **sim_kwargs,
+) -> SimEngine:
+    """Algorithm auto-select by N, matching run_sim_loop_erased
+    (event_loop.rs:329-341): tree (theta=BARNES_HUT_COEFF) iff N > cutoff,
+    else brute force."""
+    n = scene_state.n
+    algorithm = "tree" if n > cutoff else "direct"
+    sim = make_simulation(n, algorithm=algorithm, theta=theta, **sim_kwargs)
+    return SimEngine(sim, scene_state, delta=delta)

@@ -1,0 +1,71 @@
+"""Checkpoint / resume of simulation state.
+
+The reference has none (state lives only in ObjectBuffer.objects,
+`/root/reference/space/src/sim/mod.rs:122-127`; SURVEY.md SS5 flags this as a
+gap the TPU build must fill). State is a pytree of dense arrays, so a
+checkpoint is one device->host transfer and an npz file; scenes' host-side
+metadata (names/colors/radii) rides along so a viewer can resume too.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from spacetpu.state import Scene, State
+
+_FIELDS = ("pos", "vel", "mass", "acc", "pos_c", "vel_c", "time", "n_active")
+
+
+def save(path: str, state: State, *, scene: Optional[Scene] = None,
+         extra: Optional[dict] = None):
+    """Write state (+ optional scene metadata and JSON extras) to an npz."""
+    arrays = {}
+    for f in _FIELDS:
+        v = getattr(state, f)
+        if v is not None:
+            arrays[f"state_{f}"] = np.asarray(v)
+    if scene is not None:
+        arrays["scene_colors"] = scene.colors
+        arrays["scene_radii"] = scene.radii
+        arrays["scene_names"] = np.array(scene.names)
+        arrays["scene_g"] = np.float64(scene.g)
+    if extra:
+        arrays["extra_json"] = np.array(json.dumps(extra))
+    np.savez_compressed(path, **arrays)
+
+
+def load(path: str, *, dtype=None):
+    """Read back (state, scene | None, extra | None). dtype overrides the
+    stored float dtype (e.g. resume an f32 run in f64 for validation)."""
+    with np.load(path, allow_pickle=False) as z:
+        kw = {}
+        for f in _FIELDS:
+            key = f"state_{f}"
+            if key in z:
+                arr = z[key]
+                if dtype is not None and arr.dtype.kind == "f":
+                    arr = arr.astype(dtype)
+                kw[f] = jnp.asarray(arr)
+            else:
+                kw[f] = None
+        state = State(**kw)
+        scene = None
+        if "scene_colors" in z:
+            n = state.pos.shape[0]
+            scene = Scene(
+                names=[str(s) for s in z["scene_names"]],
+                colors=z["scene_colors"],
+                radii=z["scene_radii"],
+                pos=np.asarray(state.pos, np.float64),
+                vel=np.asarray(state.vel, np.float64),
+                mass=np.asarray(state.mass, np.float64)[:n],
+                g=float(z["scene_g"]) if "scene_g" in z else Scene.g,
+            )
+        extra = None
+        if "extra_json" in z:
+            extra = json.loads(str(z["extra_json"]))
+    return state, scene, extra

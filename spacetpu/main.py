@@ -1,0 +1,151 @@
+"""Application entry point: scene -> engine -> frontend.
+
+The TPU-native counterpart of `/root/reference/space/src/main.rs:56-97`:
+build the scene (default fixed_cloud(10000), main.rs:61), split sim-side
+state from render-side metadata (main.rs:70-77), start the sim thread, run
+the chosen frontend, then stop-token + join. Scene/algorithm/frontend are
+CLI flags instead of source edits (utils/config.py).
+
+Run:  python -m spacetpu --preset fixed_cloud --n 2000 --frontend terminal
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from spacetpu import constants
+from spacetpu.engine import SimEngine, make_engine_for
+from spacetpu.models import presets
+from spacetpu.sim import make_simulation
+from spacetpu.state import Scene
+from spacetpu.utils.config import RunConfig, parse_args
+
+
+def build_scene(cfg: RunConfig) -> Scene:
+    fn = presets.PRESETS.get(cfg.preset)
+    if fn is None:
+        raise SystemExit(
+            f"unknown preset {cfg.preset!r}; available: "
+            f"{', '.join(sorted(presets.PRESETS))}"
+        )
+    if cfg.preset in ("fixed_cloud", "fixed_shell"):
+        return fn(cfg.n)
+    if cfg.preset in ("random_cluster", "plummer_sphere"):
+        return fn(cfg.n, seed=cfg.seed)
+    if cfg.preset == "earth_sun_mars_ast":
+        return fn(cfg.n, seed=cfg.seed)
+    return fn()
+
+
+def build_engine(cfg: RunConfig, scene: Scene) -> SimEngine:
+    dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+    state = scene.state(dtype=dtype, compensated=cfg.compensated)
+    if cfg.restore:
+        from spacetpu.io import checkpoint
+
+        state, _, _ = checkpoint.load(cfg.restore, dtype=dtype)
+    if cfg.algorithm == "auto":
+        return make_engine_for(
+            state, delta=cfg.dt, theta=cfg.theta, backend=cfg.backend,
+            integrator=cfg.integrator, softening=cfg.softening, eps=cfg.eps,
+            g=scene.g,
+        )
+    sim = make_simulation(
+        state.n, algorithm=cfg.algorithm, backend=cfg.backend,
+        integrator=cfg.integrator, softening=cfg.softening, eps=cfg.eps,
+        theta=cfg.theta, g=scene.g,
+    )
+    return SimEngine(sim, state, delta=cfg.dt)
+
+
+def run_headless(cfg: RunConfig, scene: Scene):
+    """--frontend none: batch stepping with metrics, checkpoints, profile."""
+    import time
+
+    from spacetpu.ops import energy
+    from spacetpu.utils.metrics import ThroughputTracker, compute_elapsed_time
+
+    dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+    state = scene.state(dtype=dtype, compensated=cfg.compensated)
+    if cfg.restore:
+        from spacetpu.io import checkpoint
+
+        state, _, _ = checkpoint.load(cfg.restore, dtype=dtype)
+    sim = make_simulation(
+        state.n, algorithm=cfg.algorithm, backend=cfg.backend,
+        integrator=cfg.integrator, softening=cfg.softening, eps=cfg.eps,
+        theta=cfg.theta, g=scene.g,
+    )
+    state = sim.prime(state)
+    eps_diag = cfg.eps if cfg.eps is not None else 0.0
+    e0 = float(energy.total_energy(state.pos, state.vel, state.mass,
+                                   softening=cfg.softening, eps=eps_diag,
+                                   g=scene.g))
+    if cfg.profile_dir:
+        jax.profiler.start_trace(cfg.profile_dir)
+    t0 = time.perf_counter()
+    done = 0
+    chunk = max(1, min(cfg.steps, 100))
+    while done < cfg.steps:
+        todo = min(chunk, cfg.steps - done)
+        state = sim.run(state, cfg.dt, todo)
+        done += todo
+        if cfg.checkpoint_every and done % cfg.checkpoint_every == 0:
+            from spacetpu.io import checkpoint
+
+            checkpoint.save(f"{cfg.checkpoint or 'state'}_{done}.npz", state,
+                            scene=scene)
+    e1 = float(energy.total_energy(state.pos, state.vel, state.mass,
+                                   softening=cfg.softening, eps=eps_diag,
+                                   g=scene.g))
+    wall = time.perf_counter() - t0
+    if cfg.profile_dir:
+        jax.profiler.stop_trace()
+    rate = ThroughputTracker(state.n).rate(cfg.steps, wall)
+    print(f"{cfg.steps} steps of N={state.n} in {wall:.2f}s "
+          f"({rate['steps_per_sec']:.2f} steps/s, "
+          f"{rate['pairs_per_sec']:.3e} pairs/s)")
+    print(f"simulated: {compute_elapsed_time(cfg.steps, cfg.dt)}")
+    print(f"relative energy drift: {(e1 - e0) / abs(e0):.3e}")
+    if cfg.checkpoint:
+        from spacetpu.io import checkpoint
+
+        checkpoint.save(cfg.checkpoint, state, scene=scene,
+                        extra={"steps": cfg.steps, "dt": cfg.dt})
+        print(f"checkpoint written to {cfg.checkpoint}")
+
+
+def main(argv=None):
+    cfg = parse_args(argv)
+    scene = build_scene(cfg)
+    print(f"Running with {scene.n} objects "
+          f"({cfg.preset}, dt={cfg.dt}s, {cfg.frontend})")
+
+    if cfg.frontend == "none":
+        run_headless(cfg, scene)
+        return
+
+    from spacetpu.render.viewer import (
+        FrameSource, OfflineViewer, TerminalViewer,
+    )
+
+    engine = build_engine(cfg, scene)
+    source = FrameSource(engine, scene, width=cfg.width, height=cfg.height)
+    with engine:
+        if cfg.frontend == "offline":
+            OfflineViewer(source, cfg.out_dir).run(cfg.frames, gif=cfg.gif)
+        else:
+            TerminalViewer(source).run(max_frames=cfg.frames)
+    if cfg.checkpoint and engine.final_state is not None:
+        from spacetpu.io import checkpoint
+
+        checkpoint.save(cfg.checkpoint, engine.final_state, scene=scene)
+        print(f"checkpoint written to {cfg.checkpoint}")
+    print("Task completed")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

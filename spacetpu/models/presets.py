@@ -275,6 +275,7 @@ def random_cluster(n: int, *, seed: int = 0, g: float = 1.0) -> Scene:
         pos=pos,
         vel=vel,
         mass=mass,
+        g=g,
     )
 
 
@@ -313,6 +314,7 @@ def plummer_sphere(n: int, *, seed: int = 0, a: float = 1.0) -> Scene:
         pos=pos - pos.mean(0),
         vel=vel - vel.mean(0),
         mass=mass,
+        g=1.0,  # natural units
     )
 
 

@@ -49,8 +49,10 @@ def potential_energy(pos, mass, *, softening: str = "plummer", eps=0.0, g=None):
         pos_p, mass_p = pos, mass
     n_chunks = pos_p.shape[0] // _PE_CHUNK
 
+    j_idx = jnp.arange(pos_p.shape[0])
+
     def body(carry, chunk):
-        pos_i, mass_i = chunk  # (C, 3), (C,)
+        pos_i, mass_i, i_idx = chunk  # (C, 3), (C,), (C,)
         rel = pos_p[None, :, :] - pos_i[:, None, :]  # (C, N, 3)
         r2 = jnp.sum(rel * rel, axis=-1)
         if softening == "plummer":
@@ -58,6 +60,8 @@ def potential_energy(pos, mass, *, softening: str = "plummer", eps=0.0, g=None):
         else:
             d2 = r2
         inv_r = jnp.where(d2 > 0, jax.lax.rsqrt(jnp.maximum(d2, 1e-38)), 0.0)
+        # exclude i == j: with eps > 0 the softened self-term is nonzero
+        inv_r = jnp.where(i_idx[:, None] == j_idx[None, :], 0.0, inv_r)
         mm = mass_i[:, None] * mass_p[None, :]
         return carry + jnp.sum(mm * inv_r), None
 
@@ -67,6 +71,7 @@ def potential_energy(pos, mass, *, softening: str = "plummer", eps=0.0, g=None):
         (
             pos_p.reshape(n_chunks, _PE_CHUNK, 3),
             mass_p.reshape(n_chunks, _PE_CHUNK),
+            j_idx.reshape(n_chunks, _PE_CHUNK),
         ),
     )
     # each unordered pair appears twice in the full sum

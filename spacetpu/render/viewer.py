@@ -1,0 +1,273 @@
+"""Host-side frontends consuming on-device framebuffers.
+
+The reference ships two frontends: a raw winit window
+(`/root/reference/space/src/event_loop.rs:89-303`) and an eframe/egui app
+with an info side panel (`ui.rs`, `ui/info.rs`). A TPU host is headless, so
+the two TPU-native frontends are:
+
+- `OfflineViewer`: renders frames to PNG files / an animated GIF — the
+  batch-production analogue of the winit path;
+- `TerminalViewer`: an interactive ANSI viewer (half-block truecolor
+  rendering to the terminal) with the reference's exact key bindings —
+  WASD pan, arrows/Home/PageUp rotate, +/- zoom, f/g/h focus cycle,
+  j relative-target toggle, space trail clear (event_loop.rs:181-210),
+  l/o live dt tuning (ui.rs:128-133), q quit.
+
+Both share `FrameSource`: exchange sampling -> trail push -> camera track ->
+render_scene, the per-frame sequence of SpaceEguiApp::update
+(ui.rs:75-162). The info panel reproduces ui/info.rs:43-75: rolling
+tick-rate average, simulated time, sim-time-per-wall-second, time per tick,
+focused object name.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+import time
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from spacetpu import constants
+from spacetpu.engine import SimEngine
+from spacetpu.render import rasterizer, trails
+from spacetpu.render.camera import Camera
+from spacetpu.state import Scene
+from spacetpu.utils.metrics import TickRateTracker, compute_elapsed_time
+
+
+@dataclasses.dataclass
+class KeyState:
+    """One frame's worth of key events (KeyboardState, event_loop.rs:51-86)."""
+
+    w: bool = False
+    a: bool = False
+    s: bool = False
+    d: bool = False
+    up: bool = False
+    down: bool = False
+    left: bool = False
+    right: bool = False
+    home: bool = False
+    pgup: bool = False
+    plus: bool = False
+    minus: bool = False
+    f: bool = False
+    g: bool = False
+    h: bool = False
+    j: bool = False
+    space: bool = False
+    o: bool = False
+    l: bool = False
+    quit: bool = False
+
+
+class FrameSource:
+    """Pulls snapshots from a SimEngine and renders framebuffers."""
+
+    def __init__(self, engine: SimEngine, scene: Scene, *,
+                 width: int = 960, height: int = 540):
+        self.engine = engine
+        self.scene = scene
+        self.width = width
+        self.height = height
+        self.camera = Camera(width, height)
+        self.trails = trails.make_trails(scene.n)
+        self.colors = jnp.asarray(scene.colors, jnp.float32)
+        self.radii = jnp.asarray(scene.radii, jnp.float32)
+        self.info = InfoPanel()
+        self._latest_positions = np.zeros((scene.n, 3), np.float32)
+
+    def apply_keys(self, k: KeyState):
+        cam = self.camera
+        cam.pan(w=k.w, a=k.a, s=k.s, d=k.d)
+        cam.zoom(zoom_in=k.plus, zoom_out=k.minus)
+        cam.rotate(up=k.up, down=k.down, left=k.left, right=k.right,
+                   roll_ccw=k.home, roll_cw=k.pgup)
+        cam.cycle_focus(self.scene.n, prev=k.f, nxt=k.g, clear=k.h,
+                        toggle_relative=k.j)
+        if k.space:
+            from spacetpu.engine import DEVICE_LOCK
+
+            with DEVICE_LOCK:
+                self.trails = trails.clear(self.trails)
+        if k.l:
+            self.engine.exchange.set_delta(self.engine.exchange.delta() * 0.9)
+        if k.o:
+            self.engine.exchange.set_delta(self.engine.exchange.delta() * 1.1)
+
+    def frame(self) -> np.ndarray:
+        """One UI tick: sample -> trails -> camera -> render (ui.rs:117-142).
+        Returns a host (H, W, 3) uint8 frame; all device work happens under
+        the engine DEVICE_LOCK so it never races the sim thread's queue."""
+        from spacetpu.engine import DEVICE_LOCK
+
+        snapshot = self.engine.exchange.sample()
+        self._latest_positions = snapshot
+        self.camera.track_focus(snapshot)
+        with DEVICE_LOCK:
+            self.trails = trails.push(self.trails, jnp.asarray(snapshot))
+            shift = None
+            if self.camera.relative_target is not None:
+                shift = jnp.asarray(
+                    snapshot[self.camera.relative_target % len(snapshot)]
+                )
+            fb = rasterizer.render_scene(
+                self.trails.history,
+                trails.ages(self.trails),
+                self.colors,
+                self.radii,
+                jnp.asarray(self.camera.view()),
+                jnp.asarray(self.camera.projection()),
+                width=self.width,
+                height=self.height,
+                origin_shift=shift,
+            )
+            return rasterizer.to_u8(fb)
+
+    def info_lines(self) -> list[str]:
+        return self.info.lines(
+            self.engine.exchange.current_ticks(),
+            self.engine.exchange.delta(),
+            self.camera.focus,
+            self.scene.names,
+        )
+
+
+class InfoPanel:
+    """ui/info.rs:11-75 as text lines."""
+
+    def __init__(self):
+        self.tracker = TickRateTracker(30)
+
+    def lines(self, tick: int, delta: float, focus: Optional[int],
+              names: list[str]) -> list[str]:
+        avg = self.tracker.update(tick)
+        out = [
+            f"Current time: {compute_elapsed_time(tick, delta)}",
+            f"Simulated time per second: {compute_elapsed_time(avg, delta)}",
+            f"Current time per tick: {compute_elapsed_time(1.0, delta)}",
+        ]
+        if focus is not None and 0 <= focus < len(names):
+            out.append(f"Focused object: {names[focus]}")
+        return out
+
+
+class OfflineViewer:
+    """Render N frames to PNGs (and optionally a GIF): the headless
+    counterpart of the winit frontend's redraw loop."""
+
+    def __init__(self, source: FrameSource, out_dir: str = "frames"):
+        self.source = source
+        self.out_dir = out_dir
+
+    def run(self, n_frames: int, *, every_ticks: Optional[int] = None,
+            gif: Optional[str] = None, frame_delay_s: float = 0.0):
+        import os
+
+        from PIL import Image
+
+        os.makedirs(self.out_dir, exist_ok=True)
+        images = []
+        for i in range(n_frames):
+            img = Image.fromarray(self.source.frame())
+            img.save(os.path.join(self.out_dir, f"frame_{i:05d}.png"))
+            images.append(img)
+            if frame_delay_s:
+                time.sleep(frame_delay_s)
+        if gif and images:
+            images[0].save(
+                gif, save_all=True, append_images=images[1:], duration=50,
+                loop=0,
+            )
+        return images
+
+
+def _frame_to_ansi(rgb: np.ndarray) -> str:
+    """(H, W, 3) uint8 -> truecolor half-block string (2 rows per line)."""
+    h = rgb.shape[0] - (rgb.shape[0] % 2)
+    top = rgb[0:h:2]
+    bot = rgb[1:h:2]
+    lines = []
+    for tr, br in zip(top, bot):
+        parts = []
+        for (r1, g1, b1), (r2, g2, b2) in zip(tr, br):
+            parts.append(
+                f"\x1b[38;2;{r1};{g1};{b1}m\x1b[48;2;{r2};{g2};{b2}m▀"
+            )
+        lines.append("".join(parts) + "\x1b[0m")
+    return "\n".join(lines)
+
+
+class TerminalViewer:
+    """Interactive ANSI frontend with the reference's key bindings."""
+
+    KEYMAP = {
+        "w": "w", "a": "a", "s": "s", "d": "d",
+        "+": "plus", "-": "minus",
+        "f": "f", "g": "g", "h": "h", "j": "j", " ": "space",
+        "o": "o", "l": "l", "q": "quit",
+        "\x1b[A": "up", "\x1b[B": "down", "\x1b[D": "left", "\x1b[C": "right",
+        "\x1b[H": "home", "\x1b[5~": "pgup",
+    }
+
+    def __init__(self, source: FrameSource, fps: float = 20.0):
+        self.source = source
+        self.fps = fps
+
+    def _read_keys(self) -> KeyState:
+        """Non-blocking drain of stdin escape sequences."""
+        import os
+        import select
+
+        k = KeyState()
+        buf = ""
+        while select.select([sys.stdin], [], [], 0)[0]:
+            buf += os.read(sys.stdin.fileno(), 64).decode(errors="ignore")
+        i = 0
+        while i < len(buf):
+            matched = False
+            for seq, attr in self.KEYMAP.items():
+                if buf.startswith(seq, i) and (len(seq) > 1 or True):
+                    setattr(k, attr, True)
+                    i += len(seq)
+                    matched = True
+                    break
+            if not matched:
+                i += 1
+        return k
+
+    def run(self, max_frames: Optional[int] = None):
+        import termios
+        import tty
+
+        if not sys.stdin.isatty():
+            raise SystemExit(
+                "terminal frontend needs an interactive TTY; use "
+                "--frontend offline (PNG/GIF) or --frontend none (headless)"
+            )
+        fd = sys.stdin.fileno()
+        old = termios.tcgetattr(fd)
+        try:
+            tty.setcbreak(fd)
+            sys.stdout.write("\x1b[2J")  # clear
+            frame_i = 0
+            while max_frames is None or frame_i < max_frames:
+                t0 = time.monotonic()
+                keys = self._read_keys()
+                if keys.quit:
+                    break
+                self.source.apply_keys(keys)
+                ansi = _frame_to_ansi(self.source.frame())
+                info = " | ".join(self.source.info_lines())
+                sys.stdout.write("\x1b[H" + ansi + "\n\x1b[0m" + info + "\x1b[K\n")
+                sys.stdout.flush()
+                frame_i += 1
+                dt = 1.0 / self.fps - (time.monotonic() - t0)
+                if dt > 0:
+                    time.sleep(dt)
+        finally:
+            termios.tcsetattr(fd, termios.TCSADRAIN, old)
+            sys.stdout.write("\x1b[0m\n")

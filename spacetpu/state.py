@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from spacetpu import constants
+
 
 class State(NamedTuple):
     """N-body system state as a pytree of dense arrays.
@@ -110,6 +112,9 @@ class Scene:
     pos: np.ndarray  # (N, 3) f64
     vel: np.ndarray  # (N, 3) f64
     mass: np.ndarray  # (N,) f64
+    #: gravitational constant of the scene's unit system: AU/earth-mass
+    #: scenes use the rescaled constants.G, benchmark scenes natural G=1.
+    g: float = constants.G
 
     @property
     def n(self) -> int:

@@ -1,0 +1,104 @@
+"""Run configuration + CLI flags.
+
+The reference has compile-time constants only: scene choice is an edit to
+main.rs:61-64, frontend a hardcoded bool (main.rs:85), and the only runtime
+tunable is dt via an atomic (batch_request.rs:31-33). SURVEY.md SS5 calls for
+promoting these to a real flag system — this module is it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from typing import Optional
+
+from spacetpu import constants
+
+
+@dataclasses.dataclass
+class RunConfig:
+    preset: str = "fixed_cloud"  # the reference default (main.rs:61)
+    n: int = 10000
+    seed: int = 0
+    algorithm: str = "auto"
+    backend: str = "auto"
+    integrator: str = "leapfrog"
+    softening: str = "plummer"
+    eps: Optional[float] = None
+    theta: float = constants.BARNES_HUT_THETA
+    dt: float = constants.DELTA
+    dtype: str = "float32"
+    compensated: bool = True  # Kahan-compensated f32 integration
+    frontend: str = "terminal"  # terminal | offline | none
+    width: int = 960
+    height: int = 540
+    frames: int = 300
+    out_dir: str = "frames"
+    gif: Optional[str] = None
+    steps: int = 1000  # for frontend=none batch runs
+    checkpoint: Optional[str] = None  # save path
+    restore: Optional[str] = None  # load path
+    checkpoint_every: int = 0  # steps between checkpoints (0 = off)
+    profile_dir: Optional[str] = None  # jax.profiler trace directory
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(s: str) -> "RunConfig":
+        return RunConfig(**json.loads(s))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="spacetpu",
+        description="TPU-native gravitational N-body simulator",
+    )
+    d = RunConfig()
+    p.add_argument("--preset", default=d.preset,
+                   help="scene preset (see spacetpu.models.presets.PRESETS)")
+    p.add_argument("--n", type=int, default=d.n,
+                   help="body count for parameterized presets")
+    p.add_argument("--seed", type=int, default=d.seed)
+    p.add_argument("--algorithm", default=d.algorithm,
+                   choices=["auto", "direct", "tree"])
+    p.add_argument("--backend", default=d.backend,
+                   choices=["auto", "xla", "pallas"])
+    p.add_argument("--integrator", default=d.integrator,
+                   choices=["leapfrog", "euler"])
+    p.add_argument("--softening", default=d.softening,
+                   choices=["plummer", "ref"])
+    p.add_argument("--eps", type=float, default=None,
+                   help="softening length (default: law-specific)")
+    p.add_argument("--theta", type=float, default=d.theta,
+                   help="tree opening angle")
+    p.add_argument("--dt", type=float, default=d.dt,
+                   help="timestep seconds (live-tunable with l/o keys)")
+    p.add_argument("--dtype", default=d.dtype,
+                   choices=["float32", "float64"])
+    p.add_argument("--no-compensated", dest="compensated",
+                   action="store_false", default=d.compensated,
+                   help="disable Kahan-compensated integration")
+    p.add_argument("--frontend", default=d.frontend,
+                   choices=["terminal", "offline", "none"])
+    p.add_argument("--width", type=int, default=d.width)
+    p.add_argument("--height", type=int, default=d.height)
+    p.add_argument("--frames", type=int, default=d.frames)
+    p.add_argument("--out-dir", default=d.out_dir)
+    p.add_argument("--gif", default=None, help="also write an animated gif")
+    p.add_argument("--steps", type=int, default=d.steps,
+                   help="sim steps for --frontend none")
+    p.add_argument("--checkpoint", default=None, help="save state here at end")
+    p.add_argument("--restore", default=None, help="start from this checkpoint")
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace here")
+    return p
+
+
+def parse_args(argv=None) -> RunConfig:
+    ns = build_parser().parse_args(argv)
+    return RunConfig(**{
+        f.name: getattr(ns, f.name) for f in dataclasses.fields(RunConfig)
+    })

@@ -1,0 +1,134 @@
+"""Engine tests: exchange handshake, sim loop thread, live dt, checkpoint."""
+
+import threading
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from spacetpu import make_simulation
+from spacetpu.engine import Exchange, SimEngine, make_engine_for, run_sim_loop
+from spacetpu.models import presets
+
+
+def _sim_and_state(n=64):
+    scene = presets.random_cluster(n, seed=0)
+    sim = make_simulation(n, algorithm="direct", backend="xla",
+                          softening="plummer", eps=1e-2, g=1.0)
+    return sim, scene.state(dtype=jnp.float32), scene
+
+
+def test_exchange_cas_semantics():
+    # should_store true exactly once until the UI samples again
+    # (batch_request.rs:36-41).
+    ex = Exchange(4)
+    assert ex.should_store()
+    assert not ex.should_store()
+    ex.sample()
+    assert ex.should_store()
+
+
+def test_exchange_store_sample_roundtrip():
+    ex = Exchange(3)
+    data = np.arange(9, dtype=np.float64).reshape(3, 3)
+    ex.store(data, tick=17)
+    out = ex.sample()
+    assert out.dtype == np.float32  # the f64->f32 downcast of store()
+    np.testing.assert_allclose(out, data)
+    assert ex.current_ticks() == 17
+
+
+def test_run_sim_loop_stops_on_token():
+    sim, state, _ = _sim_and_state()
+    ex = Exchange(64, delta=1e-3)
+    stop = threading.Event()
+    result = {}
+
+    def run():
+        result["state"] = run_sim_loop(sim, state, ex, stop)
+
+    t = threading.Thread(target=run)
+    t.start()
+    # let it tick, pull a few samples
+    deadline = time.time() + 20
+    while ex.current_ticks() < 5 and time.time() < deadline:
+        ex.sample()
+        time.sleep(0.01)
+    stop.set()
+    # the loop only checks the token when no sample is pending; drain once
+    ex_ticks = ex.current_ticks()
+    t.join(20)
+    assert not t.is_alive()
+    assert ex_ticks >= 5
+    assert np.isfinite(np.asarray(result["state"].pos)).all()
+
+
+def test_engine_live_dt_tuning():
+    sim, state, _ = _sim_and_state()
+    eng = SimEngine(sim, state, delta=1e-3)
+    with eng:
+        deadline = time.time() + 30
+        while eng.exchange.current_ticks() == 0 and time.time() < deadline:
+            eng.exchange.sample()  # keep requesting so the loop publishes
+            time.sleep(0.01)
+        eng.exchange.set_delta(2e-3)  # ui.rs:128-133 live tuning
+        eng.exchange.sample()
+        assert eng.exchange.current_ticks() > 0
+    assert eng.final_state is not None
+
+
+def test_make_engine_for_auto_select():
+    # N <= cutoff -> direct; N > cutoff -> tree (event_loop.rs:334-340).
+    _, state_small, _ = _sim_and_state(64)
+    eng = make_engine_for(state_small, backend="xla", g=1.0,
+                          softening="plummer", eps=1e-2)
+    assert eng.sim.config.algorithm == "direct"
+
+    scene_big = presets.random_cluster(1100, seed=1)
+    eng2 = make_engine_for(scene_big.state(dtype=jnp.float32), backend="xla",
+                           g=1.0, softening="plummer", eps=1e-2)
+    assert eng2.sim.config.algorithm == "tree"
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from spacetpu.io import checkpoint
+
+    sim, state, scene = _sim_and_state()
+    state = sim.prime(state)
+    state = sim.run(state, 1e-3, 5)
+    path = str(tmp_path / "ck.npz")
+    checkpoint.save(path, state, scene=scene, extra={"steps": 5})
+    loaded, loaded_scene, extra = checkpoint.load(path)
+    np.testing.assert_array_equal(np.asarray(loaded.pos), np.asarray(state.pos))
+    np.testing.assert_array_equal(np.asarray(loaded.vel), np.asarray(state.vel))
+    assert extra == {"steps": 5}
+    assert loaded_scene.names == scene.names
+    # resumed run continues bit-identically vs an uninterrupted one
+    a = sim.run(loaded, 1e-3, 5)
+    b = sim.run(state, 1e-3, 5)
+    np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
+
+
+def test_checkpoint_dtype_override(tmp_path):
+    from spacetpu.io import checkpoint
+
+    sim, state, _ = _sim_and_state()
+    path = str(tmp_path / "ck32.npz")
+    checkpoint.save(path, state)
+    loaded, _, _ = checkpoint.load(path, dtype=np.float64)
+    assert loaded.pos.dtype == jnp.float64
+
+
+def test_cli_config_parsing():
+    from spacetpu.utils.config import parse_args
+
+    cfg = parse_args([
+        "--preset", "fixed_shell", "--n", "123", "--frontend", "none",
+        "--steps", "7", "--dt", "2.5", "--algorithm", "direct",
+    ])
+    assert cfg.preset == "fixed_shell"
+    assert cfg.n == 123
+    assert cfg.steps == 7
+    assert cfg.dt == 2.5
+    round_trip = type(cfg).from_json(cfg.to_json())
+    assert round_trip == cfg
