@@ -141,18 +141,32 @@ class SimEngine:
         self._stop = threading.Event()
         self._state0 = state
         self.final_state: Optional[State] = None
+        #: exception that killed the sim thread, if any — the failure-
+        #: detection surface (the reference's closest analogue is the GPU
+        #: surface-lost/OOM recovery, surface.rs:55-70; a compute fault on
+        #: TPU is not recoverable in place, so it is captured and surfaced
+        #: to the frontend instead of dying silently).
+        self.error: Optional[BaseException] = None
         self._check_interval = check_interval
         self._thread: Optional[threading.Thread] = None
 
     def start(self):
         def run():
-            self.final_state = run_sim_loop(
-                self.sim, self._state0, self.exchange, self._stop,
-                check_interval=self._check_interval,
-            )
+            try:
+                self.final_state = run_sim_loop(
+                    self.sim, self._state0, self.exchange, self._stop,
+                    check_interval=self._check_interval,
+                )
+            except BaseException as e:  # noqa: BLE001 - surfaced to the UI
+                self.error = e
 
         self._thread = threading.Thread(target=run, name="sim", daemon=True)
         self._thread.start()
+
+    def check_health(self):
+        """Raise the sim thread's exception in the caller, if it died."""
+        if self.error is not None:
+            raise RuntimeError("simulation thread failed") from self.error
 
     def stop(self, timeout: float = 30.0):
         """Set the stop token and join (main.rs:92-95)."""

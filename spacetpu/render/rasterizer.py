@@ -123,6 +123,9 @@ def splat(points, colors, weights, radii_clip, view, proj, *,
     perspective pixel radius (trail strokes stay hairline at any zoom).
     """
     dtype = points.dtype
+    colors = colors.astype(dtype)
+    weights = weights.astype(dtype)
+    radii_clip = radii_clip.astype(dtype)
     px, py, pixel_radius, valid = project(
         points, view.astype(dtype), proj.astype(dtype),
         width=width, height=height,

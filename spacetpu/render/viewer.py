@@ -104,6 +104,7 @@ class FrameSource:
         the engine DEVICE_LOCK so it never races the sim thread's queue."""
         from spacetpu.engine import DEVICE_LOCK
 
+        self.engine.check_health()  # surface a dead sim thread immediately
         snapshot = self.engine.exchange.sample()
         self._latest_positions = snapshot
         self.camera.track_focus(snapshot)
