@@ -71,6 +71,24 @@ def test_sharded_step_compensated_f32(mesh8):
     assert np.all(np.isfinite(np.asarray(st.pos)))
 
 
+def test_sharded_pallas_kernel_in_ring(mesh8):
+    """The Pallas force tile composes with shard_map (interpret mode on the
+    CPU mesh; the same program compiles natively on TPU)."""
+    n = 256
+    sharded = ring.ShardedSimulation(
+        mesh8, n, softening="plummer", eps=1e-2, g=1.0, backend="pallas"
+    )
+    single = make_simulation(
+        n, algorithm="direct", backend="xla", softening="plummer", eps=1e-2,
+        g=1.0,
+    )
+    s_sh = sharded.prime(sharded.shard_state(_state(n, dtype=jnp.float32)))
+    s_si = single.prime(_state(n, dtype=jnp.float32))
+    np.testing.assert_allclose(
+        np.asarray(s_sh.acc), np.asarray(s_si.acc), atol=2e-5
+    )
+
+
 def test_mesh_divisibility_check(mesh8):
     with pytest.raises(ValueError, match="divisible"):
         ring.ShardedSimulation(mesh8, 100, backend="xla")
