@@ -36,8 +36,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from spacetpu import constants
 
-# Default tile sizes (tuned on TPU v5e; see bench_kernels.py).
-TILE_I = 256
+# Default tile sizes (tuned on TPU v5e; see bench_kernels.py —
+# 512x2048 measured 1.83e11 pairs/s at N=256k vs 1.80e11 for 256x2048).
+TILE_I = 512
 TILE_J = 2048
 
 
