@@ -122,7 +122,11 @@ def run_sim_loop(
                 snap = np.asarray(state.pos, np.float32)
             exchange.store(snap, tick)
             delta = exchange.delta()
-        elif stop.is_set():
+        # Unlike the reference (which checks its token only when no sample
+        # is pending, event_loop.rs:322-324), the stop token is honoured
+        # unconditionally — a frontend that keeps sampling must not be able
+        # to keep the sim thread alive past stop().
+        if stop.is_set():
             break
         # Give the UI thread a fair shot at DEVICE_LOCK between batches.
         _time.sleep(0)

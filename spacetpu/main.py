@@ -91,6 +91,10 @@ def run_headless(cfg: RunConfig, scene: Scene):
     chunk = max(1, min(cfg.steps, 100))
     while done < cfg.steps:
         todo = min(chunk, cfg.steps - done)
+        if cfg.checkpoint_every:
+            # stop exactly at the next checkpoint boundary
+            boundary = ((done // cfg.checkpoint_every) + 1) * cfg.checkpoint_every
+            todo = min(todo, boundary - done)
         state = sim.run(state, cfg.dt, todo)
         done += todo
         if cfg.checkpoint_every and done % cfg.checkpoint_every == 0:

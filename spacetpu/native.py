@@ -78,7 +78,6 @@ def acc_direct(pos, mass, *, g, eps, softening="ref") -> np.ndarray:
     pos, p = _as_c(pos)
     mass, m = _as_c(mass)
     out = np.zeros_like(pos)
-    _, o = _as_c(out)
     out_c = out.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
     lib().nbody_acc_direct(p, m, len(mass), g, eps, SOFTENING[softening], out_c)
     return out

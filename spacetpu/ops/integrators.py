@@ -29,15 +29,19 @@ INTEGRATORS = ("euler", "leapfrog")
 
 
 def _comp_add(x, c, dx):
-    """Kahan/Neumaier compensated x += dx. Returns (x, c) with c the running
-    compensation. With c=None this is a plain add (fast path)."""
+    """Neumaier-compensated x += dx. Returns (x, c) with c the running
+    compensation carried into the next increment. With c=None this is a
+    plain add (fast path).
+
+    Neumaier (not classic Kahan): the branchless |x| vs |y| select captures
+    the rounding error in both regimes, including |dx| > |x| (a body
+    crossing the origin, or first kicks from rest)."""
     if c is None:
         return x + dx, None
-    # Neumaier variant: works regardless of |x| vs |dx| ordering.
-    y = dx - c
+    y = dx + c
     t = x + y
-    c_new = (t - x) - y
-    return t, c_new
+    err = jnp.where(jnp.abs(x) >= jnp.abs(y), (x - t) + y, (y - t) + x)
+    return t, err
 
 
 def step_euler(state: State, dt, acc_fn: AccFn) -> State:

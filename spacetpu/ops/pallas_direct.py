@@ -69,9 +69,12 @@ def _kernel(cols_ref, rows_ref, out_ref, *, softening: str, eps: float):
             # rsqrt(0) = inf -> 0*inf = NaN on the diagonal; mask it out.
             w = jnp.where(d2 > 0.0, w, 0.0)
     elif softening == "ref":
-        # Reference law (sim/mod.rs:25): denom = r^3 + eps, always > 0.
+        # Reference law (sim/mod.rs:25): denom = r^3 + eps.
         denom = r2 * jnp.sqrt(r2) + eps
         w = gmj / denom
+        if eps == 0.0:
+            # denom is 0 on the diagonal when unsoftened -> inf*0 = NaN.
+            w = jnp.where(denom > 0.0, w, 0.0)
     else:
         raise ValueError(f"unknown softening {softening!r}")
 
@@ -117,12 +120,11 @@ def _kernel_mxu(cols_ref, rows_ref, aux_ref, jcols_ref, out_ref, *, eps: float):
     sqj = aux_ref[0:1, :]  # (1, TJ)  |xj|^2
     gmj = aux_ref[1:2, :]  # (1, TJ)  g * m_j
     d2 = (sqi + eps * eps) + (sqj - 2.0 * p)
-    # Cancellation can drive d2 slightly negative for coincident pairs.
+    # Cancellation can drive d2 below the softening floor for coincident
+    # pairs; clamp it back (the wrapper enforces eps > 0).
     d2 = jnp.maximum(d2, eps * eps)
     inv = jax.lax.rsqrt(d2)
     w = gmj * (inv * inv * inv)
-    if eps == 0.0:
-        w = jnp.where(d2 > 0.0, w, 0.0)
     acc8 = jnp.dot(
         w, jcols_ref[:, :],
         preferred_element_type=jnp.float32,
@@ -270,6 +272,11 @@ def acc_cross_pallas(
     if method == "mxu":
         if softening != "plummer":
             raise ValueError("method='mxu' supports softening='plummer' only")
+        if float(eps) <= 0.0:
+            # The expanded-form d2 on the diagonal is cancellation noise
+            # (|x|^2 ulps), not exactly 0, so the in-kernel guard cannot
+            # detect self-pairs; a real softening floor is required.
+            raise ValueError("method='mxu' requires eps > 0")
         cols, rows, aux, jcols = _pack(
             pos_i, pos_j, mass_j, g, tile_i, tile_j, mxu=True
         )

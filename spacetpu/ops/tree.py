@@ -57,18 +57,31 @@ def default_k_near(theta: float, n_groups: int) -> int:
 
 
 def _group_stats(pos_g, mass_g):
-    """COM, total mass, radius per cluster. pos_g: (G, LEAF, 3)."""
+    """Per-cluster COM, total mass, and two radii. pos_g: (G, LEAF, 3).
+
+    Pure-massless clusters (fixed_shell tracers) get the geometric centroid
+    as their "COM" so near-list distances stay meaningful — without this,
+    their COM collapses to the world origin and massless *targets* lose
+    their near corrections entirely.
+
+    r_src bounds only force-exerting (massive) bodies: it drives the
+    source-side opening error. r_tgt bounds ALL bodies: any body, massless
+    included, is a force target whose distance to a source can undershoot
+    the COM distance by up to r_tgt.
+    """
     m_tot = jnp.sum(mass_g, axis=1)  # (G,)
-    com = jnp.sum(pos_g * mass_g[..., None], axis=1) / jnp.maximum(
+    com_mass = jnp.sum(pos_g * mass_g[..., None], axis=1) / jnp.maximum(
         m_tot, 1e-30
     )[..., None]
+    centroid = jnp.mean(pos_g, axis=1)
+    com = jnp.where(m_tot[..., None] > 0, com_mass, centroid)
     d = jnp.linalg.norm(pos_g - com[:, None, :], axis=-1)
-    # radius over force-exerting bodies only (massless ones never matter)
-    radius = jnp.max(jnp.where(mass_g > 0, d, 0.0), axis=1)
-    return com, m_tot, radius
+    r_src = jnp.max(jnp.where(mass_g > 0, d, 0.0), axis=1)
+    r_tgt = jnp.max(d, axis=1)
+    return com, m_tot, r_src, r_tgt
 
 
-def _near_lists(com, m_tot, radius, theta: float, k_near: int):
+def _near_lists(com, m_tot, r_src, r_tgt, theta: float, k_near: int):
     """(G, K) indices of the nearest clusters failing the opening test.
 
     Invalid slots point to the null cluster (index G) whose bodies are all
@@ -77,7 +90,7 @@ def _near_lists(com, m_tot, radius, theta: float, k_near: int):
     g = com.shape[0]
     rel = com[:, None, :] - com[None, :, :]
     dist = jnp.linalg.norm(rel, axis=-1)  # (G, G) target x source
-    near = radius[None, :] >= theta * (dist - radius[:, None])
+    near = r_src[None, :] >= theta * (dist - r_tgt[:, None])
     near = jnp.logical_and(near, m_tot[None, :] > 0)
     masked = jnp.where(near, dist, jnp.inf)
     neg_d, idx = jax.lax.top_k(-masked, k_near)  # k smallest distances
@@ -255,16 +268,21 @@ def acc_tree(
 
     # Phase 1: sort + cluster.
     perm, inv = morton.morton_order(pos)
+    pos_sorted = pos[perm]
+    # zero-mass padding parked at the last body's position (not the origin,
+    # which would corrupt the last cluster's centroid/target radius)
     pos_s = jnp.concatenate(
-        [pos[perm], jnp.zeros((n_pad - n, 3), dtype)], axis=0
+        [pos_sorted,
+         jnp.broadcast_to(pos_sorted[-1], (n_pad - n, 3)).astype(dtype)],
+        axis=0,
     )
     mass_s = jnp.concatenate(
         [mass[perm], jnp.zeros((n_pad - n,), dtype)], axis=0
     )
     pos_g = pos_s.reshape(gg, LEAF, 3)
     mass_g = mass_s.reshape(gg, LEAF)
-    com, m_tot, radius = _group_stats(pos_g, mass_g)
-    idx = _near_lists(com, m_tot, radius, theta, k_near)
+    com, m_tot, r_src, r_tgt = _group_stats(pos_g, mass_g)
+    idx = _near_lists(com, m_tot, r_src, r_tgt, theta, k_near)
 
     # Phase 2: dense far field — all bodies vs all cluster monopoles.
     if backend == "pallas":

@@ -55,15 +55,17 @@ def _ring_acc(pos_i, mass_i, *, axis: str, tile_acc: Callable):
     n_dev = jax.lax.axis_size(axis)
     perm = [(d, (d + 1) % n_dev) for d in range(n_dev)]
 
-    def body(_, carry):
-        acc, pos_j, mass_j = carry
-        acc = acc + tile_acc(pos_i, pos_j, mass_j)
-        pos_j = jax.lax.ppermute(pos_j, axis, perm)
-        mass_j = jax.lax.ppermute(mass_j, axis, perm)
-        return acc, pos_j, mass_j
-
+    # Statically unrolled: n_dev is a compile-time mesh constant, unrolling
+    # lets XLA overlap each tile's compute with the next hop's ppermute, and
+    # the final (wasted) rotation of a fori-loop formulation disappears —
+    # exactly D-1 hops per force pass.
     acc = jnp.zeros_like(pos_i)
-    acc, _, _ = jax.lax.fori_loop(0, n_dev, body, (acc, pos_i, mass_i))
+    pos_j, mass_j = pos_i, mass_i
+    for d in range(n_dev):
+        acc = acc + tile_acc(pos_i, pos_j, mass_j)
+        if d < n_dev - 1:
+            pos_j = jax.lax.ppermute(pos_j, axis, perm)
+            mass_j = jax.lax.ppermute(mass_j, axis, perm)
     return acc
 
 

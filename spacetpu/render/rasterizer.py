@@ -201,6 +201,12 @@ def render_scene(trail_history, trail_ages, colors, radii_world, view, proj, *,
         fade_sorted[None, :-1] * (1.0 - frac[:, None])
         + fade_sorted[None, 1:] * frac[:, None]
     )  # (S, T-1)
+    # Mask segments with an invalid (never-written) endpoint: interpolating
+    # into a zeroed history slot would draw a phantom streak toward the
+    # world origin on the first frames after start / trail clear.
+    ages_sorted = trail_ages[order]
+    pair_valid = (ages_sorted[:-1] <= 1.0) & (ages_sorted[1:] <= 1.0)
+    interp_fade = interp_fade * pair_valid[None, :].astype(dtype)
     trail_pts = interp.reshape(-1, 3)
     trail_w = jnp.broadcast_to(
         interp_fade[..., None], interp.shape[:-1]

@@ -231,7 +231,7 @@ class TerminalViewer:
         while i < len(buf):
             matched = False
             for seq, attr in self.KEYMAP.items():
-                if buf.startswith(seq, i) and (len(seq) > 1 or True):
+                if buf.startswith(seq, i):
                     setattr(k, attr, True)
                     i += len(seq)
                     matched = True

@@ -49,6 +49,29 @@ def test_pallas_cross():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=1e-6)
 
 
+def test_pallas_ref_softening_zero_eps_finite():
+    """Regression: 'ref' softening with eps=0 must not NaN on the diagonal
+    (denom = r^3 + 0 = 0 for self-pairs)."""
+    pos, mass = _bodies(64, seed=5)
+    want = direct.acc_direct(pos, mass, softening="ref", eps=0.0, g=1.0)
+    got = pallas_direct.acc_direct_pallas(
+        pos, mass, softening="ref", eps=0.0, g=1.0,
+        tile_i=64, tile_j=128, interpret=True,
+    )
+    assert np.all(np.isfinite(np.asarray(got)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5,
+                               atol=1e-6)
+
+
+def test_mxu_requires_positive_eps():
+    pos, mass = _bodies(64, seed=6)
+    with pytest.raises(ValueError, match="eps > 0"):
+        pallas_direct.acc_direct_pallas(
+            pos, mass, softening="plummer", eps=0.0, method="mxu",
+            interpret=True,
+        )
+
+
 def test_pallas_zero_eps_diagonal_guard():
     # eps=0 plummer: the diagonal would be 0 * inf = NaN without the guard.
     pos, mass = _bodies(64, seed=4)

@@ -97,6 +97,32 @@ def test_tree_massless_bodies():
     np.testing.assert_allclose(got, exact, atol=2e-2 * scale)
 
 
+def test_tree_massless_clusters_offset_system():
+    """Regression: a system far from the origin with entire clusters of
+    massless tracers. Pure-massless clusters must keep geometrically
+    meaningful centroids (not collapse to the origin), so massless targets
+    still get near-field corrections."""
+    rng = np.random.default_rng(8)
+    center = np.array([50.0, 50.0, 50.0])
+    massive = center + rng.uniform(-0.5, 0.5, (300, 3))
+    tracers = center + rng.normal(size=(2000, 3)) * 1.2
+    pos = jnp.asarray(np.concatenate([massive, tracers]), jnp.float64)
+    mass = jnp.asarray(
+        np.concatenate([np.full(300, 1.0 / 300), np.zeros(2000)]), jnp.float64
+    )
+    exact = np.asarray(
+        direct.acc_direct(pos, mass, softening="plummer", eps=1e-2, g=1.0)
+    )
+    got = np.asarray(
+        tree.acc_tree(pos, mass, theta=0.3, softening="plummer", eps=1e-2,
+                      g=1.0, backend="xla")
+    )
+    scale = np.linalg.norm(exact[300:], axis=-1).mean()
+    err = np.linalg.norm(got[300:] - exact[300:], axis=-1) / scale
+    assert np.median(err) < 2e-3, np.median(err)
+    assert np.percentile(err, 99) < 5e-2, np.percentile(err, 99)
+
+
 def test_tree_all_massless():
     """No massive bodies at all: zero forces (the empty-tree early-out,
     barnes_hut/mod.rs:19-21)."""
