@@ -240,6 +240,95 @@ def _near_correction_xla(pos_g, aug_pos, aug_gm, idx, *, softening, eps):
     return jax.lax.map(one_group, (pos_g, idx))
 
 
+def tree_prep(pos, mass, *, theta: float, k_near: int, gg: int):
+    """Phase 1: Morton sort, clustering, statistics, near lists.
+
+    Deterministic given (pos, mass) — in the sharded tree every device runs
+    this redundantly on the gathered arrays and gets identical results.
+    Returns a dict of sorted/packed arrays plus perm/inv."""
+    n = pos.shape[0]
+    dtype = pos.dtype
+    n_pad = gg * LEAF
+    perm, inv = morton.morton_order(pos)
+    pos_sorted = pos[perm]
+    # zero-mass padding parked at the last body's position (not the origin,
+    # which would corrupt the last cluster's centroid/target radius)
+    pos_s = jnp.concatenate(
+        [pos_sorted,
+         jnp.broadcast_to(pos_sorted[-1], (n_pad - n, 3)).astype(dtype)],
+        axis=0,
+    )
+    mass_s = jnp.concatenate(
+        [mass[perm], jnp.zeros((n_pad - n,), dtype)], axis=0
+    )
+    pos_g = pos_s.reshape(gg, LEAF, 3)
+    mass_g = mass_s.reshape(gg, LEAF)
+    com, m_tot, r_src, r_tgt = _group_stats(pos_g, mass_g)
+    idx = _near_lists(com, m_tot, r_src, r_tgt, theta, k_near)
+    return dict(
+        pos_s=pos_s, mass_s=mass_s, pos_g=pos_g, mass_g=mass_g,
+        com=com, m_tot=m_tot, idx=idx, perm=perm, inv=inv,
+    )
+
+
+def tree_eval(prep: dict, c0: int, n_clusters: int, *, softening: str,
+              eps, g, backend: str, interpret):
+    """Phases 2+3 for target clusters [c0, c0 + n_clusters): far-field
+    monopoles plus near correction, returning the sorted-order acceleration
+    block of shape (n_clusters * LEAF, 3). c0/n_clusters are static."""
+    dtype = prep["pos_s"].dtype
+    gg = prep["pos_g"].shape[0]
+    pos_g = jax.lax.dynamic_slice_in_dim(prep["pos_g"], c0, n_clusters, 0)
+    mass_g = jax.lax.dynamic_slice_in_dim(prep["mass_g"], c0, n_clusters, 0)
+    idx = jax.lax.dynamic_slice_in_dim(prep["idx"], c0, n_clusters, 0)
+    targets = pos_g.reshape(n_clusters * LEAF, 3)
+
+    # Phase 2: dense far field — target bodies vs ALL cluster monopoles.
+    if backend == "pallas":
+        from spacetpu.ops import pallas_direct
+
+        acc = pallas_direct.acc_cross_pallas(
+            targets, prep["com"], prep["m_tot"],
+            softening=softening, eps=eps, g=g, interpret=interpret,
+        )
+    else:
+        acc = direct.acc_cross(
+            targets, prep["com"], prep["m_tot"],
+            softening=softening, eps=eps, g=g,
+        )
+
+    # Phase 3: near-field correction (direct minus monopole per near pair).
+    g_arr = jnp.asarray(g, dtype)
+    if backend == "pallas":
+        if idx.shape[1] % 8 != 0:  # pad near lists with the null cluster
+            pad = 8 - idx.shape[1] % 8
+            idx = jnp.concatenate(
+                [idx, jnp.full((n_clusters, pad), gg, jnp.int32)], axis=1
+            )
+        tcols = _pack_targets(pos_g)
+        # sources cover ALL clusters (near lists point anywhere)
+        srows = _pack_augmented(
+            prep["pos_g"], prep["mass_g"], prep["com"], prep["m_tot"], g_arr
+        )
+        corr = _near_correction_pallas(
+            tcols, srows, idx,
+            softening=softening, eps=float(eps),
+            interpret=bool(interpret) if interpret is not None
+            else jax.devices()[0].platform != "tpu",
+        )
+    else:
+        aug_pos = jnp.concatenate(
+            [prep["pos_g"], prep["com"][:, None, :]], axis=1
+        )
+        aug_gm = jnp.concatenate(
+            [prep["mass_g"] * g_arr, -prep["m_tot"][:, None] * g_arr], axis=1
+        )
+        corr = _near_correction_xla(
+            pos_g, aug_pos, aug_gm, idx, softening=softening, eps=eps
+        )
+    return acc + corr.reshape(n_clusters * LEAF, 3)
+
+
 def acc_tree(
     pos,
     mass,
@@ -260,69 +349,13 @@ def acc_tree(
     if g is None:
         g = constants.G
     n = pos.shape[0]
-    dtype = pos.dtype
     gg = max(1, math.ceil(n / LEAF))
-    n_pad = gg * LEAF
     if k_near is None:
         k_near = default_k_near(theta, gg)
 
-    # Phase 1: sort + cluster.
-    perm, inv = morton.morton_order(pos)
-    pos_sorted = pos[perm]
-    # zero-mass padding parked at the last body's position (not the origin,
-    # which would corrupt the last cluster's centroid/target radius)
-    pos_s = jnp.concatenate(
-        [pos_sorted,
-         jnp.broadcast_to(pos_sorted[-1], (n_pad - n, 3)).astype(dtype)],
-        axis=0,
-    )
-    mass_s = jnp.concatenate(
-        [mass[perm], jnp.zeros((n_pad - n,), dtype)], axis=0
-    )
-    pos_g = pos_s.reshape(gg, LEAF, 3)
-    mass_g = mass_s.reshape(gg, LEAF)
-    com, m_tot, r_src, r_tgt = _group_stats(pos_g, mass_g)
-    idx = _near_lists(com, m_tot, r_src, r_tgt, theta, k_near)
-
-    # Phase 2: dense far field — all bodies vs all cluster monopoles.
-    if backend == "pallas":
-        from spacetpu.ops import pallas_direct
-
-        acc = pallas_direct.acc_cross_pallas(
-            pos_s, com, m_tot, softening=softening, eps=eps, g=g,
-            interpret=interpret,
-        )
-    else:
-        acc = direct.acc_cross(
-            pos_s, com, m_tot, softening=softening, eps=eps, g=g
-        )
-
-    # Phase 3: near-field correction (direct minus monopole per near pair).
-    if backend == "pallas":
-        if idx.shape[1] % 8 != 0:  # pad near lists with the null cluster
-            pad = 8 - idx.shape[1] % 8
-            idx = jnp.concatenate(
-                [idx, jnp.full((gg, pad), gg, jnp.int32)], axis=1
-            )
-        tcols = _pack_targets(pos_g)
-        srows = _pack_augmented(pos_g, mass_g, com, m_tot, jnp.asarray(g, dtype))
-        corr = _near_correction_pallas(
-            tcols, srows, idx,
-            softening=softening, eps=float(eps),
-            interpret=bool(interpret) if interpret is not None
-            else jax.devices()[0].platform != "tpu",
-        )
-    else:
-        aug_pos = jnp.concatenate([pos_g, com[:, None, :]], axis=1)
-        aug_gm = jnp.concatenate(
-            [mass_g * jnp.asarray(g, dtype), -m_tot[:, None] * jnp.asarray(g, dtype)],
-            axis=1,
-        )
-        corr = _near_correction_xla(
-            pos_g, aug_pos, aug_gm, idx, softening=softening, eps=eps
-        )
-    acc = acc + corr.reshape(n_pad, 3)
-
+    prep = tree_prep(pos, mass, theta=theta, k_near=k_near, gg=gg)
+    acc = tree_eval(prep, 0, gg, softening=softening, eps=eps, g=g,
+                    backend=backend, interpret=interpret)
     # Unsort back to the caller's body order (gather via the inverse
     # permutation — gathers are far cheaper than scatters on TPU).
-    return jnp.take(acc[:n], inv, axis=0)
+    return jnp.take(acc[:n], prep["inv"], axis=0)

@@ -11,12 +11,14 @@ re-derives the same picture as dense array ops that XLA compiles well:
    infinite-far projection — the same two-stage multiply the reference's
    vertex shader does "for stability when zoomed in"
    (shaders/src/lib.rs:52-58);
-2. bilinearly scatter-add each point's weighted color into one of a few
-   *radius-bucketed* single-pixel canvases (scatter of M points, not M
-   splat-areas);
-3. convolve each canvas with a precomputed radial-falloff kernel whose
-   profile matches circle_fs's (1 - (d/r)^2)^2 falloff
-   (shaders/src/lib.rs:137-142) and sum.
+2. scatter each point's weighted color into one of a few *radius-bucketed*
+   single-pixel canvases — ONE batched scatter for all points and buckets,
+   because TPU scatter cost scales with total entry count (bodies get 4
+   bilinear corner entries for anti-aliasing; trail points one nearest
+   entry);
+3. convolve each bucket canvas with a separable falloff kernel whose
+   profile follows circle_fs's (1 - d^2)^2 (shaders/src/lib.rs:137-142)
+   and sum.
 
 Splatting a delta then convolving turns per-splat pixel loops into a few
 dense convolutions — the shape of compute TPUs are built for. Blending is
@@ -31,7 +33,9 @@ e * r clamped below by MIN_CIRCLE_SIZE *before* the perspective divide
 
 from __future__ import annotations
 
+import dataclasses
 import functools
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -39,30 +43,55 @@ import numpy as np
 
 from spacetpu.constants import MIN_CIRCLE_SIZE
 
-#: splat radius buckets in pixels (kernel k covers radius PX[k])
+#: splat radius buckets in pixels (bucket k's kernel covers _BUCKET_RADII[k])
 _BUCKET_RADII = (1.0, 2.0, 4.0, 8.0)
 
 
-def _falloff_kernel(radius_px: float) -> np.ndarray:
-    """(1 - (d/r)^2)^2 radial falloff on a (2r+1)^2 grid (circle_fs)."""
+def _falloff_kernel_1d(radius_px: float) -> np.ndarray:
+    """1-D profile (1 - (t/r)^2)^2; the 2-D splat is the separable product
+    f(x) f(y), matching circle_fs's (1 - d^2)^2 falloff along the axes.
+    Separability turns each bucket's 2-D convolution into two 1-D passes
+    (K + K MACs/pixel instead of K^2); the difference from the true radial
+    profile is a slight squareness of the outer glow, invisible in
+    practice."""
     r = int(np.ceil(radius_px))
-    y, x = np.mgrid[-r : r + 1, -r : r + 1]
-    d2 = (x * x + y * y) / (radius_px * radius_px)
-    k = np.clip(1.0 - d2, 0.0, 1.0) ** 2
-    return k.astype(np.float32)
+    t = np.arange(-r, r + 1) / radius_px
+    return (np.clip(1.0 - t * t, 0.0, 1.0) ** 2).astype(np.float32)
 
 
-_KERNELS = tuple(_falloff_kernel(r) for r in _BUCKET_RADII)
+_KERNELS_1D = tuple(_falloff_kernel_1d(r) for r in _BUCKET_RADII)
+
+
+@dataclasses.dataclass
+class PointGroup:
+    """A batch of world-space points sharing render options.
+
+    points (M, 3); colors (M, 3); weights (M,) brightness; radii_clip (M,)
+    clip-space sizes (e * world_radius). fixed_pixel_radius: where > 0,
+    overrides the perspective pixel radius (hairline trails). antialias:
+    bilinear 4-corner splat (4 scatter entries/point) vs nearest (1)."""
+
+    points: jax.Array
+    colors: jax.Array
+    weights: jax.Array
+    radii_clip: jax.Array
+    fixed_pixel_radius: jax.Array | None = None
+    antialias: bool = True
+
+
+jax.tree_util.register_dataclass(
+    PointGroup,
+    data_fields=["points", "colors", "weights", "radii_clip",
+                 "fixed_pixel_radius"],
+    meta_fields=["antialias"],
+)
 
 
 def project(points, view, proj, *, width: int, height: int, min_clip_size,
             radii_clip):
     """Project world-space points to pixel coordinates.
 
-    Returns (px, py, pixel_radius, valid). radii_clip are pre-projection
-    clip-space sizes (e * world_radius, computed by the caller from the
-    projection's [0,0] entry, mirroring circle_vs's
-    |P*(r,0,0,1)|.xy trick)."""
+    Returns (px, py, pixel_radius, valid)."""
     ones = jnp.ones(points.shape[:-1] + (1,), points.dtype)
     hom = jnp.concatenate([points, ones], axis=-1)  # (..., 4)
     v = hom @ view.T
@@ -86,85 +115,113 @@ def project(points, view, proj, *, width: int, height: int, min_clip_size,
     return px, py, pixel_radius, on_screen
 
 
-def _scatter_bilinear(canvas, px, py, rgb, valid, width, height):
-    """Add each point's rgb into its 4 neighbouring pixels (anti-aliased
-    single-pixel splat). canvas: (H, W, 3)."""
-    x0 = jnp.floor(px)
-    y0 = jnp.floor(py)
-    fx = px - x0
-    fy = py - y0
-    x0 = x0.astype(jnp.int32)
-    y0 = y0.astype(jnp.int32)
-    for dx, dy, wgt in (
-        (0, 0, (1 - fx) * (1 - fy)),
-        (1, 0, fx * (1 - fy)),
-        (0, 1, (1 - fx) * fy),
-        (1, 1, fx * fy),
-    ):
-        xi = x0 + dx
-        yi = y0 + dy
-        ok = valid & (xi >= 0) & (xi < width) & (yi >= 0) & (yi < height)
-        xi = jnp.where(ok, xi, 0)
-        yi = jnp.where(ok, yi, 0)
-        contrib = rgb * (wgt * ok.astype(rgb.dtype))[..., None]
-        canvas = canvas.at[yi, xi].add(contrib, mode="drop")
-    return canvas
-
-
-@functools.partial(jax.jit, static_argnames=("width", "height"))
-def splat(points, colors, weights, radii_clip, view, proj, *,
-          width: int, height: int, min_clip_size=MIN_CIRCLE_SIZE,
-          fixed_pixel_radius=None):
-    """Rasterize M points into an (H, W, 3) float framebuffer.
-
-    points (M, 3) world space; colors (M, 3); weights (M,) brightness
-    multipliers (trail fade); radii_clip (M,) clip-space sizes.
-    fixed_pixel_radius: optional (M,) — where > 0 it overrides the
-    perspective pixel radius (trail strokes stay hairline at any zoom).
-    """
-    dtype = points.dtype
-    colors = colors.astype(dtype)
-    weights = weights.astype(dtype)
-    radii_clip = radii_clip.astype(dtype)
-    px, py, pixel_radius, valid = project(
-        points, view.astype(dtype), proj.astype(dtype),
-        width=width, height=height,
-        min_clip_size=jnp.asarray(min_clip_size, dtype),
-        radii_clip=radii_clip,
-    )
-    if fixed_pixel_radius is not None:
-        pixel_radius = jnp.where(
-            fixed_pixel_radius > 0, fixed_pixel_radius, pixel_radius
-        )
-    rgb = colors * weights[..., None]
-    radii_arr = jnp.asarray(_BUCKET_RADII, dtype)
-    # nearest bucket index for each point's pixel radius (clamped to max)
-    bucket = jnp.argmin(
+def _bucket_of(pixel_radius):
+    radii_arr = jnp.asarray(_BUCKET_RADII, pixel_radius.dtype)
+    return jnp.argmin(
         jnp.abs(jnp.log(jnp.maximum(pixel_radius, 1e-3))[..., None]
                 - jnp.log(radii_arr)[None, :]),
         axis=-1,
+    ).astype(jnp.int32)
+
+
+def _group_entries(g: PointGroup, view, proj, *, width, height,
+                   min_clip_size, dtype):
+    """Scatter entries (b, y, x, rgb) for one group."""
+    px, py, pixel_radius, valid = project(
+        g.points, view, proj, width=width, height=height,
+        min_clip_size=min_clip_size, radii_clip=g.radii_clip.astype(dtype),
     )
-    frame = jnp.zeros((height, width, 3), dtype)
-    for b, kern in enumerate(_KERNELS):
-        canvas = jnp.zeros((height, width, 3), dtype)
-        canvas = _scatter_bilinear(
-            canvas, px, py, rgb, valid & (bucket == b), width, height
+    if g.fixed_pixel_radius is not None:
+        pixel_radius = jnp.where(
+            g.fixed_pixel_radius > 0, g.fixed_pixel_radius, pixel_radius
         )
-        k = jnp.asarray(kern, dtype)
-        # depthwise conv: channels as batch
-        img = canvas.transpose(2, 0, 1)[:, None]  # (3, 1, H, W)
-        out = jax.lax.conv_general_dilated(
-            img, k[None, None], (1, 1), "SAME",
+    bucket = _bucket_of(pixel_radius)
+    rgb = g.colors.astype(dtype) * g.weights.astype(dtype)[..., None]
+
+    bs, ys, xs, cs = [], [], [], []
+
+    def emit(xi, yi, w):
+        ok = valid & (xi >= 0) & (xi < width) & (yi >= 0) & (yi < height)
+        bs.append(jnp.where(ok, bucket, 0))
+        ys.append(jnp.where(ok, yi, 0))
+        xs.append(jnp.where(ok, xi, 0))
+        cs.append(rgb * (w * ok.astype(dtype))[..., None])
+
+    if g.antialias:
+        x0 = jnp.floor(px - 0.5)
+        y0 = jnp.floor(py - 0.5)
+        fx = px - 0.5 - x0
+        fy = py - 0.5 - y0
+        x0 = x0.astype(jnp.int32)
+        y0 = y0.astype(jnp.int32)
+        emit(x0, y0, (1 - fx) * (1 - fy))
+        emit(x0 + 1, y0, fx * (1 - fy))
+        emit(x0, y0 + 1, (1 - fx) * fy)
+        emit(x0 + 1, y0 + 1, fx * fy)
+    else:
+        emit(jnp.round(px - 0.5).astype(jnp.int32),
+             jnp.round(py - 0.5).astype(jnp.int32),
+             jnp.ones_like(px))
+    return bs, ys, xs, cs
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def splat_groups(groups: Sequence[PointGroup], view, proj, *,
+                 width: int, height: int, min_clip_size=MIN_CIRCLE_SIZE):
+    """Rasterize point groups into an (H, W, 3) float framebuffer."""
+    dtype = groups[0].points.dtype
+    view = view.astype(dtype)
+    proj = proj.astype(dtype)
+    min_clip = jnp.asarray(min_clip_size, dtype)
+
+    bs, ys, xs, cs = [], [], [], []
+    for g in groups:
+        b, y, x, c = _group_entries(
+            g, view, proj, width=width, height=height,
+            min_clip_size=min_clip, dtype=dtype,
+        )
+        bs += b
+        ys += y
+        xs += x
+        cs += c
+
+    canvases = jnp.zeros((len(_BUCKET_RADII), height, width, 3), dtype)
+    canvases = canvases.at[
+        jnp.concatenate(bs), jnp.concatenate(ys), jnp.concatenate(xs)
+    ].add(jnp.concatenate(cs, axis=0), mode="drop")
+
+    frame = jnp.zeros((height, width, 3), dtype)
+    for b, k1d in enumerate(_KERNELS_1D):
+        k = jnp.asarray(k1d, dtype)
+        img = canvases[b].transpose(2, 0, 1)[:, None]  # (3, 1, H, W)
+        img = jax.lax.conv_general_dilated(
+            img, k[None, None, :, None], (1, 1), "SAME",
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
         )
-        frame = frame + out[:, 0].transpose(1, 2, 0)
+        img = jax.lax.conv_general_dilated(
+            img, k[None, None, None, :], (1, 1), "SAME",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
+        frame = frame + img[:, 0].transpose(1, 2, 0)
     return jnp.clip(frame, 0.0, 1.0)
+
+
+def splat(points, colors, weights, radii_clip, view, proj, *,
+          width: int, height: int, min_clip_size=MIN_CIRCLE_SIZE,
+          fixed_pixel_radius=None):
+    """Single-group convenience wrapper around splat_groups."""
+    return splat_groups(
+        [PointGroup(points, colors, weights, radii_clip,
+                    fixed_pixel_radius=fixed_pixel_radius)],
+        view, proj, width=width, height=height, min_clip_size=min_clip_size,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "trail_subdiv"))
 def render_scene(trail_history, trail_ages, colors, radii_world, view, proj, *,
                  width: int, height: int, origin_shift=None,
-                 min_clip_size=MIN_CIRCLE_SIZE, trail_subdiv: int = 2):
+                 min_clip_size=MIN_CIRCLE_SIZE, trail_subdiv: int = 2,
+                 exposure=1.0):
     """Render bodies + fading trails from a trail ring buffer.
 
     trail_history: (T, N, 3) snapshots; trail_ages: (T,) in [0, 1] with >1
@@ -173,7 +230,9 @@ def render_scene(trail_history, trail_ages, colors, radii_world, view, proj, *,
     everything first — the relative-position render mode of line_vs
     (shaders/src/lib.rs:50-56). trail_subdiv: extra interpolated points per
     trail segment so short trails read as strokes, standing in for the
-    reference's LineStrip topology.
+    reference's LineStrip topology. exposure: global brightness multiplier
+    (additive blending saturates for dense clouds; viewers scale it down
+    with N).
     """
     dtype = trail_history.dtype
     t, n, _ = trail_history.shape
@@ -207,6 +266,7 @@ def render_scene(trail_history, trail_ages, colors, radii_world, view, proj, *,
     ages_sorted = trail_ages[order]
     pair_valid = (ages_sorted[:-1] <= 1.0) & (ages_sorted[1:] <= 1.0)
     interp_fade = interp_fade * pair_valid[None, :].astype(dtype)
+
     trail_pts = interp.reshape(-1, 3)
     trail_w = jnp.broadcast_to(
         interp_fade[..., None], interp.shape[:-1]
@@ -214,26 +274,26 @@ def render_scene(trail_history, trail_ages, colors, radii_world, view, proj, *,
     trail_cols = jnp.broadcast_to(
         colors[None, None], interp.shape[:-1] + (3,)
     ).reshape(-1, 3)
-    trail_radii = jnp.zeros_like(trail_w)
 
-    # --- body points: full brightness, projected radius from circle_vs ---
-    body_radii = e * radii_world.astype(dtype)
-
-    points = jnp.concatenate([trail_pts, bodies], axis=0)
-    cols = jnp.concatenate([trail_cols, colors.astype(dtype)], axis=0)
-    wgts = jnp.concatenate(
-        [trail_w, jnp.ones((n,), dtype)], axis=0
+    exposure = jnp.asarray(exposure, dtype)
+    trails_group = PointGroup(
+        points=trail_pts,
+        colors=trail_cols.astype(dtype),
+        weights=trail_w * exposure,
+        radii_clip=jnp.zeros_like(trail_w),
+        fixed_pixel_radius=jnp.ones_like(trail_w),  # hairline at any zoom
+        antialias=False,
     )
-    radii = jnp.concatenate([trail_radii, body_radii], axis=0)
-    # trails render as hairline (1 px) strokes regardless of zoom; bodies
-    # use the perspective size (with the MIN_CIRCLE_SIZE clip-space floor)
-    fixed_px = jnp.concatenate(
-        [jnp.full_like(trail_w, 1.0), jnp.zeros((n,), dtype)], axis=0
+    bodies_group = PointGroup(
+        points=bodies,
+        colors=colors.astype(dtype),
+        weights=jnp.full((n,), 1.0, dtype) * exposure,
+        radii_clip=e * radii_world.astype(dtype),
+        antialias=True,
     )
-    return splat(
-        points, cols, wgts, radii, view, proj,
+    return splat_groups(
+        [trails_group, bodies_group], view, proj,
         width=width, height=height, min_clip_size=min_clip_size,
-        fixed_pixel_radius=fixed_px,
     )
 
 

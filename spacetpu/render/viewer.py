@@ -125,6 +125,8 @@ class FrameSource:
                 width=self.width,
                 height=self.height,
                 origin_shift=shift,
+                # keep dense clouds from saturating to white
+                exposure=min(1.0, 5000.0 / max(self.scene.n, 1)),
             )
             return rasterizer.to_u8(fb)
 
