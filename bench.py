@@ -47,10 +47,7 @@ def main():
         chunk=None if on_tpu else 1024,
     )
 
-    def sync(x):
-        # Materialize on host: a true barrier even on backends whose
-        # block_until_ready is effectively async (remote-dispatch plugins).
-        return float(jnp.sum(x))
+    from spacetpu.utils.profiling import sync
 
     log(f"bench: platform={platform} backend={backend} N={n} steps={steps}")
     state = sim.prime(state)

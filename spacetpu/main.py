@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from spacetpu import constants
 from spacetpu.engine import SimEngine, make_engine_for
+from spacetpu.io import checkpoint
 from spacetpu.models import presets
 from spacetpu.sim import make_simulation
 from spacetpu.state import Scene
@@ -44,8 +45,6 @@ def build_engine(cfg: RunConfig, scene: Scene) -> SimEngine:
     dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
     state = scene.state(dtype=dtype, compensated=cfg.compensated)
     if cfg.restore:
-        from spacetpu.io import checkpoint
-
         state, _, _ = checkpoint.load(cfg.restore, dtype=dtype)
     if cfg.algorithm == "auto":
         return make_engine_for(
@@ -71,8 +70,6 @@ def run_headless(cfg: RunConfig, scene: Scene):
     dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
     state = scene.state(dtype=dtype, compensated=cfg.compensated)
     if cfg.restore:
-        from spacetpu.io import checkpoint
-
         state, _, _ = checkpoint.load(cfg.restore, dtype=dtype)
     sim = make_simulation(
         state.n, algorithm=cfg.algorithm, backend=cfg.backend,
@@ -98,8 +95,6 @@ def run_headless(cfg: RunConfig, scene: Scene):
         state = sim.run(state, cfg.dt, todo)
         done += todo
         if cfg.checkpoint_every and done % cfg.checkpoint_every == 0:
-            from spacetpu.io import checkpoint
-
             checkpoint.save(f"{cfg.checkpoint or 'state'}_{done}.npz", state,
                             scene=scene)
     e1 = float(energy.total_energy(state.pos, state.vel, state.mass,
@@ -115,8 +110,6 @@ def run_headless(cfg: RunConfig, scene: Scene):
     print(f"simulated: {compute_elapsed_time(cfg.steps, cfg.dt)}")
     print(f"relative energy drift: {(e1 - e0) / abs(e0):.3e}")
     if cfg.checkpoint:
-        from spacetpu.io import checkpoint
-
         checkpoint.save(cfg.checkpoint, state, scene=scene,
                         extra={"steps": cfg.steps, "dt": cfg.dt})
         print(f"checkpoint written to {cfg.checkpoint}")
@@ -144,8 +137,6 @@ def main(argv=None):
         else:
             TerminalViewer(source).run(max_frames=cfg.frames)
     if cfg.checkpoint and engine.final_state is not None:
-        from spacetpu.io import checkpoint
-
         checkpoint.save(cfg.checkpoint, engine.final_state, scene=scene)
         print(f"checkpoint written to {cfg.checkpoint}")
     print("Task completed")

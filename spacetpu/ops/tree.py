@@ -125,43 +125,6 @@ def _pack_targets(pos_g):
     return tg.reshape(gg * BLOCK, 8)
 
 
-def _near_kernel(tcols_ref, srows_ref, out_ref, *, softening, eps):
-    """One (target cluster, source strip tile) block: direct forces from
-    the gathered augmented sources (which embed their own -M monopoles)."""
-    xi = tcols_ref[:, 0:1]
-    yi = tcols_ref[:, 1:2]
-    zi = tcols_ref[:, 2:3]
-    xj = srows_ref[0:1, :]
-    yj = srows_ref[1:2, :]
-    zj = srows_ref[2:3, :]
-    gmj = srows_ref[3:4, :]
-
-    dx = xj - xi
-    dy = yj - yi
-    dz = zj - zi
-    r2 = dx * dx + dy * dy + dz * dz
-    if softening == "plummer":
-        d2 = r2 + eps * eps
-        inv = jax.lax.rsqrt(d2)
-        w = gmj * (inv * inv * inv)
-        w = jnp.where(d2 > 0.0, w, 0.0)
-    else:  # "ref"
-        denom = r2 * jnp.sqrt(r2) + eps
-        w = jnp.where(denom > 0.0, gmj / denom, 0.0)
-
-    ax = jnp.sum(w * dx, axis=1, keepdims=True)
-    ay = jnp.sum(w * dy, axis=1, keepdims=True)
-    az = jnp.sum(w * dz, axis=1, keepdims=True)
-    zero = jnp.zeros_like(ax)
-    tile = jnp.concatenate([ax, ay, az, zero, zero, zero, zero, zero], axis=1)
-
-    @pl.when(pl.program_id(1) == 0)
-    def _():
-        out_ref[:, :] = jnp.zeros_like(out_ref)
-
-    out_ref[:, :] += tile
-
-
 #: lane width of the near-correction source tiles; K*BLOCK is padded to a
 #: multiple of this so each target cluster's gathered sources tile evenly.
 NEAR_TILE_J = 2048
@@ -178,10 +141,12 @@ def _near_correction_pallas(tcols, srows, idx, *, softening, eps, interpret):
     2.3x off the all-pairs kernel's pair rate at N=1M). Instead, gather
     every cluster's K near-clusters into one contiguous source strip with a
     single XLA gather (sequential HBM traffic, a few ms), then sweep it
-    with the same wide (BLOCK x NEAR_TILE_J) tiling the all-pairs kernel
-    uses. idx: (G, K) with invalid slots pointing at the all-zero null
-    cluster.
+    with the all-pairs kernel itself (`pallas_direct._kernel` — identical
+    interaction math, sources here merely embed their -M monopoles) at wide
+    (BLOCK x NEAR_TILE_J) tiles. idx: (G, K) with invalid slots pointing at
+    the all-zero null cluster.
     """
+    from spacetpu.ops.pallas_direct import _kernel as _near_kernel
     gg = tcols.shape[0] // BLOCK
     k_near = idx.shape[1]
     strip = k_near * BLOCK  # source columns per target cluster
@@ -271,11 +236,14 @@ def tree_prep(pos, mass, *, theta: float, k_near: int, gg: int):
     )
 
 
-def tree_eval(prep: dict, c0: int, n_clusters: int, *, softening: str,
+def tree_eval(prep: dict, c0, n_clusters: int, *, softening: str,
               eps, g, backend: str, interpret):
     """Phases 2+3 for target clusters [c0, c0 + n_clusters): far-field
     monopoles plus near correction, returning the sorted-order acceleration
-    block of shape (n_clusters * LEAF, 3). c0/n_clusters are static."""
+    block of shape (n_clusters * LEAF, 3). n_clusters is static; c0 may be
+    traced (the sharded tree slices per-device blocks)."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
     dtype = prep["pos_s"].dtype
     gg = prep["pos_g"].shape[0]
     pos_g = jax.lax.dynamic_slice_in_dim(prep["pos_g"], c0, n_clusters, 0)
@@ -312,9 +280,7 @@ def tree_eval(prep: dict, c0: int, n_clusters: int, *, softening: str,
         )
         corr = _near_correction_pallas(
             tcols, srows, idx,
-            softening=softening, eps=float(eps),
-            interpret=bool(interpret) if interpret is not None
-            else jax.devices()[0].platform != "tpu",
+            softening=softening, eps=float(eps), interpret=bool(interpret),
         )
     else:
         aug_pos = jnp.concatenate(

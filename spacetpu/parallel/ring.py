@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 from typing import Callable
 
 import jax
@@ -91,10 +92,8 @@ def _tree_acc_sharded(pos_l, mass_l, *, axis: str, n: int, theta: float,
     pos = jax.lax.all_gather(pos_l, axis, tiled=True)  # (N, 3)
     mass = jax.lax.all_gather(mass_l, axis, tiled=True)
 
-    import math as _math
-
-    gg_raw = max(1, _math.ceil(n / tree_ops.LEAF))
-    gp = _math.ceil(gg_raw / n_dev)  # target clusters per device
+    gg_raw = max(1, math.ceil(n / tree_ops.LEAF))
+    gp = math.ceil(gg_raw / n_dev)  # target clusters per device
     gg = gp * n_dev
     if k_near is None:
         k_near = tree_ops.default_k_near(theta, gg)

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from spacetpu import constants
-from spacetpu.engine import SimEngine
+from spacetpu.engine import DEVICE_LOCK, SimEngine
 from spacetpu.render import rasterizer, trails
 from spacetpu.render.camera import Camera
 from spacetpu.state import Scene
@@ -89,8 +89,6 @@ class FrameSource:
         cam.cycle_focus(self.scene.n, prev=k.f, nxt=k.g, clear=k.h,
                         toggle_relative=k.j)
         if k.space:
-            from spacetpu.engine import DEVICE_LOCK
-
             with DEVICE_LOCK:
                 self.trails = trails.clear(self.trails)
         if k.l:
@@ -102,8 +100,6 @@ class FrameSource:
         """One UI tick: sample -> trails -> camera -> render (ui.rs:117-142).
         Returns a host (H, W, 3) uint8 frame; all device work happens under
         the engine DEVICE_LOCK so it never races the sim thread's queue."""
-        from spacetpu.engine import DEVICE_LOCK
-
         self.engine.check_health()  # surface a dead sim thread immediately
         snapshot = self.engine.exchange.sample()
         self._latest_positions = snapshot

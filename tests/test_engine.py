@@ -3,6 +3,8 @@
 import threading
 import time
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -117,6 +119,59 @@ def test_checkpoint_dtype_override(tmp_path):
     checkpoint.save(path, state)
     loaded, _, _ = checkpoint.load(path, dtype=np.float64)
     assert loaded.pos.dtype == jnp.float64
+
+
+def test_frame_source_renders_and_applies_keys():
+    """FrameSource: exchange sample -> trails -> render; key handling
+    reaches camera/engine (the per-frame sequence of ui.rs:75-162)."""
+    from spacetpu.render.viewer import FrameSource, KeyState
+
+    sim, state, scene = _sim_and_state(32)
+    eng = SimEngine(sim, state, delta=1e-3)
+    src = FrameSource(eng, scene, width=64, height=48)
+    with eng:
+        f1 = src.frame()
+        assert f1.shape == (48, 64, 3) and f1.dtype == np.uint8
+        d0 = np.linalg.norm(src.camera.eye - src.camera.target)
+        src.apply_keys(KeyState(plus=True))  # zoom in: 10% of distance
+        d1 = np.linalg.norm(src.camera.eye - src.camera.target)
+        assert d1 == pytest.approx(d0 * 0.9)
+        dt0 = eng.exchange.delta()
+        src.apply_keys(KeyState(l=True))  # dt *= 0.9 (ui.rs:128-133)
+        assert eng.exchange.delta() == pytest.approx(dt0 * 0.9)
+        src.apply_keys(KeyState(g=True))  # focus body 0
+        assert src.camera.focus == 0
+        f2 = src.frame()
+        assert np.isfinite(f2).all()
+    lines = src.info_lines()
+    assert any("Current time" in l for l in lines)
+    assert any("Focused object" in l for l in lines)
+
+
+def test_engine_surfaces_sim_thread_failure():
+    """check_health re-raises a sim-thread exception in the caller."""
+    sim, state, _ = _sim_and_state(16)
+
+    class Boom:  # duck-typed Simulation whose step always raises
+        def __init__(self, inner):
+            self.config = inner.config
+            self.prime = inner.prime
+            self.run = inner.run
+
+            def bad_step(s, dt):
+                raise RuntimeError("kaboom")
+
+            self.step = bad_step
+
+    eng = SimEngine(Boom(sim), state, delta=1e-3)
+    eng.start()
+    deadline = time.time() + 10
+    while eng.error is None and time.time() < deadline:
+        time.sleep(0.01)
+    assert eng.error is not None
+    with pytest.raises(RuntimeError, match="simulation thread failed"):
+        eng.check_health()
+    eng.stop()
 
 
 def test_cli_config_parsing():
