@@ -318,10 +318,29 @@ def plummer_sphere(n: int, *, seed: int = 0, a: float = 1.0) -> Scene:
     )
 
 
+def earth_sun_mars_big_boy() -> Scene:
+    """Inner system plus the massive intruder — the commented-out scenario
+    of main.rs:63-64 promoted to a first-class preset."""
+    base = earth_sun_mars()
+    bb = big_boy_on_collision_course()
+    return Scene(
+        names=base.names + [bb.name],
+        colors=np.concatenate(
+            [base.colors, np.asarray([bb.color], np.float32)]
+        ),
+        radii=np.concatenate([base.radii, [bb.radius]]).astype(np.float32),
+        pos=np.concatenate([base.pos, [list(bb.pos)]]),
+        vel=np.concatenate([base.vel, [list(bb.vel)]]),
+        mass=np.concatenate([base.mass, [bb.mass]]),
+        g=base.g,
+    )
+
+
 PRESETS = {
     "earth_sun_basic": earth_sun_basic,
     "earth_sun_mars": earth_sun_mars,
     "earth_sun_mars_ast": earth_sun_mars_ast,
+    "earth_sun_mars_big_boy": earth_sun_mars_big_boy,
     "fixed_cloud": fixed_cloud,
     "fixed_shell": fixed_shell,
     "random_cluster": random_cluster,
