@@ -52,9 +52,78 @@ def morton_keys(pos, lo=None, hi=None):
     return (x | (y << 1) | (z << 2)).astype(jnp.uint32)
 
 
-def morton_order(pos):
-    """Permutation that sorts bodies in Z-order, and its inverse."""
-    keys = morton_keys(pos)
+def _quantize(pos, lo, hi):
+    if lo is None:
+        lo = jnp.min(pos, axis=0)
+    if hi is None:
+        hi = jnp.max(pos, axis=0)
+    extent = jnp.maximum(hi - lo, 1e-30)
+    cells = jnp.float32(1 << BITS)
+    return jnp.clip(
+        ((pos - lo) / extent * cells).astype(jnp.int32), 0, (1 << BITS) - 1
+    ).astype(jnp.uint32)
+
+
+def hilbert_keys(pos, lo=None, hi=None):
+    """Hilbert-curve keys via Skilling's AxesToTranspose transform.
+
+    Z-order (Morton) runs produce elongated, overlapping clusters — measured
+    median cluster radius ~2x the ideal sphere-packing radius on uniform
+    balls, which inflates tree opening distances and near-list sizes. The
+    Hilbert curve has no long jumps, giving much rounder clusters for the
+    same O(N log N) sort. The transform is 10 static iterations of
+    vectorized bit ops; the final key is the same bit interleave as Morton
+    applied to the transposed axes.
+    """
+    q = _quantize(pos, lo, hi)
+    x = [q[:, 0], q[:, 1], q[:, 2]]
+
+    # Inverse undo excess work (Skilling 2004, AxesToTranspose). Static
+    # Python loop over bit planes -> pure vector ops under jit.
+    q_py = 1 << (BITS - 1)
+    while q_py > 1:
+        qbit = jnp.uint32(q_py)
+        p = jnp.uint32(q_py - 1)
+        for i in range(3):
+            cond = (x[i] & qbit) > 0
+            # if bit set: invert low bits of x[0]; else swap low bits x[0]<->x[i]
+            t = (x[0] ^ x[i]) & p
+            x0_if = x[0] ^ p
+            x0_else = x[0] ^ t
+            xi_else = x[i] ^ t
+            x[0] = jnp.where(cond, x0_if, x0_else)
+            if i != 0:
+                x[i] = jnp.where(cond, x[i], xi_else)
+        q_py >>= 1
+
+    # Gray encode.
+    for i in range(1, 3):
+        x[i] = x[i] ^ x[i - 1]
+    t = jnp.zeros_like(x[0])
+    q_py = 1 << (BITS - 1)
+    while q_py > 1:
+        qbit = jnp.uint32(q_py)
+        t = jnp.where((x[2] & qbit) > 0, t ^ jnp.uint32(q_py - 1), t)
+        q_py >>= 1
+    for i in range(3):
+        x[i] = x[i] ^ t
+
+    # Transpose -> single key: interleave with x[0] carrying the most
+    # significant bit of each 3-bit digit.
+    return (
+        (_spread_bits_10(x[0]) << 2)
+        | (_spread_bits_10(x[1]) << 1)
+        | _spread_bits_10(x[2])
+    )
+
+
+def morton_order(pos, *, curve: str = "hilbert"):
+    """Permutation that sorts bodies along a space-filling curve, and its
+    inverse. curve: "hilbert" (default; tighter clusters) or "morton"."""
+    if curve == "hilbert":
+        keys = hilbert_keys(pos)
+    else:
+        keys = morton_keys(pos)
     perm = jnp.argsort(keys)
     inv = jnp.argsort(perm)
     return perm, inv

@@ -91,6 +91,134 @@ def _kernel(cols_ref, rows_ref, out_ref, *, softening: str, eps: float):
     out_ref[:, :] += tile
 
 
+def _kernel_quad(cols_ref, rows_ref, out_ref, *, eps: float):
+    """Monopole + quadrupole source evaluation (plummer softening).
+
+    Sources are cluster summaries packed as (16, TJ) rows:
+      0-2: COM x,y,z   3: g*M   4-9: g*Q (traceless quadrupole
+      Qxx,Qyy,Qzz,Qxy,Qxz,Qyz about the COM).
+    With rel = COM - target, d2 = |rel|^2 + eps^2:
+      a += gM * rel * d2^-3/2
+         - (gQ rel) * d2^-5/2 + 2.5 * (rel.gQ.rel) * rel * d2^-7/2
+    """
+    xi = cols_ref[:, 0:1]
+    yi = cols_ref[:, 1:2]
+    zi = cols_ref[:, 2:3]
+    xj = rows_ref[0:1, :]
+    yj = rows_ref[1:2, :]
+    zj = rows_ref[2:3, :]
+    gm = rows_ref[3:4, :]
+    qxx = rows_ref[4:5, :]
+    qyy = rows_ref[5:6, :]
+    qzz = rows_ref[6:7, :]
+    qxy = rows_ref[7:8, :]
+    qxz = rows_ref[8:9, :]
+    qyz = rows_ref[9:10, :]
+
+    dx = xj - xi
+    dy = yj - yi
+    dz = zj - zi
+    d2 = dx * dx + dy * dy + dz * dz + eps * eps
+    inv = jax.lax.rsqrt(jnp.maximum(d2, 1e-30))
+    inv2 = inv * inv
+    inv3 = inv2 * inv
+    inv5 = inv3 * inv2
+    inv7 = inv5 * inv2
+
+    qr_x = qxx * dx + qxy * dy + qxz * dz
+    qr_y = qxy * dx + qyy * dy + qyz * dz
+    qr_z = qxz * dx + qyz * dy + qzz * dz
+    s = dx * qr_x + dy * qr_y + dz * qr_z
+
+    wm = gm * inv3
+    t = 2.5 * s * inv7
+    ax = jnp.sum(wm * dx - qr_x * inv5 + t * dx, axis=1, keepdims=True)
+    ay = jnp.sum(wm * dy - qr_y * inv5 + t * dy, axis=1, keepdims=True)
+    az = jnp.sum(wm * dz - qr_z * inv5 + t * dz, axis=1, keepdims=True)
+    zero = jnp.zeros_like(ax)
+    tile = jnp.concatenate([ax, ay, az, zero, zero, zero, zero, zero], axis=1)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    out_ref[:, :] += tile
+
+
+@functools.partial(
+    jax.jit, static_argnames=("eps", "tile_i", "tile_j", "interpret")
+)
+def _acc_quad_packed(cols, rows, *, eps, tile_i, tile_j, interpret):
+    n_i = cols.shape[0]
+    n_j = rows.shape[1]
+    grid = (n_i // tile_i, n_j // tile_j)
+    out = pl.pallas_call(
+        functools.partial(_kernel_quad, eps=float(eps)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_i, 8), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, tile_j), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_i, 8), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_i, 8), cols.dtype),
+        interpret=interpret,
+    )(cols, rows)
+    return out[:, :3]
+
+
+def acc_cross_quad(pos_i, summaries, *, eps, tile_i: int = 256,
+                   tile_j: int = 1024, interpret: bool | None = None):
+    """Targets vs multipole summaries. summaries: (16, S) rows as described
+    in `_kernel_quad` (g pre-folded into gm and gQ). -> (M, 3).
+
+    Default tiles are smaller than the monopole kernel's: the quadrupole
+    pipeline keeps ~3x more live (TI, TJ) temporaries in VMEM."""
+    if interpret is None:
+        interpret = _default_interpret()
+    n_i = pos_i.shape[0]
+    n_j = summaries.shape[1]
+    dtype = pos_i.dtype
+    n_i_pad = _round_up(max(n_i, tile_i), tile_i)
+    n_j_pad = _round_up(max(n_j, tile_j), tile_j)
+    cols = jnp.zeros((n_i_pad, 8), dtype)
+    cols = cols.at[:n_i, :3].set(pos_i)
+    rows = jnp.zeros((16, n_j_pad), dtype)
+    rows = rows.at[:, :n_j].set(summaries)
+    acc = _acc_quad_packed(
+        cols, rows, eps=float(eps), tile_i=tile_i, tile_j=tile_j,
+        interpret=interpret,
+    )
+    return acc[:n_i]
+
+
+def acc_cross_quad_xla(pos_i, summaries, *, eps):
+    """XLA reference path for the multipole evaluation (CPU/tests)."""
+    dtype = pos_i.dtype
+    com = summaries[:3].T  # (S, 3)
+    gm = summaries[3]
+    q = summaries[4:10]  # (6, S): xx yy zz xy xz yz
+    rel = com[None, :, :] - pos_i[:, None, :]  # (M, S, 3)
+    d2 = jnp.sum(rel * rel, axis=-1) + jnp.asarray(eps, dtype) ** 2
+    inv = jax.lax.rsqrt(jnp.maximum(d2, 1e-30))
+    inv3 = inv * inv * inv
+    inv5 = inv3 * inv * inv
+    inv7 = inv5 * inv * inv
+    dx, dy, dz = rel[..., 0], rel[..., 1], rel[..., 2]
+    qr_x = q[0] * dx + q[3] * dy + q[4] * dz
+    qr_y = q[3] * dx + q[1] * dy + q[5] * dz
+    qr_z = q[4] * dx + q[5] * dy + q[2] * dz
+    s = dx * qr_x + dy * qr_y + dz * qr_z
+    t = 2.5 * s * inv7
+    wm = gm * inv3
+    ax = jnp.sum(wm * dx - qr_x * inv5 + t * dx, axis=1)
+    ay = jnp.sum(wm * dy - qr_y * inv5 + t * dy, axis=1)
+    az = jnp.sum(wm * dz - qr_z * inv5 + t * dz, axis=1)
+    return jnp.stack([ax, ay, az], axis=-1)
+
+
 def _kernel_mxu(cols_ref, rows_ref, aux_ref, jcols_ref, out_ref, *, eps: float):
     """MXU-assisted interaction block (plummer softening only).
 

@@ -49,9 +49,13 @@ BLOCK = LEAF + 1
 
 def default_k_near(theta: float, n_groups: int) -> int:
     """Static near-list cap: clusters within d <= r*(1 + 1/theta) of each
-    other are near; for roughly uniform data that is ~(1 + 1/theta)^3
-    clusters, padded by 50% + 8 for clumping."""
-    k = int(1.5 * (1.0 + 1.0 / theta) ** 3) + 8
+    other are near. Hilbert-ordered clusters of a uniform cloud have radius
+    ~1.7x the ideal sphere-packing radius (measured), so the geometric
+    (1 + 1/theta)^3 estimate needs a ~2.5x factor to cover the measured
+    near counts (overflowed clusters silently degrade to far-field
+    accuracy, which dominated the force error before this was sized
+    correctly)."""
+    k = int(2.5 * (1.0 + 1.0 / theta) ** 3) + 16
     return max(2, min(n_groups, k))
     # (the pallas near path pads the list to a multiple of 8 null slots)
 
@@ -98,21 +102,48 @@ def _near_lists(com, m_tot, r_src, r_tgt, theta: float, k_near: int):
     return jnp.where(valid, idx, g).astype(jnp.int32)
 
 
-def _pack_augmented(pos_g, mass_g, com, m_tot, g_const):
+def _pack_augmented(pos_g, mass_g, com, m_tot, g_const, *,
+                    monopole_pseudo: bool = True):
     """Source operand (8, (G+1)*BLOCK): per cluster LEAF bodies followed by
-    the -M pseudo-body at the COM; a trailing all-zero null cluster."""
+    a pseudo-body slot at the COM carrying -M (so a direct pass computes
+    direct-minus-monopole in one sweep), plus a trailing all-zero null
+    cluster. With monopole_pseudo=False the pseudo slot is massless (the
+    quadrupole path subtracts the full multipole in a separate eval)."""
     gg = pos_g.shape[0]
     dtype = pos_g.dtype
     aug_pos = jnp.concatenate([pos_g, com[:, None, :]], axis=1)  # (G, BLOCK, 3)
-    aug_gm = jnp.concatenate(
-        [mass_g * g_const, -m_tot[:, None] * g_const], axis=1
-    )  # (G, BLOCK)
+    pseudo_gm = (-m_tot[:, None] * g_const if monopole_pseudo
+                 else jnp.zeros((gg, 1), dtype))
+    aug_gm = jnp.concatenate([mass_g * g_const, pseudo_gm], axis=1)
     rows = jnp.zeros((8, (gg + 1) * BLOCK), dtype)
     rows = rows.at[:3, : gg * BLOCK].set(
         aug_pos.reshape(gg * BLOCK, 3).T
     )
     rows = rows.at[3, : gg * BLOCK].set(aug_gm.reshape(gg * BLOCK))
     return rows
+
+
+def _cluster_summaries(pos_g, mass_g, com, m_tot, g_const):
+    """(16, G+1) multipole summaries: COM, g*M and the traceless g*Q
+    quadrupole per cluster (rows per pallas_direct._kernel_quad), plus a
+    null column."""
+    gg = pos_g.shape[0]
+    dtype = pos_g.dtype
+    x = pos_g - com[:, None, :]  # (G, LEAF, 3) COM-centred
+    m = mass_g  # (G, LEAF)
+    r2 = jnp.sum(x * x, axis=-1)
+    qxx = jnp.sum(m * (3 * x[..., 0] * x[..., 0] - r2), axis=1)
+    qyy = jnp.sum(m * (3 * x[..., 1] * x[..., 1] - r2), axis=1)
+    qzz = jnp.sum(m * (3 * x[..., 2] * x[..., 2] - r2), axis=1)
+    qxy = jnp.sum(m * 3 * x[..., 0] * x[..., 1], axis=1)
+    qxz = jnp.sum(m * 3 * x[..., 0] * x[..., 2], axis=1)
+    qyz = jnp.sum(m * 3 * x[..., 1] * x[..., 2], axis=1)
+    s = jnp.zeros((16, gg + 1), dtype)
+    s = s.at[:3, :gg].set(com.T)
+    s = s.at[3, :gg].set(g_const * m_tot)
+    for row, q in zip(range(4, 10), (qxx, qyy, qzz, qxy, qxz, qyz)):
+        s = s.at[row, :gg].set(g_const * q)
+    return s
 
 
 def _pack_targets(pos_g):
@@ -182,6 +213,52 @@ def _near_correction_pallas(tcols, srows, idx, *, softening, eps, interpret):
     return out.reshape(gg, BLOCK, 8)[:, :LEAF, :3]
 
 
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def _near_multipole_sub_pallas(tcols, summaries_neg, idx, *, eps, interpret):
+    """Subtract the far-field multipole of each target cluster's K near
+    clusters (their exact forces are added by the direct correction).
+    summaries_neg: (16, G+1) with gm/gQ negated. Returns (G*LEAF, 3)."""
+    from spacetpu.ops.pallas_direct import _kernel_quad
+
+    gg_t = tcols.shape[0] // BLOCK
+    k = idx.shape[1]
+    k_pad = ((k + 127) // 128) * 128
+    if k_pad != k:
+        null = summaries_neg.shape[1] - 1
+        idx = jnp.concatenate(
+            [idx, jnp.full((gg_t, k_pad - k), null, jnp.int32)], axis=1
+        )
+    gathered = jnp.take(summaries_neg, idx.reshape(-1), axis=1)
+    gathered = gathered.reshape(16, gg_t * k_pad)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_quad, eps=float(eps)),
+        grid=(gg_t, 1),
+        in_specs=[
+            pl.BlockSpec((BLOCK, 8), lambda a, j: (a, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, k_pad), lambda a, j: (0, a),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BLOCK, 8), lambda a, j: (a, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((gg_t * BLOCK, 8), tcols.dtype),
+        interpret=interpret,
+    )(tcols, gathered)
+    return out.reshape(gg_t, BLOCK, 8)[:, :LEAF, :3].reshape(gg_t * LEAF, 3)
+
+
+def _near_multipole_sub_xla(pos_g, summaries_neg, idx, *, eps):
+    from spacetpu.ops.pallas_direct import acc_cross_quad_xla
+
+    def one_group(args):
+        tgt, near_idx = args  # (LEAF, 3), (K,)
+        return acc_cross_quad_xla(tgt, summaries_neg[:, near_idx], eps=eps)
+
+    out = jax.lax.map(one_group, (pos_g, idx))  # (G, LEAF, 3)
+    return out.reshape(-1, 3)
+
+
 def _near_correction_xla(pos_g, aug_pos, aug_gm, idx, *, softening, eps):
     """XLA fallback (CPU tests, virtual meshes): gather the near clusters
     and run the broadcast pair kernel per target cluster via lax.map."""
@@ -237,22 +314,50 @@ def tree_prep(pos, mass, *, theta: float, k_near: int, gg: int):
 
 
 def tree_eval(prep: dict, c0, n_clusters: int, *, softening: str,
-              eps, g, backend: str, interpret):
+              eps, g, backend: str, interpret, multipole_order: int = 1):
     """Phases 2+3 for target clusters [c0, c0 + n_clusters): far-field
-    monopoles plus near correction, returning the sorted-order acceleration
+    multipoles plus near correction, returning the sorted-order acceleration
     block of shape (n_clusters * LEAF, 3). n_clusters is static; c0 may be
-    traced (the sharded tree slices per-device blocks)."""
+    traced (the sharded tree slices per-device blocks).
+
+    multipole_order=1: monopole far field; the near correction embeds a -M
+    pseudo-body per source cluster so direct-minus-monopole is one pass.
+    multipole_order=2: monopole+quadrupole far field (plummer only); the
+    near correction is direct pairs plus a separate negated-multipole
+    evaluation over each cluster's near list (a pseudo-body cannot carry a
+    quadrupole)."""
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
+    if multipole_order not in (1, 2):
+        raise ValueError(f"multipole_order must be 1 or 2, got {multipole_order}")
+    if multipole_order == 2 and softening != "plummer":
+        raise ValueError("multipole_order=2 requires softening='plummer'")
     dtype = prep["pos_s"].dtype
     gg = prep["pos_g"].shape[0]
     pos_g = jax.lax.dynamic_slice_in_dim(prep["pos_g"], c0, n_clusters, 0)
     mass_g = jax.lax.dynamic_slice_in_dim(prep["mass_g"], c0, n_clusters, 0)
     idx = jax.lax.dynamic_slice_in_dim(prep["idx"], c0, n_clusters, 0)
     targets = pos_g.reshape(n_clusters * LEAF, 3)
+    g_arr = jnp.asarray(g, dtype)
 
-    # Phase 2: dense far field — target bodies vs ALL cluster monopoles.
-    if backend == "pallas":
+    if multipole_order == 2:
+        summaries = _cluster_summaries(
+            prep["pos_g"], prep["mass_g"], prep["com"], prep["m_tot"], g_arr
+        )
+
+    # Phase 2: dense far field — target bodies vs ALL cluster multipoles.
+    if multipole_order == 2:
+        from spacetpu.ops import pallas_direct
+
+        if backend == "pallas":
+            acc = pallas_direct.acc_cross_quad(
+                targets, summaries[:, :gg], eps=eps, interpret=interpret,
+            )
+        else:
+            acc = pallas_direct.acc_cross_quad_xla(
+                targets, summaries[:, :gg], eps=eps
+            )
+    elif backend == "pallas":
         from spacetpu.ops import pallas_direct
 
         acc = pallas_direct.acc_cross_pallas(
@@ -265,8 +370,8 @@ def tree_eval(prep: dict, c0, n_clusters: int, *, softening: str,
             softening=softening, eps=eps, g=g,
         )
 
-    # Phase 3: near-field correction (direct minus monopole per near pair).
-    g_arr = jnp.asarray(g, dtype)
+    # Phase 3: near-field correction.
+    monopole_pseudo = multipole_order == 1
     if backend == "pallas":
         if idx.shape[1] % 8 != 0:  # pad near lists with the null cluster
             pad = 8 - idx.shape[1] % 8
@@ -276,23 +381,33 @@ def tree_eval(prep: dict, c0, n_clusters: int, *, softening: str,
         tcols = _pack_targets(pos_g)
         # sources cover ALL clusters (near lists point anywhere)
         srows = _pack_augmented(
-            prep["pos_g"], prep["mass_g"], prep["com"], prep["m_tot"], g_arr
+            prep["pos_g"], prep["mass_g"], prep["com"], prep["m_tot"], g_arr,
+            monopole_pseudo=monopole_pseudo,
         )
         corr = _near_correction_pallas(
             tcols, srows, idx,
             softening=softening, eps=float(eps), interpret=bool(interpret),
-        )
+        ).reshape(n_clusters * LEAF, 3)
+        if multipole_order == 2:
+            corr = corr + _near_multipole_sub_pallas(
+                tcols, summaries.at[3:10].multiply(-1.0), idx,
+                eps=float(eps), interpret=bool(interpret),
+            )
     else:
         aug_pos = jnp.concatenate(
             [prep["pos_g"], prep["com"][:, None, :]], axis=1
         )
-        aug_gm = jnp.concatenate(
-            [prep["mass_g"] * g_arr, -prep["m_tot"][:, None] * g_arr], axis=1
-        )
+        pseudo_gm = (-prep["m_tot"][:, None] * g_arr if monopole_pseudo
+                     else jnp.zeros((gg, 1), dtype))
+        aug_gm = jnp.concatenate([prep["mass_g"] * g_arr, pseudo_gm], axis=1)
         corr = _near_correction_xla(
             pos_g, aug_pos, aug_gm, idx, softening=softening, eps=eps
-        )
-    return acc + corr.reshape(n_clusters * LEAF, 3)
+        ).reshape(n_clusters * LEAF, 3)
+        if multipole_order == 2:
+            corr = corr + _near_multipole_sub_xla(
+                pos_g, summaries.at[3:10].multiply(-1.0), idx, eps=eps
+            )
+    return acc + corr
 
 
 def acc_tree(
@@ -306,6 +421,7 @@ def acc_tree(
     backend: str = "xla",
     k_near: int | None = None,
     interpret: bool | None = None,
+    multipole_order: int = 1,
 ):
     """Clustered Barnes-Hut acceleration: (N, 3), (N,) -> (N, 3)."""
     if softening not in direct.SOFTENINGS:
@@ -321,7 +437,8 @@ def acc_tree(
 
     prep = tree_prep(pos, mass, theta=theta, k_near=k_near, gg=gg)
     acc = tree_eval(prep, 0, gg, softening=softening, eps=eps, g=g,
-                    backend=backend, interpret=interpret)
+                    backend=backend, interpret=interpret,
+                    multipole_order=multipole_order)
     # Unsort back to the caller's body order (gather via the inverse
     # permutation — gathers are far cheaper than scatters on TPU).
     return jnp.take(acc[:n], prep["inv"], axis=0)

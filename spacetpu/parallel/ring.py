@@ -72,7 +72,7 @@ def _ring_acc(pos_i, mass_i, *, axis: str, tile_acc: Callable):
 
 def _tree_acc_sharded(pos_l, mass_l, *, axis: str, n: int, theta: float,
                       k_near: int | None, softening: str, eps, g,
-                      backend: str, interpret):
+                      backend: str, interpret, multipole_order: int = 1):
     """Cluster-parallel tree force inside shard_map.
 
     Strategy (v1, compute-parallel): all_gather the body arrays (at tree
@@ -102,7 +102,7 @@ def _tree_acc_sharded(pos_l, mass_l, *, axis: str, n: int, theta: float,
     c0 = d * gp  # traced start of this device's cluster block
     acc_block = tree_ops.tree_eval(
         prep, c0, gp, softening=softening, eps=eps, g=g, backend=backend,
-        interpret=interpret,
+        interpret=interpret, multipole_order=multipole_order,
     )  # (gp * LEAF, 3)
     acc_sorted = jax.lax.all_gather(acc_block, axis, tiled=True)  # (gg*LEAF,3)
 
@@ -134,6 +134,7 @@ class ShardedSimulation:
     theta: float = constants.BARNES_HUT_THETA
     k_near: int | None = None
     interpret: bool | None = None
+    multipole_order: int = 1  # tree far field: 1 monopole, 2 +quadrupole
 
     def __post_init__(self):
         n_dev = self.mesh.devices.size
@@ -155,6 +156,7 @@ class ShardedSimulation:
                 _tree_acc_sharded, axis=AXIS, n=self.n, theta=self.theta,
                 k_near=self.k_near, softening=self.softening, eps=eps,
                 g=self.g, backend=backend, interpret=self.interpret,
+                multipole_order=self.multipole_order,
             )
         else:
             if backend == "pallas":

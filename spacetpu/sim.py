@@ -54,6 +54,14 @@ class SimConfig:
     g: float = constants.G
     theta: float = constants.BARNES_HUT_THETA
     chunk: int | None = None  # i-chunk for the XLA path (None = dense)
+    # tree far-field order: 1 = monopole, 2 = +quadrupole, "auto" = 2 for
+    # plummer softening (5-10x force accuracy for ~20% cost), 1 for "ref"
+    multipole_order: object = "auto"
+
+    def resolved_multipole_order(self) -> int:
+        if self.multipole_order == "auto":
+            return 2 if self.softening == "plummer" else 1
+        return int(self.multipole_order)
 
     def resolved_algorithm(self) -> str:
         if self.algorithm != "auto":
@@ -137,6 +145,7 @@ def _build_acc_fn(config: SimConfig) -> Callable:
             eps=eps,
             g=config.g,
             backend=backend,
+            multipole_order=config.resolved_multipole_order(),
         )
     raise ValueError(f"unknown algorithm {algo!r}")
 
@@ -152,6 +161,7 @@ def make_simulation(
     g: float = constants.G,
     theta: float = constants.BARNES_HUT_THETA,
     chunk: int | None = None,
+    multipole_order="auto",
 ) -> Simulation:
     return Simulation(
         SimConfig(
@@ -164,6 +174,7 @@ def make_simulation(
             g=g,
             theta=theta,
             chunk=chunk,
+            multipole_order=multipole_order,
         )
     )
 
