@@ -118,6 +118,11 @@ def run_headless(cfg: RunConfig, scene: Scene):
 def main(argv=None):
     cfg = parse_args(argv)
     scene = build_scene(cfg)
+    # device enumeration log: the analogue of the reference's adapter
+    # listing at startup (surface.rs:94-105)
+    devs = jax.devices()
+    print(f"Compute devices: {[str(d) for d in devs]} "
+          f"(platform={devs[0].platform})")
     print(f"Running with {scene.n} objects "
           f"({cfg.preset}, dt={cfg.dt}s, {cfg.frontend})")
 

@@ -161,10 +161,36 @@ def _pack_targets(pos_g):
 NEAR_TILE_J = 2048
 
 
+#: target clusters per gathered-strip chunk: bounds the strip's HBM
+#: footprint to CHUNK * K * BLOCK * 32 B (~2.7 GB at K=128) so N=4M-scale
+#: trees fit alongside their state.
+NEAR_CLUSTER_CHUNK = 4096
+
+
+def _near_correction_pallas(tcols, srows, idx, *, softening, eps, interpret):
+    """Chunked wrapper: see _near_correction_chunk."""
+    gg_t = tcols.shape[0] // BLOCK
+    if gg_t <= NEAR_CLUSTER_CHUNK:
+        return _near_correction_chunk(
+            tcols, srows, idx, softening=softening, eps=eps,
+            interpret=interpret,
+        )
+    outs = []
+    for c0 in range(0, gg_t, NEAR_CLUSTER_CHUNK):
+        c1 = min(c0 + NEAR_CLUSTER_CHUNK, gg_t)
+        outs.append(
+            _near_correction_chunk(
+                tcols[c0 * BLOCK : c1 * BLOCK], srows, idx[c0:c1],
+                softening=softening, eps=eps, interpret=interpret,
+            )
+        )
+    return jnp.concatenate(outs, axis=0)
+
+
 @functools.partial(
     jax.jit, static_argnames=("softening", "eps", "interpret")
 )
-def _near_correction_pallas(tcols, srows, idx, *, softening, eps, interpret):
+def _near_correction_chunk(tcols, srows, idx, *, softening, eps, interpret):
     """Near-field correction with wide tiles.
 
     The naive formulation — one (256-target, 256-source) block per

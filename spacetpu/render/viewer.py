@@ -174,6 +174,9 @@ class OfflineViewer:
             img = Image.fromarray(self.source.frame())
             img.save(os.path.join(self.out_dir, f"frame_{i:05d}.png"))
             images.append(img)
+            if (i + 1) % 60 == 0:
+                # console heartbeat every 60 frames (event_loop.rs:289-295)
+                print(" | ".join(self.source.info_lines()), flush=True)
             if frame_delay_s:
                 time.sleep(frame_delay_s)
         if gif and images:
@@ -238,6 +241,20 @@ class TerminalViewer:
                 i += 1
         return k
 
+    def _fit_to_terminal(self):
+        """Resize the framebuffer to the terminal (the resize handling of
+        event_loop.rs:171-175 / ui.rs:85-88). Half-block rendering gives 2
+        pixel rows per text row; one row is reserved for the info line."""
+        import shutil
+
+        cols, rows = shutil.get_terminal_size()
+        w = max(32, cols)
+        h = max(32, (rows - 2) * 2)
+        if (w, h) != (self.source.width, self.source.height):
+            self.source.width = w
+            self.source.height = h
+            self.source.camera.resize(w, h)
+
     def run(self, max_frames: Optional[int] = None):
         import termios
         import tty
@@ -255,6 +272,8 @@ class TerminalViewer:
             frame_i = 0
             while max_frames is None or frame_i < max_frames:
                 t0 = time.monotonic()
+                if frame_i % 30 == 0:
+                    self._fit_to_terminal()
                 keys = self._read_keys()
                 if keys.quit:
                     break

@@ -31,10 +31,36 @@ def test_morton_keys_locality():
 
 def test_morton_order_is_permutation():
     pos, _ = _cluster(500, seed=1)
-    perm, inv = morton.morton_order(pos)
-    perm = np.asarray(perm)
-    assert sorted(perm.tolist()) == list(range(500))
-    np.testing.assert_array_equal(np.asarray(perm)[np.asarray(inv)], np.arange(500))
+    for curve in ("morton", "hilbert"):
+        perm, inv = morton.morton_order(pos, curve=curve)
+        perm = np.asarray(perm)
+        assert sorted(perm.tolist()) == list(range(500)), curve
+        np.testing.assert_array_equal(
+            np.asarray(perm)[np.asarray(inv)], np.arange(500)
+        )
+
+
+def test_hilbert_locality_beats_morton():
+    """Consecutive bodies along the Hilbert curve are closer on average
+    than along the Z-order curve (the reason it is the default)."""
+    pos, _ = _cluster(5000, seed=11)
+    p = np.asarray(pos)
+
+    def mean_jump(curve):
+        perm, _ = morton.morton_order(pos, curve=curve)
+        q = p[np.asarray(perm)]
+        return np.linalg.norm(np.diff(q, axis=0), axis=-1).mean()
+
+    assert mean_jump("hilbert") < mean_jump("morton")
+
+
+def test_hilbert_keys_deterministic_and_distinct():
+    pos, _ = _cluster(256, seed=12)
+    k1 = np.asarray(morton.hilbert_keys(pos))
+    k2 = np.asarray(morton.hilbert_keys(pos))
+    np.testing.assert_array_equal(k1, k2)
+    # 256 well-separated points in a 2^30 grid: keys should mostly differ
+    assert len(np.unique(k1)) > 250
 
 
 @pytest.mark.parametrize("theta,bound", [(0.3, 2e-3), (0.5, 8e-3), (0.8, 4e-2)])
