@@ -46,16 +46,18 @@ def build_engine(cfg: RunConfig, scene: Scene) -> SimEngine:
     state = scene.state(dtype=dtype, compensated=cfg.compensated)
     if cfg.restore:
         state, _, _ = checkpoint.load(cfg.restore, dtype=dtype)
+    mp = cfg.multipole_order if cfg.multipole_order == "auto" else int(
+        cfg.multipole_order)
     if cfg.algorithm == "auto":
         return make_engine_for(
             state, delta=cfg.dt, theta=cfg.theta, backend=cfg.backend,
             integrator=cfg.integrator, softening=cfg.softening, eps=cfg.eps,
-            g=scene.g,
+            g=scene.g, multipole_order=mp,
         )
     sim = make_simulation(
         state.n, algorithm=cfg.algorithm, backend=cfg.backend,
         integrator=cfg.integrator, softening=cfg.softening, eps=cfg.eps,
-        theta=cfg.theta, g=scene.g,
+        theta=cfg.theta, g=scene.g, multipole_order=mp,
     )
     return SimEngine(sim, state, delta=cfg.dt)
 
@@ -71,10 +73,12 @@ def run_headless(cfg: RunConfig, scene: Scene):
     state = scene.state(dtype=dtype, compensated=cfg.compensated)
     if cfg.restore:
         state, _, _ = checkpoint.load(cfg.restore, dtype=dtype)
+    mp = cfg.multipole_order if cfg.multipole_order == "auto" else int(
+        cfg.multipole_order)
     sim = make_simulation(
         state.n, algorithm=cfg.algorithm, backend=cfg.backend,
         integrator=cfg.integrator, softening=cfg.softening, eps=cfg.eps,
-        theta=cfg.theta, g=scene.g,
+        theta=cfg.theta, g=scene.g, multipole_order=mp,
     )
     state = sim.prime(state)
     eps_diag = cfg.eps if cfg.eps is not None else 0.0
@@ -135,7 +139,8 @@ def main(argv=None):
     )
 
     engine = build_engine(cfg, scene)
-    source = FrameSource(engine, scene, width=cfg.width, height=cfg.height)
+    source = FrameSource(engine, scene, width=cfg.width, height=cfg.height,
+                     auto_frame=cfg.auto_frame)
     with engine:
         if cfg.frontend == "offline":
             OfflineViewer(source, cfg.out_dir).run(cfg.frames, gif=cfg.gif)

@@ -139,6 +139,18 @@ class Camera:
             rot = _axis_angle(self.up, ang)
             self.eye = self.target + rot @ (-look)
 
+    def frame_scene(self, positions: np.ndarray, fill: float = 0.7):
+        """Place the camera so the whole scene is visible (new — the
+        reference starts at eye=(0,0,2) regardless of scene extent,
+        camera.rs:44, leaving e.g. fixed_cloud mostly off-screen)."""
+        center = positions.mean(axis=0)
+        radius = float(np.linalg.norm(positions - center, axis=-1).max())
+        radius = max(radius, 1e-6)
+        dist = radius / (fill * np.tan(self.fovy / 2.0))
+        self.target = center.astype(np.float64)
+        self.eye = self.target + np.array([0.0, 0.0, dist])
+        self.up = np.array([0.0, 1.0, 0.0])
+
     # --- focus cycling (camera.rs:169-205) ---
     def cycle_focus(self, n_objects: int, *, prev=False, nxt=False,
                     clear=False, toggle_relative=False):

@@ -68,12 +68,14 @@ class FrameSource:
     """Pulls snapshots from a SimEngine and renders framebuffers."""
 
     def __init__(self, engine: SimEngine, scene: Scene, *,
-                 width: int = 960, height: int = 540):
+                 width: int = 960, height: int = 540, auto_frame: bool = True):
         self.engine = engine
         self.scene = scene
         self.width = width
         self.height = height
         self.camera = Camera(width, height)
+        if auto_frame:
+            self.camera.frame_scene(scene.pos)
         self.trails = trails.make_trails(scene.n)
         self.colors = jnp.asarray(scene.colors, jnp.float32)
         self.radii = jnp.asarray(scene.radii, jnp.float32)

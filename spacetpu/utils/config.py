@@ -27,7 +27,9 @@ class RunConfig:
     softening: str = "plummer"
     eps: Optional[float] = None
     theta: float = constants.BARNES_HUT_THETA
+    multipole_order: str = "auto"  # 1 | 2 | auto
     dt: float = constants.DELTA
+    auto_frame: bool = True  # frame the camera to the scene at startup
     dtype: str = "float32"
     compensated: bool = True  # Kahan-compensated f32 integration
     frontend: str = "terminal"  # terminal | offline | none
@@ -73,6 +75,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="softening length (default: law-specific)")
     p.add_argument("--theta", type=float, default=d.theta,
                    help="tree opening angle")
+    p.add_argument("--multipole-order", default=d.multipole_order,
+                   choices=["1", "2", "auto"],
+                   help="tree far-field order (2 = +quadrupole)")
+    p.add_argument("--no-auto-frame", dest="auto_frame",
+                   action="store_false", default=d.auto_frame,
+                   help="keep the reference's fixed camera at (0,0,2)")
     p.add_argument("--dt", type=float, default=d.dt,
                    help="timestep seconds (live-tunable with l/o keys)")
     p.add_argument("--dtype", default=d.dtype,
