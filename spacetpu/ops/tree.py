@@ -308,16 +308,13 @@ def _near_correction_xla(pos_g, aug_pos, aug_gm, idx, *, softening, eps):
     return jax.lax.map(one_group, (pos_g, idx))
 
 
-def tree_prep(pos, mass, *, theta: float, k_near: int, gg: int):
-    """Phase 1: Morton sort, clustering, statistics, near lists.
-
-    Deterministic given (pos, mass) — in the sharded tree every device runs
-    this redundantly on the gathered arrays and gets identical results.
-    Returns a dict of sorted/packed arrays plus perm/inv."""
+def tree_sorted_stats(pos, mass, perm, gg: int):
+    """Gather bodies into the (cached or fresh) sorted order and compute
+    cluster statistics from the CURRENT positions. O(N) — cheap enough to
+    run every step even when the sort/near-lists are cached."""
     n = pos.shape[0]
     dtype = pos.dtype
     n_pad = gg * LEAF
-    perm, inv = morton.morton_order(pos)
     pos_sorted = pos[perm]
     # zero-mass padding parked at the last body's position (not the origin,
     # which would corrupt the last cluster's centroid/target radius)
@@ -332,11 +329,39 @@ def tree_prep(pos, mass, *, theta: float, k_near: int, gg: int):
     pos_g = pos_s.reshape(gg, LEAF, 3)
     mass_g = mass_s.reshape(gg, LEAF)
     com, m_tot, r_src, r_tgt = _group_stats(pos_g, mass_g)
-    idx = _near_lists(com, m_tot, r_src, r_tgt, theta, k_near)
     return dict(
         pos_s=pos_s, mass_s=mass_s, pos_g=pos_g, mass_g=mass_g,
-        com=com, m_tot=m_tot, idx=idx, perm=perm, inv=inv,
+        com=com, m_tot=m_tot, r_src=r_src, r_tgt=r_tgt,
     )
+
+
+def tree_structure(pos, mass, *, theta: float, k_near: int, gg: int):
+    """The cacheable part of tree construction: space-filling-curve sort
+    and near lists. Bodies move a tiny fraction of a cluster radius per
+    step, so (perm, inv, idx) stay valid across several steps; stats are
+    always recomputed from current positions (tree_sorted_stats)."""
+    perm, inv = morton.morton_order(pos)
+    stats = tree_sorted_stats(pos, mass, perm, gg)
+    idx = _near_lists(
+        stats["com"], stats["m_tot"], stats["r_src"], stats["r_tgt"],
+        theta, k_near,
+    )
+    return perm, inv, idx
+
+
+def tree_prep(pos, mass, *, theta: float, k_near: int, gg: int):
+    """Phase 1: sort, clustering, statistics, near lists.
+
+    Deterministic given (pos, mass) — in the sharded tree every device runs
+    this redundantly on the gathered arrays and gets identical results.
+    Returns a dict of sorted/packed arrays plus perm/inv/idx."""
+    perm, inv = morton.morton_order(pos)
+    stats = tree_sorted_stats(pos, mass, perm, gg)
+    idx = _near_lists(
+        stats["com"], stats["m_tot"], stats["r_src"], stats["r_tgt"],
+        theta, k_near,
+    )
+    return dict(idx=idx, perm=perm, inv=inv, **stats)
 
 
 def tree_eval(prep: dict, c0, n_clusters: int, *, softening: str,
@@ -468,3 +493,19 @@ def acc_tree(
     # Unsort back to the caller's body order (gather via the inverse
     # permutation — gathers are far cheaper than scatters on TPU).
     return jnp.take(acc[:n], prep["inv"], axis=0)
+
+
+def acc_tree_cached(pos, mass, structure, *, softening: str, eps, g,
+                    backend: str, interpret=None, multipole_order: int = 1):
+    """acc_tree with a cached (perm, inv, idx) structure: statistics are
+    recomputed from the current positions, the sort and near lists are
+    reused (rollouts refresh them every few steps — see
+    Simulation tree_refresh_every)."""
+    perm, inv, idx = structure
+    gg = idx.shape[0]
+    stats = tree_sorted_stats(pos, mass, perm, gg)
+    prep = dict(idx=idx, perm=perm, inv=inv, **stats)
+    acc = tree_eval(prep, 0, gg, softening=softening, eps=eps, g=g,
+                    backend=backend, interpret=interpret,
+                    multipole_order=multipole_order)
+    return jnp.take(acc[: pos.shape[0]], inv, axis=0)

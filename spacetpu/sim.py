@@ -57,6 +57,10 @@ class SimConfig:
     # tree far-field order: 1 = monopole, 2 = +quadrupole, "auto" = 2 for
     # plummer softening (5-10x force accuracy for ~20% cost), 1 for "ref"
     multipole_order: object = "auto"
+    # rollout-only optimization: reuse the tree's sort + near lists for this
+    # many steps inside run() (stats always track current positions).
+    # 1 = rebuild every step (reference parity, barnes_hut/mod.rs:13-14).
+    tree_refresh_every: int = 1
 
     def resolved_multipole_order(self) -> int:
         if self.multipole_order == "auto":
@@ -99,10 +103,57 @@ class Simulation:
         return integrators.prime(state, self.acc_fn)
 
     def _run(self, state: State, dt, steps: int) -> State:
+        r = self.config.tree_refresh_every
+        if r > 1 and self.config.resolved_algorithm() == "tree":
+            return self._run_tree_cached(state, dt, steps)
+
         def body(s, _):
             return self._stepper(s, dt, self.acc_fn), None
 
         state, _ = jax.lax.scan(body, state, None, length=steps)
+        return state
+
+    def _run_tree_cached(self, state: State, dt, steps: int) -> State:
+        """Rollout with the tree's sort + near lists refreshed every
+        tree_refresh_every steps (bodies move a small fraction of a cluster
+        radius per step, so the cached structure stays valid; cluster
+        statistics always track the current positions)."""
+        import functools as _ft
+        import math as _math
+
+        from spacetpu.ops import tree as tree_ops
+
+        cfg = self.config
+        eps = cfg.resolved_eps()
+        backend = cfg.resolved_backend()
+        order = cfg.resolved_multipole_order()
+        gg = max(1, _math.ceil(cfg.n / tree_ops.LEAF))
+        k_near = tree_ops.default_k_near(cfg.theta, gg)
+        r = cfg.tree_refresh_every
+
+        def build(pos, mass):
+            return tree_ops.tree_structure(
+                pos, mass, theta=cfg.theta, k_near=k_near, gg=gg
+            )
+
+        def body(carry, k):
+            s, structure = carry
+            structure = jax.lax.cond(
+                k % r == 0,
+                lambda: build(s.pos, s.mass),
+                lambda: structure,
+            )
+            acc_fn = _ft.partial(
+                tree_ops.acc_tree_cached, structure=structure,
+                softening=cfg.softening, eps=eps, g=cfg.g, backend=backend,
+                multipole_order=order,
+            )
+            return (self._stepper(s, dt, acc_fn), structure), None
+
+        structure0 = build(state.pos, state.mass)
+        (state, _), _ = jax.lax.scan(
+            body, (state, structure0), jnp.arange(steps)
+        )
         return state
 
 
@@ -162,6 +213,7 @@ def make_simulation(
     theta: float = constants.BARNES_HUT_THETA,
     chunk: int | None = None,
     multipole_order="auto",
+    tree_refresh_every: int = 1,
 ) -> Simulation:
     return Simulation(
         SimConfig(
@@ -175,6 +227,7 @@ def make_simulation(
             theta=theta,
             chunk=chunk,
             multipole_order=multipole_order,
+            tree_refresh_every=tree_refresh_every,
         )
     )
 

@@ -174,6 +174,62 @@ def test_engine_surfaces_sim_thread_failure():
     eng.stop()
 
 
+def test_engine_concurrent_consumers_stress():
+    """Race check: the sim thread plus two frontend threads hammering the
+    exchange and renderer concurrently — everything device-touching goes
+    through DEVICE_LOCK, so this must neither deadlock nor corrupt state
+    (the TPU-side analogue of the reference leaning on Rust's ownership,
+    SURVEY.md SS5 'race detection')."""
+    from spacetpu.render.viewer import FrameSource, KeyState
+
+    sim, state, scene = _sim_and_state(48)
+    eng = SimEngine(sim, state, delta=1e-3)
+    src = FrameSource(eng, scene, width=48, height=32)
+    errors = []
+    frames = []
+
+    def consumer(kind):
+        try:
+            for _ in range(15):
+                if kind == "render":
+                    frames.append(src.frame())
+                else:
+                    eng.exchange.sample()
+                    eng.exchange.set_delta(eng.exchange.delta())
+                    src.apply_keys(KeyState(plus=True))
+                time.sleep(0.002)
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    with eng:
+        t1 = threading.Thread(target=consumer, args=("render",))
+        t2 = threading.Thread(target=consumer, args=("keys",))
+        t1.start(); t2.start()
+        t1.join(60); t2.join(60)
+        assert not t1.is_alive() and not t2.is_alive(), "consumer hung"
+    assert not errors, errors
+    assert eng.error is None
+    assert all(np.isfinite(f).all() for f in frames)
+
+
+def test_profiler_trace_writes(tmp_path):
+    """jax.profiler hook produces a trace directory (the pprof-flamegraph
+    analogue, benches/perf.rs parity)."""
+    import os
+
+    from spacetpu.utils.profiling import trace
+
+    sim, state, _ = _sim_and_state(16)
+    state = sim.prime(state)
+    with trace(str(tmp_path)):
+        state = sim.run(state, 1e-3, 3)
+        np.asarray(state.pos)
+    found = []
+    for root, _, files in os.walk(tmp_path):
+        found += [f for f in files if f.endswith((".pb", ".json.gz", ".xplane.pb"))]
+    assert found, "no trace artifacts written"
+
+
 def test_cli_config_parsing():
     from spacetpu.utils.config import parse_args
 

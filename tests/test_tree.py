@@ -182,6 +182,32 @@ def test_tree_simulation_e2e():
     assert abs((e1 - e0) / e0) < 1e-3
 
 
+def test_tree_cached_structure_rollout():
+    """tree_refresh_every > 1 reuses the sort/near lists across steps; a
+    short rollout must track the rebuild-every-step rollout closely (bodies
+    move a tiny fraction of a cluster radius per step)."""
+    from spacetpu import make_simulation
+    from spacetpu.models import presets
+
+    scene = presets.plummer_sphere(1500, seed=13)
+
+    def run(refresh):
+        sim = make_simulation(
+            1500, algorithm="tree", backend="xla", integrator="leapfrog",
+            softening="plummer", eps=1e-2, g=1.0, theta=0.4,
+            tree_refresh_every=refresh,
+        )
+        st = sim.prime(scene.state(dtype=jnp.float64))
+        st = sim.run(st, 1e-3, 24)
+        return np.asarray(st.pos)
+
+    exact = run(1)
+    cached = run(8)
+    # displacement over 24 steps ~ v*dt*24 ~ 0.02; positions must agree to
+    # a small fraction of that
+    np.testing.assert_allclose(cached, exact, atol=2e-4)
+
+
 def test_tree_pallas_interpret_matches_xla():
     pos, mass = _cluster(1200, seed=7, dtype=jnp.float32)
     a = np.asarray(
