@@ -69,3 +69,36 @@ def load(path: str, *, dtype=None):
         if "extra_json" in z:
             extra = json.loads(str(z["extra_json"]))
     return state, scene, extra
+
+
+# --- orbax backend (optional): async, production checkpointing ---
+
+def save_orbax(path: str, state: State, *, extra: Optional[dict] = None):
+    """Checkpoint via orbax (async-capable, sharding-aware). Use for large
+    multi-chip states; npz `save` remains the simple default."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    payload = {f: getattr(state, f) for f in _FIELDS
+               if getattr(state, f) is not None}
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    if extra:
+        with open(str(path).rstrip("/") + ".extra.json", "w") as f:
+            json.dump(extra, f)
+
+
+def load_orbax(path: str) -> State:
+    import os
+
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    payload = ckptr.restore(path)
+    kw = {f: payload.get(f) for f in _FIELDS}
+    extra = None
+    extra_path = str(path).rstrip("/") + ".extra.json"
+    if os.path.exists(extra_path):
+        with open(extra_path) as f:
+            extra = json.load(f)
+    return State(**kw), extra

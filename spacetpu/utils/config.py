@@ -102,11 +102,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace here")
+    p.add_argument("--list-presets", action="store_true",
+                   help="list available scene presets and exit")
     return p
 
 
 def parse_args(argv=None) -> RunConfig:
     ns = build_parser().parse_args(argv)
+    if getattr(ns, "list_presets", False):
+        from spacetpu.models import presets
+
+        raise SystemExit("presets: " + ", ".join(sorted(presets.PRESETS)))
     return RunConfig(**{
         f.name: getattr(ns, f.name) for f in dataclasses.fields(RunConfig)
     })

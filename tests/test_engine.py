@@ -111,6 +111,19 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
 
 
+def test_checkpoint_orbax_roundtrip(tmp_path):
+    from spacetpu.io import checkpoint
+
+    sim, state, _ = _sim_and_state()
+    state = sim.prime(state)
+    path = str(tmp_path / "orbax_ck")
+    checkpoint.save_orbax(path, state, extra={"steps": 3})
+    loaded, extra = checkpoint.load_orbax(path)
+    np.testing.assert_array_equal(np.asarray(loaded.pos), np.asarray(state.pos))
+    np.testing.assert_array_equal(np.asarray(loaded.acc), np.asarray(state.acc))
+    assert extra == {"steps": 3}
+
+
 def test_checkpoint_dtype_override(tmp_path):
     from spacetpu.io import checkpoint
 
