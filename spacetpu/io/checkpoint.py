@@ -88,7 +88,10 @@ def save_orbax(path: str, state: State, *, extra: Optional[dict] = None):
             json.dump(extra, f)
 
 
-def load_orbax(path: str) -> State:
+def load_orbax(path: str) -> "tuple[State, Optional[dict]]":
+    """Restore an orbax checkpoint -> (state, extra). Unlike npz `load`,
+    orbax checkpoints carry no scene metadata (names/colors/radii live in
+    host code; keep them with the run config)."""
     import os
 
     import orbax.checkpoint as ocp

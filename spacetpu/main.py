@@ -46,18 +46,16 @@ def build_engine(cfg: RunConfig, scene: Scene) -> SimEngine:
     state = scene.state(dtype=dtype, compensated=cfg.compensated)
     if cfg.restore:
         state, _, _ = checkpoint.load(cfg.restore, dtype=dtype)
-    mp = cfg.multipole_order if cfg.multipole_order == "auto" else int(
-        cfg.multipole_order)
     if cfg.algorithm == "auto":
         return make_engine_for(
             state, delta=cfg.dt, theta=cfg.theta, backend=cfg.backend,
             integrator=cfg.integrator, softening=cfg.softening, eps=cfg.eps,
-            g=scene.g, multipole_order=mp,
+            g=scene.g, multipole_order=cfg.multipole_order,
         )
     sim = make_simulation(
         state.n, algorithm=cfg.algorithm, backend=cfg.backend,
         integrator=cfg.integrator, softening=cfg.softening, eps=cfg.eps,
-        theta=cfg.theta, g=scene.g, multipole_order=mp,
+        theta=cfg.theta, g=scene.g, multipole_order=cfg.multipole_order,
     )
     return SimEngine(sim, state, delta=cfg.dt)
 
@@ -73,12 +71,10 @@ def run_headless(cfg: RunConfig, scene: Scene):
     state = scene.state(dtype=dtype, compensated=cfg.compensated)
     if cfg.restore:
         state, _, _ = checkpoint.load(cfg.restore, dtype=dtype)
-    mp = cfg.multipole_order if cfg.multipole_order == "auto" else int(
-        cfg.multipole_order)
     sim = make_simulation(
         state.n, algorithm=cfg.algorithm, backend=cfg.backend,
         integrator=cfg.integrator, softening=cfg.softening, eps=cfg.eps,
-        theta=cfg.theta, g=scene.g, multipole_order=mp,
+        theta=cfg.theta, g=scene.g, multipole_order=cfg.multipole_order,
     )
     state = sim.prime(state)
     eps_diag = cfg.eps if cfg.eps is not None else 0.0

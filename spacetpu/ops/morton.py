@@ -37,15 +37,7 @@ def morton_keys(pos, lo=None, hi=None):
     own min/max per axis (the same box the reference scans at
     tree.rs:112-122).
     """
-    if lo is None:
-        lo = jnp.min(pos, axis=0)
-    if hi is None:
-        hi = jnp.max(pos, axis=0)
-    extent = jnp.maximum(hi - lo, 1e-30)
-    cells = jnp.float32(1 << BITS)
-    q = jnp.clip(
-        ((pos - lo) / extent * cells).astype(jnp.int32), 0, (1 << BITS) - 1
-    )
+    q = _quantize(pos, lo, hi)
     x = _spread_bits_10(q[:, 0])
     y = _spread_bits_10(q[:, 1])
     z = _spread_bits_10(q[:, 2])

@@ -335,20 +335,6 @@ def tree_sorted_stats(pos, mass, perm, gg: int):
     )
 
 
-def tree_structure(pos, mass, *, theta: float, k_near: int, gg: int):
-    """The cacheable part of tree construction: space-filling-curve sort
-    and near lists. Bodies move a tiny fraction of a cluster radius per
-    step, so (perm, inv, idx) stay valid across several steps; stats are
-    always recomputed from current positions (tree_sorted_stats)."""
-    perm, inv = morton.morton_order(pos)
-    stats = tree_sorted_stats(pos, mass, perm, gg)
-    idx = _near_lists(
-        stats["com"], stats["m_tot"], stats["r_src"], stats["r_tgt"],
-        theta, k_near,
-    )
-    return perm, inv, idx
-
-
 def tree_prep(pos, mass, *, theta: float, k_near: int, gg: int):
     """Phase 1: sort, clustering, statistics, near lists.
 
@@ -362,6 +348,15 @@ def tree_prep(pos, mass, *, theta: float, k_near: int, gg: int):
         theta, k_near,
     )
     return dict(idx=idx, perm=perm, inv=inv, **stats)
+
+
+def tree_structure(pos, mass, *, theta: float, k_near: int, gg: int):
+    """The cacheable part of tree construction: space-filling-curve sort
+    and near lists. Bodies move a tiny fraction of a cluster radius per
+    step, so (perm, inv, idx) stay valid across several steps; stats are
+    always recomputed from current positions (tree_sorted_stats)."""
+    p = tree_prep(pos, mass, theta=theta, k_near=k_near, gg=gg)
+    return p["perm"], p["inv"], p["idx"]
 
 
 def tree_eval(prep: dict, c0, n_clusters: int, *, softening: str,

@@ -146,7 +146,11 @@ class Camera:
         center = positions.mean(axis=0)
         radius = float(np.linalg.norm(positions - center, axis=-1).max())
         radius = max(radius, 1e-6)
-        dist = radius / (fill * np.tan(self.fovy / 2.0))
+        # The projection scales y by e*aspect (camera.rs convention), so the
+        # vertical half-FOV tangent is tan(fovy/2)/aspect: for aspect > 1
+        # the height is the limiting direction and the distance must grow
+        # with it.
+        dist = radius * max(1.0, self.aspect) / (fill * np.tan(self.fovy / 2.0))
         self.target = center.astype(np.float64)
         self.eye = self.target + np.array([0.0, 0.0, dist])
         self.up = np.array([0.0, 1.0, 0.0])

@@ -27,9 +27,15 @@ class FusedState(NamedTuple):
 
 
 def make_fused_frame(sim: Simulation, *, width: int, height: int,
-                     steps_per_frame: int = 1, trail_subdiv: int = 2):
+                     steps_per_frame: int = 1, trail_subdiv: int = 2,
+                     exposure: float | None = None):
     """Return (init, frame) where frame(fused_state, dt, colors, radii,
-    view, proj) -> (fused_state, framebuffer) runs everything on device."""
+    view, proj) -> (fused_state, framebuffer) runs everything on device.
+
+    exposure defaults to the same N-scaled brightness the interactive
+    viewer uses (min(1, 5000/N)) so dense clouds don't saturate to white."""
+    if exposure is None:
+        exposure = min(1.0, 5000.0 / max(sim.config.n, 1))
 
     def init(state: State, t: int = trails.TRAIL_MAX_LENGTH) -> FusedState:
         state = sim.prime(state)
@@ -56,6 +62,7 @@ def make_fused_frame(sim: Simulation, *, width: int, height: int,
             width=width,
             height=height,
             trail_subdiv=trail_subdiv,
+            exposure=exposure,
         )
         return FusedState(state, tb), fb
 

@@ -138,8 +138,9 @@ class Simulation:
 
         def body(carry, k):
             s, structure = carry
+            # k=0 reuses structure0 (built below); rebuild every r steps after
             structure = jax.lax.cond(
-                k % r == 0,
+                jnp.logical_and(k % r == 0, k > 0),
                 lambda: build(s.pos, s.mass),
                 lambda: structure,
             )

@@ -112,7 +112,8 @@ def parse_args(argv=None) -> RunConfig:
     if getattr(ns, "list_presets", False):
         from spacetpu.models import presets
 
-        raise SystemExit("presets: " + ", ".join(sorted(presets.PRESETS)))
+        print("presets: " + ", ".join(sorted(presets.PRESETS)))
+        raise SystemExit(0)
     return RunConfig(**{
         f.name: getattr(ns, f.name) for f in dataclasses.fields(RunConfig)
     })
