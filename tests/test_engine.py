@@ -243,6 +243,18 @@ def test_profiler_trace_writes(tmp_path):
     assert found, "no trace artifacts written"
 
 
+def test_every_preset_runs_headless():
+    """CLI smoke: every registered preset steps a few ticks end-to-end."""
+    from spacetpu.main import main
+    from spacetpu.models import presets as preset_mod
+
+    for preset in sorted(preset_mod.PRESETS):
+        main([
+            "--preset", preset, "--n", "80", "--frontend", "none",
+            "--steps", "3", "--algorithm", "direct", "--dt", "1.0",
+        ])
+
+
 def test_cli_config_parsing():
     from spacetpu.utils.config import parse_args
 
