@@ -108,7 +108,11 @@ def run_headless(cfg: RunConfig, scene: Scene):
           f"({rate['steps_per_sec']:.2f} steps/s, "
           f"{rate['pairs_per_sec']:.3e} pairs/s)")
     print(f"simulated: {compute_elapsed_time(cfg.steps, cfg.dt)}")
-    print(f"relative energy drift: {(e1 - e0) / abs(e0):.3e}")
+    if e0 != 0.0:
+        print(f"relative energy drift: {(e1 - e0) / abs(e0):.3e}")
+    else:
+        # e.g. fixed_shell: massless tracers + stationary center => E = 0
+        print(f"absolute energy drift: {e1 - e0:.3e} (E0 = 0)")
     if cfg.checkpoint:
         checkpoint.save(cfg.checkpoint, state, scene=scene,
                         extra={"steps": cfg.steps, "dt": cfg.dt})
