@@ -96,10 +96,20 @@ class Simulation:
         self.prime = jax.jit(self._prime, donate_argnums=(0,))
         self.run = jax.jit(self._run, static_argnames=("steps",), donate_argnums=(0,))
 
+    def _check(self, state: State):
+        if state.pos.shape[0] != self.config.n:
+            raise ValueError(
+                f"state has {state.pos.shape[0]} bodies but this Simulation "
+                f"was built for n={self.config.n} (tree clustering and "
+                f"algorithm auto-selection depend on it)"
+            )
+
     def _step(self, state: State, dt) -> State:
+        self._check(state)
         return self._stepper(state, dt, self.acc_fn)
 
     def _prime(self, state: State) -> State:
+        self._check(state)
         return integrators.prime(state, self.acc_fn)
 
     def _run(self, state: State, dt, steps: int) -> State:
