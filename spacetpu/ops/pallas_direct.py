@@ -119,7 +119,10 @@ def _kernel_quad(cols_ref, rows_ref, out_ref, *, eps: float):
     dy = yj - yi
     dz = zj - zi
     d2 = dx * dx + dy * dy + dz * dz + eps * eps
-    inv = jax.lax.rsqrt(jnp.maximum(d2, 1e-30))
+    # Mask exact coincidences (a body sitting exactly on a cluster COM —
+    # regular grids do this) to zero contribution: clamping alone is not
+    # enough because rsqrt(tiny)^7 overflows f32 and inf * 0 = NaN.
+    inv = jnp.where(d2 > 0.0, jax.lax.rsqrt(jnp.maximum(d2, 1e-30)), 0.0)
     inv2 = inv * inv
     inv3 = inv2 * inv
     inv5 = inv3 * inv2
@@ -202,7 +205,8 @@ def acc_cross_quad_xla(pos_i, summaries, *, eps):
     q = summaries[4:10]  # (6, S): xx yy zz xy xz yz
     rel = com[None, :, :] - pos_i[:, None, :]  # (M, S, 3)
     d2 = jnp.sum(rel * rel, axis=-1) + jnp.asarray(eps, dtype) ** 2
-    inv = jax.lax.rsqrt(jnp.maximum(d2, 1e-30))
+    # see _kernel_quad: mask exact coincidences, clamping alone overflows f32
+    inv = jnp.where(d2 > 0, jax.lax.rsqrt(jnp.maximum(d2, 1e-30)), 0.0)
     inv3 = inv * inv * inv
     inv5 = inv3 * inv * inv
     inv7 = inv5 * inv * inv

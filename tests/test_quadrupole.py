@@ -86,6 +86,26 @@ def test_tree_order2_beats_order1(backend):
     assert e2 < e1 / 3, (e1, e2)
 
 
+def test_tree_order2_grid_com_coincidence_f32():
+    """Regression: on regular grids a cluster COM can coincide exactly with
+    a body; with eps=0 in f32 the quad kernel's rsqrt overflow produced
+    inf*0=NaN (clamping alone is insufficient — the contribution must be
+    masked)."""
+    from spacetpu.models import presets
+
+    scene = presets.fixed_cloud(2000)
+    pos = jnp.asarray(scene.pos, jnp.float32)
+    mass = jnp.asarray(scene.mass, jnp.float32)
+    for backend in ("xla", "pallas"):
+        got = np.asarray(
+            tree.acc_tree(pos, mass, theta=0.3, softening="plummer", eps=0.0,
+                          g=float(scene.g), backend=backend,
+                          multipole_order=2,
+                          interpret=True if backend == "pallas" else None)
+        )
+        assert np.isfinite(got).all(), backend
+
+
 def test_tree_order2_requires_plummer():
     pos, mass = _cluster(300, seed=4)
     with pytest.raises(ValueError, match="plummer"):
