@@ -120,24 +120,30 @@ def _kernel_quad(cols_ref, rows_ref, out_ref, *, eps: float):
     dz = zj - zi
     d2 = dx * dx + dy * dy + dz * dz + eps * eps
     # Mask exact coincidences (a body sitting exactly on a cluster COM —
-    # regular grids do this) to zero contribution: clamping alone is not
-    # enough because rsqrt(tiny)^7 overflows f32 and inf * 0 = NaN.
+    # regular grids do this) to zero contribution.
     inv = jnp.where(d2 > 0.0, jax.lax.rsqrt(jnp.maximum(d2, 1e-30)), 0.0)
     inv2 = inv * inv
     inv3 = inv2 * inv
-    inv5 = inv3 * inv2
-    inv7 = inv5 * inv2
+    inv4 = inv2 * inv2
 
-    qr_x = qxx * dx + qxy * dy + qxz * dz
-    qr_y = qxy * dx + qyy * dy + qyz * dz
-    qr_z = qxz * dx + qyz * dy + qzz * dz
-    s = dx * qr_x + dy * qr_y + dz * qr_z
+    # Unit-vector formulation: a_quad = inv^4 * (2.5 (n.Q.n) n - Q n).
+    # The naive rel-vector form needs inv^7, which overflows f32 for
+    # close-but-not-coincident pairs (d ~ 1e-7) — and the resulting infs
+    # break the exact far/near cancellation (inf - inf = NaN). Here every
+    # intermediate stays finite down to true coincidence, which is masked.
+    nx = dx * inv
+    ny = dy * inv
+    nz = dz * inv
+    qn_x = qxx * nx + qxy * ny + qxz * nz
+    qn_y = qxy * nx + qyy * ny + qyz * nz
+    qn_z = qxz * nx + qyz * ny + qzz * nz
+    s = nx * qn_x + ny * qn_y + nz * qn_z
 
     wm = gm * inv3
-    t = 2.5 * s * inv7
-    ax = jnp.sum(wm * dx - qr_x * inv5 + t * dx, axis=1, keepdims=True)
-    ay = jnp.sum(wm * dy - qr_y * inv5 + t * dy, axis=1, keepdims=True)
-    az = jnp.sum(wm * dz - qr_z * inv5 + t * dz, axis=1, keepdims=True)
+    t = 2.5 * s * inv4
+    ax = jnp.sum(wm * dx + t * nx - qn_x * inv4, axis=1, keepdims=True)
+    ay = jnp.sum(wm * dy + t * ny - qn_y * inv4, axis=1, keepdims=True)
+    az = jnp.sum(wm * dz + t * nz - qn_z * inv4, axis=1, keepdims=True)
     zero = jnp.zeros_like(ax)
     tile = jnp.concatenate([ax, ay, az, zero, zero, zero, zero, zero], axis=1)
 
@@ -205,21 +211,22 @@ def acc_cross_quad_xla(pos_i, summaries, *, eps):
     q = summaries[4:10]  # (6, S): xx yy zz xy xz yz
     rel = com[None, :, :] - pos_i[:, None, :]  # (M, S, 3)
     d2 = jnp.sum(rel * rel, axis=-1) + jnp.asarray(eps, dtype) ** 2
-    # see _kernel_quad: mask exact coincidences, clamping alone overflows f32
+    # see _kernel_quad: mask exact coincidences and use the unit-vector
+    # form (inv^4, not inv^7) so f32 intermediates never overflow
     inv = jnp.where(d2 > 0, jax.lax.rsqrt(jnp.maximum(d2, 1e-30)), 0.0)
     inv3 = inv * inv * inv
-    inv5 = inv3 * inv * inv
-    inv7 = inv5 * inv * inv
+    inv4 = inv3 * inv
     dx, dy, dz = rel[..., 0], rel[..., 1], rel[..., 2]
-    qr_x = q[0] * dx + q[3] * dy + q[4] * dz
-    qr_y = q[3] * dx + q[1] * dy + q[5] * dz
-    qr_z = q[4] * dx + q[5] * dy + q[2] * dz
-    s = dx * qr_x + dy * qr_y + dz * qr_z
-    t = 2.5 * s * inv7
+    nx, ny, nz = dx * inv, dy * inv, dz * inv
+    qn_x = q[0] * nx + q[3] * ny + q[4] * nz
+    qn_y = q[3] * nx + q[1] * ny + q[5] * nz
+    qn_z = q[4] * nx + q[5] * ny + q[2] * nz
+    s = nx * qn_x + ny * qn_y + nz * qn_z
+    t = 2.5 * s * inv4
     wm = gm * inv3
-    ax = jnp.sum(wm * dx - qr_x * inv5 + t * dx, axis=1)
-    ay = jnp.sum(wm * dy - qr_y * inv5 + t * dy, axis=1)
-    az = jnp.sum(wm * dz - qr_z * inv5 + t * dz, axis=1)
+    ax = jnp.sum(wm * dx + t * nx - qn_x * inv4, axis=1)
+    ay = jnp.sum(wm * dy + t * ny - qn_y * inv4, axis=1)
+    az = jnp.sum(wm * dz + t * nz - qn_z * inv4, axis=1)
     return jnp.stack([ax, ay, az], axis=-1)
 
 

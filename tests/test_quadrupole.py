@@ -106,6 +106,31 @@ def test_tree_order2_grid_com_coincidence_f32():
         assert np.isfinite(got).all(), backend
 
 
+def test_tree_order2_close_pair_f32_no_overflow():
+    """Regression: the Kepler asteroid-belt scene (earth-moon pair 0.0026 AU
+    apart, AU units) overflowed the quad kernel's inv^7 intermediates in
+    f32 (finite contributions became inf, and the exact far/near
+    cancellation died as inf - inf = NaN). The unit-vector formulation must
+    stay finite and accurate."""
+    from spacetpu.constants import G
+    from spacetpu.models import presets
+
+    scene = presets.earth_sun_mars_ast(1500, seed=1)
+    pos = jnp.asarray(scene.pos, jnp.float32)
+    mass = jnp.asarray(scene.mass, jnp.float32)
+    got = np.asarray(
+        tree.acc_tree(pos, mass, theta=0.3, softening="plummer", eps=0.0,
+                      g=G, backend="xla", multipole_order=2)
+    )
+    assert np.isfinite(got).all()
+    exact = np.asarray(
+        direct.acc_direct(pos, mass, softening="plummer", eps=0.0, g=G)
+    )
+    scale = np.linalg.norm(exact, axis=-1).mean()
+    err = np.linalg.norm(got - exact, axis=-1) / scale
+    assert np.median(err) < 1e-3
+
+
 def test_tree_order2_requires_plummer():
     pos, mass = _cluster(300, seed=4)
     with pytest.raises(ValueError, match="plummer"):
