@@ -119,9 +119,12 @@ def _kernel_quad(cols_ref, rows_ref, out_ref, *, eps: float):
     dy = yj - yi
     dz = zj - zi
     d2 = dx * dx + dy * dy + dz * dz + eps * eps
-    # Mask exact coincidences (a body sitting exactly on a cluster COM —
-    # regular grids do this) to zero contribution.
-    inv = jnp.where(d2 > 0.0, jax.lax.rsqrt(jnp.maximum(d2, 1e-30)), 0.0)
+    # Mask coincidences (a body sitting on a cluster COM — regular grids
+    # do this) to zero contribution. The floor is dtype-aware: below
+    # d2 ~ 1e-18, inv^4 overflows f32, so such pairs are treated as
+    # coincident (the same mask applies in the near subtraction, keeping
+    # the far/near cancellation consistent).
+    inv = jnp.where(d2 > 1e-18, jax.lax.rsqrt(jnp.maximum(d2, 1e-30)), 0.0)
     inv2 = inv * inv
     inv3 = inv2 * inv
     inv4 = inv2 * inv2
@@ -211,9 +214,9 @@ def acc_cross_quad_xla(pos_i, summaries, *, eps):
     q = summaries[4:10]  # (6, S): xx yy zz xy xz yz
     rel = com[None, :, :] - pos_i[:, None, :]  # (M, S, 3)
     d2 = jnp.sum(rel * rel, axis=-1) + jnp.asarray(eps, dtype) ** 2
-    # see _kernel_quad: mask exact coincidences and use the unit-vector
-    # form (inv^4, not inv^7) so f32 intermediates never overflow
-    inv = jnp.where(d2 > 0, jax.lax.rsqrt(jnp.maximum(d2, 1e-30)), 0.0)
+    # see _kernel_quad: dtype-aware coincidence floor + unit-vector form
+    # (inv^4, not inv^7) so f32 intermediates never overflow
+    inv = jnp.where(d2 > 1e-18, jax.lax.rsqrt(jnp.maximum(d2, 1e-30)), 0.0)
     inv3 = inv * inv * inv
     inv4 = inv3 * inv
     dx, dy, dz = rel[..., 0], rel[..., 1], rel[..., 2]

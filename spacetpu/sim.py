@@ -113,6 +113,7 @@ class Simulation:
         return integrators.prime(state, self.acc_fn)
 
     def _run(self, state: State, dt, steps: int) -> State:
+        self._check(state)
         r = self.config.tree_refresh_every
         if r > 1 and self.config.resolved_algorithm() == "tree":
             return self._run_tree_cached(state, dt, steps)
