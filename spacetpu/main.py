@@ -140,7 +140,8 @@ def main(argv=None):
 
     engine = build_engine(cfg, scene)
     source = FrameSource(engine, scene, width=cfg.width, height=cfg.height,
-                     auto_frame=cfg.auto_frame)
+                         auto_frame=cfg.auto_frame,
+                         trail_length=cfg.trail_length)
     with engine:
         if cfg.frontend == "offline":
             OfflineViewer(source, cfg.out_dir).run(cfg.frames, gif=cfg.gif)

@@ -68,7 +68,8 @@ class FrameSource:
     """Pulls snapshots from a SimEngine and renders framebuffers."""
 
     def __init__(self, engine: SimEngine, scene: Scene, *,
-                 width: int = 960, height: int = 540, auto_frame: bool = True):
+                 width: int = 960, height: int = 540, auto_frame: bool = True,
+                 trail_length: int = constants.TRAIL_MAX_LENGTH):
         self.engine = engine
         self.scene = scene
         self.width = width
@@ -76,7 +77,7 @@ class FrameSource:
         self.camera = Camera(width, height)
         if auto_frame:
             self.camera.frame_scene(scene.pos)
-        self.trails = trails.make_trails(scene.n)
+        self.trails = trails.make_trails(scene.n, t=trail_length)
         self.colors = jnp.asarray(scene.colors, jnp.float32)
         self.radii = jnp.asarray(scene.radii, jnp.float32)
         self.info = InfoPanel()

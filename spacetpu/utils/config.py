@@ -35,6 +35,7 @@ class RunConfig:
     frontend: str = "terminal"  # terminal | offline | none
     width: int = 960
     height: int = 540
+    trail_length: int = constants.TRAIL_MAX_LENGTH  # ring buffer snapshots
     frames: int = 300
     out_dir: str = "frames"
     gif: Optional[str] = None
@@ -92,6 +93,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["terminal", "offline", "none"])
     p.add_argument("--width", type=int, default=d.width)
     p.add_argument("--height", type=int, default=d.height)
+    p.add_argument("--trail-length", type=int, default=d.trail_length,
+                   help="trail ring-buffer snapshots (constants.rs:22-23)")
     p.add_argument("--frames", type=int, default=d.frames)
     p.add_argument("--out-dir", default=d.out_dir)
     p.add_argument("--gif", default=None, help="also write an animated gif")

@@ -150,6 +150,31 @@ def test_fused_step_render():
     assert int(fs.trail_buf.count) >= 4
 
 
+def test_render_scene_relative_mode_recenters():
+    """origin_shift (the use_relative_position mode of line_vs/circle_vs)
+    moves the subtracted body to the world origin in the rendered frame."""
+    n = 2
+    tb = trails.make_trails(n, t=2)
+    pos = jnp.asarray([[5.0, 5.0, 0.0], [5.5, 5.0, 0.0]], jnp.float32)
+    tb = trails.push(tb, pos)
+    tb = trails.push(tb, pos)
+    cam = Camera(64, 64)
+    colors = jnp.ones((n, 3), jnp.float32)
+    radii = jnp.full((n,), 1e-4, jnp.float32)
+    args = (tb.history, trails.ages(tb), colors, radii,
+            jnp.asarray(cam.view()), jnp.asarray(cam.projection()))
+    # absolute mode: bodies at x~5 are far off-screen for a camera at origin
+    absolute = np.asarray(rasterizer.render_scene(*args, width=64, height=64))
+    assert absolute.max() == 0.0
+    # relative to body 0: it sits at the origin -> visible at frame centre
+    relative = np.asarray(rasterizer.render_scene(
+        *args, width=64, height=64, origin_shift=pos[0]))
+    assert relative.max() > 0.1
+    iy, ix = np.unravel_index(relative[..., 0].argmax(),
+                              relative[..., 0].shape)
+    assert abs(int(iy) - 32) <= 2 and abs(int(ix) - 32) <= 6
+
+
 def test_render_scene_end_to_end():
     n = 16
     rng = np.random.default_rng(0)
