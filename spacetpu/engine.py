@@ -57,10 +57,15 @@ class Exchange:
 
     # --- dt (batch_request.rs:27-33) ---
     def delta(self) -> float:
-        return self._delta
+        with self._lock:
+            return self._delta
 
     def set_delta(self, value: float):
-        self._delta = value
+        # Locked like every other member: the reference gets atomicity from
+        # an AtomicU64 bit pattern; relying on the GIL here would break
+        # under free-threaded Python.
+        with self._lock:
+            self._delta = value
 
     # --- handshake (batch_request.rs:36-58) ---
     def should_store(self) -> bool:
@@ -74,8 +79,14 @@ class Exchange:
     def store(self, positions, tick: int):
         """Publish an f32 position snapshot + the tick count."""
         snap = np.asarray(positions, np.float32)
+        if snap.shape != self._sample.shape:
+            raise ValueError(
+                f"snapshot shape {snap.shape} != exchange buffer "
+                f"{self._sample.shape}; Exchange was sized for a different "
+                f"body count"
+            )
         with self._lock:
-            self._sample[:] = snap[: len(self._sample)]
+            self._sample[:] = snap
             self._tick = tick
 
     def sample(self) -> np.ndarray:
@@ -115,13 +126,16 @@ def run_sim_loop(
             # unbounded backlog of enqueued steps.
             np.asarray(state.pos[0, 0])
         tick += check_interval
+        # Re-read dt every batch (one locked attribute read), not only on
+        # publish: a headless caller or a frontend that is not actively
+        # sampling must still be able to retune dt via set_delta().
+        delta = exchange.delta()
         if exchange.should_store():
             # device -> host downcast snapshot (the store() of
             # batch_request.rs:43-51; one small transfer per UI frame)
             with DEVICE_LOCK:
                 snap = np.asarray(state.pos, np.float32)
             exchange.store(snap, tick)
-            delta = exchange.delta()
         # Unlike the reference (which checks its token only when no sample
         # is pending, event_loop.rs:322-324), the stop token is honoured
         # unconditionally — a frontend that keeps sampling must not be able

@@ -55,13 +55,16 @@ def load(path: str, *, dtype=None):
         state = State(**kw)
         scene = None
         if "scene_colors" in z:
-            n = state.pos.shape[0]
+            # The real body count is the metadata length — state arrays may
+            # be padded (pad_to); trim all three so Scene.n stays consistent
+            # with its pos/vel/mass rows after a round trip.
+            n = len(z["scene_names"])
             scene = Scene(
                 names=[str(s) for s in z["scene_names"]],
                 colors=z["scene_colors"],
                 radii=z["scene_radii"],
-                pos=np.asarray(state.pos, np.float64),
-                vel=np.asarray(state.vel, np.float64),
+                pos=np.asarray(state.pos, np.float64)[:n],
+                vel=np.asarray(state.vel, np.float64)[:n],
                 mass=np.asarray(state.mass, np.float64)[:n],
                 g=float(z["scene_g"]) if "scene_g" in z else Scene.g,
             )

@@ -21,7 +21,7 @@ from spacetpu.engine import SimEngine, make_engine_for
 from spacetpu.io import checkpoint
 from spacetpu.models import presets
 from spacetpu.sim import make_simulation
-from spacetpu.state import Scene
+from spacetpu.state import Scene, State
 from spacetpu.utils.config import RunConfig, parse_args
 
 
@@ -41,11 +41,26 @@ def build_scene(cfg: RunConfig) -> Scene:
     return fn()
 
 
-def build_engine(cfg: RunConfig, scene: Scene) -> SimEngine:
+def resolve_state(cfg: RunConfig, scene: Scene) -> "tuple[State, Scene]":
+    """Build the initial State; with --restore, load the checkpoint and
+    prefer its own Scene metadata (names/colors/radii) over the CLI preset
+    so renderer/Exchange sizing always matches the restored body count."""
     dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
-    state = scene.state(dtype=dtype, compensated=cfg.compensated)
-    if cfg.restore:
-        state, _, _ = checkpoint.load(cfg.restore, dtype=dtype)
+    if not cfg.restore:
+        return scene.state(dtype=dtype, compensated=cfg.compensated), scene
+    state, ck_scene, _ = checkpoint.load(cfg.restore, dtype=dtype)
+    if ck_scene is not None:
+        scene = ck_scene
+    if state.n != scene.n:
+        raise SystemExit(
+            f"--restore state has {state.n} bodies but the scene "
+            f"({cfg.preset}) has {scene.n}; the checkpoint carries no scene "
+            f"metadata, so pass a matching --preset/--n"
+        )
+    return state, scene
+
+
+def build_engine(cfg: RunConfig, scene: Scene, state: State) -> SimEngine:
     if cfg.algorithm == "auto":
         return make_engine_for(
             state, delta=cfg.dt, theta=cfg.theta, backend=cfg.backend,
@@ -60,17 +75,13 @@ def build_engine(cfg: RunConfig, scene: Scene) -> SimEngine:
     return SimEngine(sim, state, delta=cfg.dt)
 
 
-def run_headless(cfg: RunConfig, scene: Scene):
+def run_headless(cfg: RunConfig, scene: Scene, state: State):
     """--frontend none: batch stepping with metrics, checkpoints, profile."""
     import time
 
     from spacetpu.ops import energy
     from spacetpu.utils.metrics import ThroughputTracker, compute_elapsed_time
 
-    dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
-    state = scene.state(dtype=dtype, compensated=cfg.compensated)
-    if cfg.restore:
-        state, _, _ = checkpoint.load(cfg.restore, dtype=dtype)
     sim = make_simulation(
         state.n, algorithm=cfg.algorithm, backend=cfg.backend,
         integrator=cfg.integrator, softening=cfg.softening, eps=cfg.eps,
@@ -78,6 +89,10 @@ def run_headless(cfg: RunConfig, scene: Scene):
     )
     state = sim.prime(state)
     eps_diag = cfg.eps if cfg.eps is not None else 0.0
+    # Drift diagnostic. For --softening ref the force law's true potential
+    # has no closed form; total_energy uses the bare 1/r approximation
+    # (see ops/energy.py), so printed "ref" drift is approximate — exact
+    # only for plummer.
     e0 = float(energy.total_energy(state.pos, state.vel, state.mass,
                                    softening=cfg.softening, eps=eps_diag,
                                    g=scene.g))
@@ -122,6 +137,7 @@ def run_headless(cfg: RunConfig, scene: Scene):
 def main(argv=None):
     cfg = parse_args(argv)
     scene = build_scene(cfg)
+    state, scene = resolve_state(cfg, scene)
     # device enumeration log: the analogue of the reference's adapter
     # listing at startup (surface.rs:94-105)
     devs = jax.devices()
@@ -131,14 +147,14 @@ def main(argv=None):
           f"({cfg.preset}, dt={cfg.dt}s, {cfg.frontend})")
 
     if cfg.frontend == "none":
-        run_headless(cfg, scene)
+        run_headless(cfg, scene, state)
         return
 
     from spacetpu.render.viewer import (
         FrameSource, OfflineViewer, TerminalViewer,
     )
 
-    engine = build_engine(cfg, scene)
+    engine = build_engine(cfg, scene, state)
     source = FrameSource(engine, scene, width=cfg.width, height=cfg.height,
                          auto_frame=cfg.auto_frame,
                          trail_length=cfg.trail_length)

@@ -34,10 +34,10 @@ def test_hierarchical_scene_trajectory_parity():
                                atol=1e-16)
 
 
-def test_fixed_cloud_tree_vs_native_tree_rollout():
+def test_fixed_cloud_direct_rollout_parity():
     """The default interactive workload shape (fixed_cloud) rolled out with
-    both tree implementations stays statistically consistent: compare f64
-    euler trajectories over a short horizon (chaos rules out long ones)."""
+    the reference-compatible DIRECT solver on both sides: JAX f64 euler must
+    track the C++ oracle to f64 roundoff over a short horizon."""
     scene = presets.fixed_cloud(600)
     sim = reference_compatible(scene.n)
     state = sim.run(scene.state(dtype=jnp.float64), DELTA, 50)
@@ -47,6 +47,31 @@ def test_fixed_cloud_tree_vs_native_tree_rollout():
     )
     np.testing.assert_allclose(np.asarray(state.pos), p_ref, rtol=1e-10,
                                atol=1e-13)
+
+
+def test_fixed_cloud_tree_vs_native_tree_rollout():
+    """Both TREE implementations (clustered TPU treecode vs quirk-faithful
+    octree), rolled out with euler/plummer at matched theta, stay
+    statistically consistent with each other over a short horizon — the
+    tolerance is the theta-truncation scale, not roundoff."""
+    from spacetpu.sim import make_simulation
+
+    scene = presets.fixed_cloud(600)
+    sim = make_simulation(scene.n, algorithm="tree", backend="xla",
+                          integrator="euler", softening="plummer",
+                          eps=1e-4, theta=0.4, g=G)
+    state = sim.run(scene.state(dtype=jnp.float64), DELTA, 25)
+    p_tree, _ = native.rollout(
+        scene.pos, scene.vel, scene.mass, dt=DELTA, steps=25,
+        g=G, eps=1e-4, softening="plummer", algorithm="barnes_hut",
+        theta=0.4,
+    )
+    # Compare displacement errors against the typical displacement scale:
+    # both trees approximate the same dynamics to theta accuracy.
+    moved = np.linalg.norm(p_tree - scene.pos, axis=-1)
+    err = np.linalg.norm(np.asarray(state.pos) - p_tree, axis=-1)
+    scale = np.median(moved) + 1e-30
+    assert np.median(err) / scale < 0.05, (np.median(err), scale)
 
 
 def test_earth_orbit_period():
