@@ -1,0 +1,418 @@
+"""Vectorized conflict-free rasterizer: sorted tile-segment splatting.
+
+The v1 rasterizer scattered every splat entry into bucket canvases and
+blurred them (rasterizer.py); XLA's scatter-add costs ~90 ns/entry on TPU
+(~110 ms for a 1.2M-entry 1080p frame), which capped the fused
+step+render loop at 7.5 fps. This module replaces scatter entirely with
+dense, conflict-free accumulation that maps onto the MXU:
+
+1. **Pack**: each splat entry (subpixel position, radius, weighted color)
+   is quantized into two u32 payloads plus a u32 tile key (the screen is
+   cut into 16x128-pixel tiles).
+2. **Sort** entries by tile key (one `jax.lax.sort` — the only
+   O(M log M) step, ~9 ms for 1.2M entries).
+3. **Segment**: the sorted stream is cut at every tile boundary *and*
+   every SEGK-entry chunk boundary, so each segment lies within one tile
+   and one aligned chunk. Segment count is static: T + M/SEGK + 1.
+4. **Splat kernel** (Pallas): for each segment, evaluate the separable
+   falloff profile of its entries against the tile's 32x256 pixel window
+   — `oh_x[c, e] = f((c - x_e)/r_e)` and `a[(y*3+ch), e] =
+   f((y - y_e)/r_e) * rgb_e[ch]` — and accumulate `a @ oh_x^T` into the
+   window with one (batched) MXU contraction. Consecutive segments of a
+   tile revisit the same output block in VMEM; a scalar-prefetched
+   `first` flag zeroes it on the tile's first segment.
+5. **Overlap-add**: tile windows (32x256 at stride 16x128) are summed
+   into the framebuffer with four shifted dense adds.
+
+The falloff profile `(1 - (d/r)^2)^2` matches the reference's circle
+fragment shader (`/root/reference/shaders/src/lib.rs:137-142`) evaluated
+separably per axis — the same shape the v1 path produced by convolving
+radius-bucketed canvases, but with *per-entry* continuous radius (up to
+the 8 px window margin) and exact subpixel placement instead of four
+quantized buckets. No read-modify-write conflicts exist anywhere by
+construction, so the result is deterministic and order-independent.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# --- geometry ---------------------------------------------------------------
+TILE_H = 16     # tile rows
+TILE_W = 128    # tile cols
+WIN_H = 32      # window rows  (margin 8 above/below)
+WIN_W = 256     # window cols  (margin 64 left/right)
+MARGIN_Y = (WIN_H - TILE_H) // 2
+MARGIN_X = (WIN_W - TILE_W) // 2
+#: max splat radius the window margin supports (px)
+MAX_RADIUS = float(MARGIN_Y)
+MIN_RADIUS = 1.0
+
+#: entries per aligned chunk, stored as an (E1, E2) tile for TPU layout
+E1, E2 = 8, 128
+SEGK = E1 * E2
+
+# --- quantization -----------------------------------------------------------
+_SUB = 16           # subpixel steps (4 bits)
+_RAD_Q = 4          # radius steps per px; 6-bit field covers [0.25, 15.75]
+_COL_Q = 1023       # 10-bit color channels
+_QY_BITS = 9        # wy in [0, 32) at 1/16 px -> 9 bits
+_QR_BITS = 6
+
+
+def tiles_for(width: int, height: int) -> tuple[int, int]:
+    return -(-width // TILE_W), -(-height // TILE_H)  # ceil div
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def pack_entries(px, py, radius, rgbw, valid, *, width: int, height: int):
+    """Quantize splat entries -> (key, pay1, pay2) u32 arrays.
+
+    px/py: (M,) float pixel centers; radius: (M,) px in [MIN,MAX];
+    rgbw: (M, 3) weighted color in [0, 1]; valid: (M,) bool.
+    Off-screen / invalid entries get the sentinel tile key (sorted last).
+    """
+    tx_n, ty_n = tiles_for(width, height)
+    n_tiles = tx_n * ty_n
+
+    tx = jnp.floor(px / TILE_W).astype(jnp.int32)
+    ty = jnp.floor(py / TILE_H).astype(jnp.int32)
+    ok = (
+        valid
+        & (px >= -MARGIN_X) & (px < width + MARGIN_X)
+        & (py >= -MARGIN_Y) & (py < height + MARGIN_Y)
+    )
+    # clamp edge splats whose center is just off-screen into border tiles
+    # (their profile tail still reaches visible pixels through the margin)
+    tx = jnp.clip(tx, 0, tx_n - 1)
+    ty = jnp.clip(ty, 0, ty_n - 1)
+    key = jnp.where(ok, ty * tx_n + tx, n_tiles).astype(jnp.uint32)
+
+    # window-local coordinates (window origin = tile origin - margin)
+    wx = px - (tx * TILE_W - MARGIN_X).astype(px.dtype)
+    wy = py - (ty * TILE_H - MARGIN_Y).astype(py.dtype)
+    qx = jnp.clip(wx * _SUB + 0.5, 0, WIN_W * _SUB - 1).astype(jnp.uint32)
+    qy = jnp.clip(wy * _SUB + 0.5, 0, WIN_H * _SUB - 1).astype(jnp.uint32)
+    qr = jnp.clip(radius * _RAD_Q + 0.5, MIN_RADIUS * _RAD_Q, 63).astype(
+        jnp.uint32
+    )
+    pay1 = (qx << (_QY_BITS + _QR_BITS)) | (qy << _QR_BITS) | qr
+    qc = jnp.clip(rgbw * _COL_Q + 0.5, 0, _COL_Q).astype(jnp.uint32)
+    pay2 = (qc[:, 0] << 20) | (qc[:, 1] << 10) | qc[:, 2]
+    return key, pay1, pay2
+
+
+def _build_segments(keys_sorted, n_tiles: int, m_pad: int):
+    """Cut the sorted entry stream at tile starts and chunk boundaries.
+
+    Returns (chunk, lo, hi, tile, first) int32 arrays of static length
+    NSEG = (n_tiles + 1) + m_pad/SEGK + 1 - 1, where segment s covers
+    sorted entries [chunk*SEGK + lo, chunk*SEGK + hi), all belonging to
+    `tile` (== n_tiles means the discard sentinel)."""
+    n_chunks = m_pad // SEGK
+    ids = jnp.arange(n_tiles + 1, dtype=jnp.int32)
+    starts = jnp.searchsorted(keys_sorted, ids.astype(keys_sorted.dtype))
+    starts = starts.astype(jnp.int32)
+    chunk_cuts = jnp.arange(0, m_pad, SEGK, dtype=jnp.int32)
+    cut_val = jnp.concatenate(
+        [starts, chunk_cuts, jnp.asarray([m_pad], jnp.int32)]
+    )
+    cut_id = jnp.concatenate(
+        [ids, jnp.full((n_chunks,), -1, jnp.int32),
+         jnp.asarray([n_tiles], jnp.int32)]
+    )
+    # ties: chunk cuts (-1) sort before tile cuts, so a chunk-aligned tile
+    # start yields one empty segment charged to the previous tile (harmless)
+    cut_val, cut_id = jax.lax.sort((cut_val, cut_id), num_keys=2)
+    lo = cut_val[:-1]
+    hi = cut_val[1:]
+    tile = jnp.maximum(jax.lax.cummax(cut_id)[:-1], 0)
+    first = (cut_id[:-1] >= 0).astype(jnp.int32)
+    chunk = jnp.clip(lo // SEGK, 0, n_chunks - 1)
+    return (
+        chunk.astype(jnp.int32),
+        (lo - chunk * SEGK).astype(jnp.int32),
+        (hi - chunk * SEGK).astype(jnp.int32),
+        tile.astype(jnp.int32),
+        first,
+    )
+
+
+def _decode(pay1, pay2):
+    """u32 payload arrays (any shape) -> (wx, wy, inv_r, rgb[3]) f32.
+
+    All bitfields are < 2^31, so cast through int32 (Mosaic has no direct
+    u32 -> f32 conversion)."""
+    def f(u):
+        return u.astype(jnp.int32).astype(jnp.float32)
+
+    wx = f(pay1 >> (_QY_BITS + _QR_BITS)) * (1.0 / _SUB)
+    wy = f((pay1 >> _QR_BITS) & ((1 << _QY_BITS) - 1)) * (1.0 / _SUB)
+    inv_r = jnp.float32(_RAD_Q) / jnp.maximum(
+        f(pay1 & ((1 << _QR_BITS) - 1)), 1.0
+    )
+    inv_cq = jnp.float32(1.0 / _COL_Q)
+    red = f((pay2 >> 20) & 0x3FF) * inv_cq
+    grn = f((pay2 >> 10) & 0x3FF) * inv_cq
+    blu = f(pay2 & 0x3FF) * inv_cq
+    return wx, wy, inv_r, (red, grn, blu)
+
+
+def _profile(d):
+    """Separable falloff (1 - d^2)^2, the circle_fs radial profile."""
+    t = jnp.clip(1.0 - d * d, 0.0, None)
+    return t * t
+
+
+def _splat_kernel(chunk_ref, lo_ref, hi_ref, tile_ref, first_ref,
+                  pay1_ref, pay2_ref, out_ref):
+    """One segment: decode entries, build separable profiles, accumulate
+    the (WIN_H*3, WIN_W) window block via a batched MXU contraction."""
+    s = pl.program_id(0)
+    lo = lo_ref[s]
+    hi = hi_ref[s]
+
+    pay1 = pay1_ref[0].reshape(E1, 1, E2)  # entries as (E1, 1, E2)
+    pay2 = pay2_ref[0].reshape(E1, 1, E2)
+
+    e_hi = jax.lax.broadcasted_iota(jnp.int32, (E1, 1, E2), 0)
+    e_lo = jax.lax.broadcasted_iota(jnp.int32, (E1, 1, E2), 2)
+    e_idx = e_hi * E2 + e_lo
+    live = ((e_idx >= lo) & (e_idx < hi)).astype(jnp.float32)
+
+    wx, wy, inv_r, (red, grn, blu) = _decode(pay1, pay2)
+
+    # oh_x: (E1, WIN_W, E2) — window column on sublanes, entries on lanes
+    col = jax.lax.broadcasted_iota(
+        jnp.int32, (E1, WIN_W, E2), 1
+    ).astype(jnp.float32)
+    oh_x = _profile((col - wx) * inv_r) * live
+
+    # a: (E1, WIN_H*3, E2) — rows interleave (y, channel) as y*3 + ch
+    row = jax.lax.broadcasted_iota(jnp.int32, (E1, WIN_H * 3, E2), 1)
+    rowy = (row // 3).astype(jnp.float32)
+    f_y = _profile((rowy - wy) * inv_r)
+    ch = row % 3
+    colr = jnp.where(ch == 0, red, jnp.where(ch == 1, grn, blu))
+    a = f_y * colr
+
+    # contract over entries, batched over E1 -> (E1, WIN_H*3, WIN_W)
+    win = jax.lax.dot_general(
+        a, oh_x, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).sum(axis=0)
+
+    @pl.when(first_ref[s] == 1)
+    def _():
+        out_ref[0] = win
+
+    @pl.when(first_ref[s] == 0)
+    def _():
+        out_ref[0] += win
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_tiles", "m_pad", "interpret")
+)
+def _splat_tiles_pallas(keys_sorted, pay1, pay2, *, n_tiles: int,
+                        m_pad: int, interpret: bool = False):
+    """Sorted entries -> (n_tiles + 1, WIN_H*3, WIN_W) accumulated windows
+    (last block is the off-screen sentinel, discarded by the caller)."""
+    chunk, lo, hi, tile, first = _build_segments(keys_sorted, n_tiles, m_pad)
+    n_chunks = m_pad // SEGK
+    nseg = chunk.shape[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(nseg,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, E1, E2),
+                lambda s, chunk, lo, hi, tile, first: (chunk[s], 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, E1, E2),
+                lambda s, chunk, lo, hi, tile, first: (chunk[s], 0, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, WIN_H * 3, WIN_W),
+            lambda s, chunk, lo, hi, tile, first: (tile[s], 0, 0),
+        ),
+    )
+    return pl.pallas_call(
+        _splat_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles + 1, WIN_H * 3, WIN_W),
+                                       jnp.float32),
+        interpret=interpret,
+    )(chunk, lo, hi, tile, first,
+      pay1.reshape(n_chunks, E1, E2), pay2.reshape(n_chunks, E1, E2))
+
+
+def _splat_tiles_xla(keys_sorted, pay1, pay2, *, n_tiles: int, m_pad: int):
+    """Dense XLA fallback with identical semantics (CPU tests, virtual
+    meshes): per-entry (WIN_H, WIN_W) profile patches scatter-added per
+    tile. O(M * window) memory traffic — fine for test sizes."""
+    wx, wy, inv_r, (red, grn, blu) = _decode(pay1, pay2)
+    rgb = jnp.stack([red, grn, blu], axis=-1)  # (M, 3)
+
+    cols = jnp.arange(WIN_W, dtype=jnp.float32)
+    rows = jnp.arange(WIN_H, dtype=jnp.float32)
+    f_x = _profile((cols[None, :] - wx[:, None]) * inv_r[:, None])  # (M, W)
+    f_y = _profile((rows[None, :] - wy[:, None]) * inv_r[:, None])  # (M, H)
+    # (M, WIN_H, 3, WIN_W)
+    patches = (f_y[:, :, None, None] * rgb[:, None, :, None]
+               * f_x[:, None, None, :])
+    out = jnp.zeros((n_tiles + 1, WIN_H, 3, WIN_W), jnp.float32)
+    out = out.at[jnp.minimum(keys_sorted.astype(jnp.int32), n_tiles)].add(
+        patches
+    )
+    return out.reshape(n_tiles + 1, WIN_H * 3, WIN_W)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def overlap_add(windows, *, width: int, height: int):
+    """(T, WIN_H*3, WIN_W) tile windows -> (height, width, 3) frame.
+
+    Windows sit at stride (TILE_H, TILE_W) with margins; decompose each
+    into 2x2 tile-sized quadrants and place each quadrant set with one
+    dense shifted add."""
+    tx_n, ty_n = tiles_for(width, height)
+    qy_n = WIN_H // TILE_H
+    qx_n = WIN_W // TILE_W
+    win = windows.reshape(ty_n, tx_n, WIN_H, 3, WIN_W)
+    pad_h = ty_n * TILE_H + WIN_H - TILE_H
+    pad_w = tx_n * TILE_W + WIN_W - TILE_W
+    buf = jnp.zeros((pad_h, pad_w, 3), jnp.float32)
+    for qy in range(qy_n):
+        for qx in range(qx_n):
+            quad = win[:, :, qy * TILE_H:(qy + 1) * TILE_H, :,
+                       qx * TILE_W:(qx + 1) * TILE_W]
+            img = quad.transpose(0, 2, 1, 4, 3).reshape(
+                ty_n * TILE_H, tx_n * TILE_W, 3
+            )
+            patch = jax.lax.dynamic_slice(
+                buf, (qy * TILE_H, qx * TILE_W, 0), img.shape
+            )
+            buf = jax.lax.dynamic_update_slice(
+                buf, patch + img, (qy * TILE_H, qx * TILE_W, 0)
+            )
+    return buf[MARGIN_Y:MARGIN_Y + height, MARGIN_X:MARGIN_X + width, :]
+
+
+def splat_entries(px, py, radius, rgbw, valid, *, width: int, height: int,
+                  backend: str = "auto", interpret: bool | None = None):
+    """Rasterize M splat entries into an (H, W, 3) float framebuffer.
+
+    radius is clamped to [MIN_RADIUS, MAX_RADIUS]; rgbw is the
+    already-weighted color in [0, 1] (apply global exposure to the result,
+    not the weights — channel quantization is 10 bits)."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    tx_n, ty_n = tiles_for(width, height)
+    n_tiles = tx_n * ty_n
+    m = px.shape[0]
+    m_pad = -(-m // SEGK) * SEGK
+
+    radius = jnp.clip(radius, MIN_RADIUS, MAX_RADIUS)
+    key, pay1, pay2 = pack_entries(
+        px, py, radius, rgbw, valid, width=width, height=height
+    )
+    if m_pad != m:
+        pad = m_pad - m
+        key = jnp.concatenate([key, jnp.full((pad,), n_tiles, jnp.uint32)])
+        pay1 = jnp.concatenate([pay1, jnp.zeros((pad,), jnp.uint32)])
+        pay2 = jnp.concatenate([pay2, jnp.zeros((pad,), jnp.uint32)])
+    key_s, pay1_s, pay2_s = jax.lax.sort((key, pay1, pay2), num_keys=1)
+
+    if backend == "xla":
+        windows = _splat_tiles_xla(key_s, pay1_s, pay2_s,
+                                   n_tiles=n_tiles, m_pad=m_pad)
+    else:
+        windows = _splat_tiles_pallas(
+            key_s, pay1_s, pay2_s, n_tiles=n_tiles, m_pad=m_pad,
+            interpret=bool(interpret),
+        )
+    return overlap_add(windows[:n_tiles], width=width, height=height)
+
+
+def _group_entries(group, view, proj, *, width, height, min_clip_size):
+    """PointGroup -> flat (px, py, radius, rgbw, valid) splat entries."""
+    from spacetpu.render import rasterizer
+
+    dtype = group.points.dtype
+    px, py, pixel_radius, valid = rasterizer.project(
+        group.points, view, proj, width=width, height=height,
+        min_clip_size=min_clip_size,
+        radii_clip=group.radii_clip.astype(dtype),
+    )
+    if group.fixed_pixel_radius is not None:
+        pixel_radius = jnp.where(
+            group.fixed_pixel_radius > 0, group.fixed_pixel_radius,
+            pixel_radius,
+        )
+    rgbw = group.colors.astype(dtype) * group.weights.astype(dtype)[..., None]
+    return px, py, pixel_radius, rgbw, valid
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "trail_subdiv", "interpret")
+)
+def render_scene_fast(trail_history, trail_ages, colors, radii_world, view,
+                      proj, *, width: int, height: int, origin_shift=None,
+                      min_clip_size=None, trail_subdiv: int = 2,
+                      exposure=1.0, interpret: bool | None = None):
+    """Drop-in fast-path replacement for rasterizer.render_scene.
+
+    Identical scene semantics (same PointGroups: fading trails + sized
+    bodies), rasterized by the tile-segment splatter instead of
+    scatter+convolve. Exposure is applied to the finished frame (entry
+    color channels are quantized to 10 bits, so pre-scaling dim scenes
+    would lose precision). Splat radii are continuous per entry up to
+    MAX_RADIUS px — the old path's largest blur bucket."""
+    from spacetpu.constants import MIN_CIRCLE_SIZE
+    from spacetpu.render import rasterizer
+
+    if min_clip_size is None:
+        min_clip_size = MIN_CIRCLE_SIZE
+    dtype = trail_history.dtype
+    trails_group, bodies_group = rasterizer.scene_point_groups(
+        trail_history, trail_ages, colors, radii_world, proj,
+        origin_shift=origin_shift, trail_subdiv=trail_subdiv,
+        exposure=1.0,
+    )
+    min_clip = jnp.asarray(min_clip_size, dtype)
+    parts = [
+        _group_entries(g, view.astype(dtype), proj.astype(dtype),
+                       width=width, height=height, min_clip_size=min_clip)
+        for g in (trails_group, bodies_group)
+    ]
+    px = jnp.concatenate([p[0] for p in parts])
+    py = jnp.concatenate([p[1] for p in parts])
+    radius = jnp.concatenate([p[2] for p in parts])
+    rgbw = jnp.concatenate([p[3] for p in parts])
+    valid = jnp.concatenate([p[4] for p in parts])
+    frame = splat_entries(
+        px, py, radius, rgbw, valid, width=width, height=height,
+        interpret=interpret,
+    )
+    return jnp.clip(frame * jnp.asarray(exposure, frame.dtype), 0.0, 1.0)
+
+
+def render_scene_auto(*args, **kw):
+    """render_scene_fast on TPU; the scatter path elsewhere (its XLA
+    scatter is fast natively on CPU, while interpret-mode Pallas is not)."""
+    if jax.devices()[0].platform == "tpu":
+        return render_scene_fast(*args, **kw)
+    from spacetpu.render import rasterizer
+
+    kw.pop("interpret", None)
+    if kw.get("min_clip_size") is None:
+        kw.pop("min_clip_size", None)
+    return rasterizer.render_scene(*args, **kw)

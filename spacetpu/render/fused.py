@@ -34,6 +34,8 @@ def make_fused_frame(sim: Simulation, *, width: int, height: int,
 
     exposure defaults to the same N-scaled brightness the interactive
     viewer uses (min(1, 5000/N)) so dense clouds don't saturate to white."""
+    from spacetpu.render.fastsplat import render_scene_auto as render_fn
+
     if exposure is None:
         exposure = min(1.0, 5000.0 / max(sim.config.n, 1))
 
@@ -52,7 +54,7 @@ def make_fused_frame(sim: Simulation, *, width: int, height: int,
 
         state, _ = jax.lax.scan(body, state, None, length=steps_per_frame)
         tb = trails.push(fused.trail_buf, state.pos)
-        fb = rasterizer.render_scene(
+        fb = render_fn(
             tb.history,
             trails.ages(tb),
             colors,

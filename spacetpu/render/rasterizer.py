@@ -217,23 +217,13 @@ def splat(points, colors, weights, radii_clip, view, proj, *,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "trail_subdiv"))
-def render_scene(trail_history, trail_ages, colors, radii_world, view, proj, *,
-                 width: int, height: int, origin_shift=None,
-                 min_clip_size=MIN_CIRCLE_SIZE, trail_subdiv: int = 2,
-                 exposure=1.0):
-    """Render bodies + fading trails from a trail ring buffer.
+def scene_point_groups(trail_history, trail_ages, colors, radii_world, proj,
+                       *, origin_shift=None, trail_subdiv: int = 2,
+                       exposure=1.0):
+    """Build the (trails, bodies) PointGroups for a frame.
 
-    trail_history: (T, N, 3) snapshots; trail_ages: (T,) in [0, 1] with >1
-    meaning invalid (see trails.ages); colors (N, 3); radii_world (N,) in
-    world units. origin_shift: optional (3,) position subtracted from
-    everything first — the relative-position render mode of line_vs
-    (shaders/src/lib.rs:50-56). trail_subdiv: extra interpolated points per
-    trail segment so short trails read as strokes, standing in for the
-    reference's LineStrip topology. exposure: global brightness multiplier
-    (additive blending saturates for dense clouds; viewers scale it down
-    with N).
-    """
+    Shared by the scatter renderer (render_scene) and the tile-segment fast
+    path (fastsplat.render_scene_fast)."""
     dtype = trail_history.dtype
     t, n, _ = trail_history.shape
     if origin_shift is not None:
@@ -290,6 +280,34 @@ def render_scene(trail_history, trail_ages, colors, radii_world, view, proj, *,
         weights=jnp.full((n,), 1.0, dtype) * exposure,
         radii_clip=e * radii_world.astype(dtype),
         antialias=True,
+    )
+    return trails_group, bodies_group
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "trail_subdiv"))
+def render_scene(trail_history, trail_ages, colors, radii_world, view, proj, *,
+                 width: int, height: int, origin_shift=None,
+                 min_clip_size=MIN_CIRCLE_SIZE, trail_subdiv: int = 2,
+                 exposure=1.0):
+    """Render bodies + fading trails from a trail ring buffer.
+
+    trail_history: (T, N, 3) snapshots; trail_ages: (T,) in [0, 1] with >1
+    meaning invalid (see trails.ages); colors (N, 3); radii_world (N,) in
+    world units. origin_shift: optional (3,) position subtracted from
+    everything first — the relative-position render mode of line_vs
+    (shaders/src/lib.rs:50-56). trail_subdiv: extra interpolated points per
+    trail segment so short trails read as strokes, standing in for the
+    reference's LineStrip topology. exposure: global brightness multiplier
+    (additive blending saturates for dense clouds; viewers scale it down
+    with N).
+
+    This is the scatter+convolve path; on TPU prefer
+    fastsplat.render_scene_fast (identical visual semantics, ~10x faster).
+    """
+    trails_group, bodies_group = scene_point_groups(
+        trail_history, trail_ages, colors, radii_world, proj,
+        origin_shift=origin_shift, trail_subdiv=trail_subdiv,
+        exposure=exposure,
     )
     return splat_groups(
         [trails_group, bodies_group], view, proj,

@@ -114,7 +114,9 @@ class FrameSource:
                 shift = jnp.asarray(
                     snapshot[self.camera.relative_target % len(snapshot)]
                 )
-            fb = rasterizer.render_scene(
+            from spacetpu.render.fastsplat import render_scene_auto
+
+            fb = render_scene_auto(
                 self.trails.history,
                 trails.ages(self.trails),
                 self.colors,

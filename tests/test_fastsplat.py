@@ -1,0 +1,158 @@
+"""Tests for the tile-segment fast rasterizer (render/fastsplat.py).
+
+The Pallas kernel runs in interpret mode on CPU; the dense XLA fallback
+(`backend="xla"`) implements identical semantics and doubles as the
+oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spacetpu.render import fastsplat as fs
+
+
+def _rand_entries(m, w, h, seed=0, rad_range=(1.0, 8.0)):
+    rng = np.random.default_rng(seed)
+    px = rng.uniform(-40, w + 40, m).astype(np.float32)
+    py = rng.uniform(-40, h + 40, m).astype(np.float32)
+    rad = rng.uniform(*rad_range, m).astype(np.float32)
+    rgbw = rng.uniform(0, 1, (m, 3)).astype(np.float32)
+    valid = rng.uniform(size=m) > 0.1
+    return (jnp.asarray(px), jnp.asarray(py), jnp.asarray(rad),
+            jnp.asarray(rgbw), jnp.asarray(valid))
+
+
+def test_pallas_matches_xla_fallback():
+    w, h = 256, 96
+    args = _rand_entries(3000, w, h)
+    a = fs.splat_entries(*args, width=w, height=h, backend="pallas",
+                         interpret=True)
+    b = fs.splat_entries(*args, width=w, height=h, backend="xla")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_hot_tile_no_overflow():
+    """All entries in one tile: segmented chunks must accumulate exactly
+    (the scatter-free design has no per-tile capacity to overflow)."""
+    w, h = 256, 96
+    m = 5000  # >> SEGK entries in one tile
+    rng = np.random.default_rng(1)
+    px = jnp.asarray(rng.uniform(130, 140, m), jnp.float32)
+    py = jnp.asarray(rng.uniform(40, 44, m), jnp.float32)
+    rad = jnp.full((m,), 2.0, jnp.float32)
+    rgbw = jnp.asarray(rng.uniform(0, 0.001, (m, 3)), jnp.float32)
+    valid = jnp.ones((m,), bool)
+    a = fs.splat_entries(px, py, rad, rgbw, valid, width=w, height=h,
+                         backend="pallas", interpret=True)
+    b = fs.splat_entries(px, py, rad, rgbw, valid, width=w, height=h,
+                         backend="xla")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_single_splat_profile():
+    """One entry -> separable (1-d^2)^2 profile at the right pixel."""
+    w, h = 256, 64
+    px = jnp.asarray([100.25], jnp.float32)
+    py = jnp.asarray([33.5], jnp.float32)
+    rad = jnp.asarray([4.0], jnp.float32)
+    rgbw = jnp.asarray([[1.0, 0.5, 0.25]], jnp.float32)
+    frame = np.asarray(fs.splat_entries(
+        px, py, rad, rgbw, jnp.asarray([True]), width=w, height=h,
+        backend="xla",
+    ))
+    # brightest pixel at the rounded center
+    yx = np.unravel_index(frame[..., 0].argmax(), frame[..., 0].shape)
+    assert yx == (33, 100) or yx == (34, 100)
+    # expected value at an exact offset
+    def prof(d):
+        return max(0.0, 1 - d * d) ** 2
+    expect = prof((102 - 100.25) / 4.0) * prof((33 - 33.5) / 4.0)
+    np.testing.assert_allclose(frame[33, 102, 0], expect, atol=0.02)
+    # channel ratios preserved
+    np.testing.assert_allclose(frame[33, 100, 1] / frame[33, 100, 0], 0.5,
+                               atol=0.01)
+    # support bounded by the radius
+    assert frame[33, 100 + 5, 0] == 0.0
+    assert frame[33 + 5, 100, 0] == 0.0
+
+
+def test_invalid_and_offscreen_dropped():
+    w, h = 256, 64
+    px = jnp.asarray([50.0, -200.0, 50.0], jnp.float32)
+    py = jnp.asarray([30.0, 30.0, 30.0], jnp.float32)
+    rad = jnp.full((3,), 2.0, jnp.float32)
+    rgbw = jnp.full((3, 3), 0.5, jnp.float32)
+    valid = jnp.asarray([True, True, False])
+    frame = np.asarray(fs.splat_entries(px, py, rad, rgbw, valid,
+                                        width=w, height=h, backend="xla"))
+    only_first = np.asarray(fs.splat_entries(
+        px[:1], py[:1], rad[:1], rgbw[:1], valid[:1],
+        width=w, height=h, backend="xla",
+    ))
+    np.testing.assert_allclose(frame, only_first, atol=1e-6)
+
+
+def test_margin_splats_reach_screen():
+    """A splat centered just off-screen still glows onto visible pixels."""
+    w, h = 256, 64
+    frame = np.asarray(fs.splat_entries(
+        jnp.asarray([-2.0], jnp.float32), jnp.asarray([30.0], jnp.float32),
+        jnp.asarray([6.0], jnp.float32),
+        jnp.asarray([[1.0, 1.0, 1.0]], jnp.float32), jnp.asarray([True]),
+        width=w, height=h, backend="xla",
+    ))
+    assert frame[30, 0, 0] > 0.1
+
+
+def test_tile_boundary_continuity():
+    """Two identical splats, one at a tile center and one straddling a
+    tile boundary, deposit the same total energy (no seam losses)."""
+    w, h = 512, 64
+    def total(x):
+        frame = fs.splat_entries(
+            jnp.asarray([x], jnp.float32), jnp.asarray([32.0], jnp.float32),
+            jnp.asarray([5.0], jnp.float32),
+            jnp.asarray([[1.0, 1.0, 1.0]], jnp.float32),
+            jnp.asarray([True]), width=w, height=h, backend="pallas",
+            interpret=True,
+        )
+        return float(jnp.sum(frame))
+    np.testing.assert_allclose(total(192.0), total(fs.TILE_W - 0.03),
+                               rtol=1e-3)
+
+
+def test_render_scene_fast_smoke():
+    """Fast path renders a small scene: bodies glow at their projected
+    positions, matching the scatter path's bright set."""
+    from spacetpu.render import rasterizer, trails
+    from spacetpu.render.camera import Camera
+
+    n = 32
+    rng = np.random.default_rng(3)
+    pos = rng.normal(size=(n, 3)).astype(np.float32)
+    cam = Camera(192, 128)
+    cam.frame_scene(pos)
+    tb = trails.make_trails(n, t=4)
+    for k in range(4):
+        tb = trails.push(tb, jnp.asarray(pos + 0.02 * k))
+    colors = jnp.asarray(rng.uniform(0.3, 1.0, (n, 3)), jnp.float32)
+    radii = jnp.full((n,), 0.05, jnp.float32)
+    view = jnp.asarray(cam.view())
+    proj = jnp.asarray(cam.projection())
+
+    fast = np.asarray(fs.render_scene_fast(
+        tb.history, trails.ages(tb), colors, radii, view, proj,
+        width=192, height=128, interpret=True,
+    ))
+    ref = np.asarray(rasterizer.render_scene(
+        tb.history, trails.ages(tb), colors, radii, view, proj,
+        width=192, height=128,
+    ))
+    assert fast.shape == ref.shape == (128, 192, 3)
+    assert fast.max() > 0.2
+    # the two renderers share the bright set: the fast frame must put
+    # >60% of its energy on pixels the scatter path also lit
+    lit = ref.sum(-1) > 1e-3
+    frac = fast.sum(-1)[lit].sum() / max(fast.sum(), 1e-9)
+    assert frac > 0.6, frac
