@@ -60,17 +60,27 @@ def resolve_state(cfg: RunConfig, scene: Scene) -> "tuple[State, Scene]":
     return state, scene
 
 
+def _cfg_k_near(cfg: RunConfig):
+    if cfg.k_near == "default":
+        return None
+    if cfg.k_near == "auto":
+        return "auto"
+    return int(cfg.k_near)
+
+
 def build_engine(cfg: RunConfig, scene: Scene, state: State) -> SimEngine:
     if cfg.algorithm == "auto":
         return make_engine_for(
             state, delta=cfg.dt, theta=cfg.theta, backend=cfg.backend,
             integrator=cfg.integrator, softening=cfg.softening, eps=cfg.eps,
             g=scene.g, multipole_order=cfg.multipole_order,
+            k_near=_cfg_k_near(cfg),
         )
     sim = make_simulation(
         state.n, algorithm=cfg.algorithm, backend=cfg.backend,
         integrator=cfg.integrator, softening=cfg.softening, eps=cfg.eps,
         theta=cfg.theta, g=scene.g, multipole_order=cfg.multipole_order,
+        k_near=_cfg_k_near(cfg),
     )
     return SimEngine(sim, state, delta=cfg.dt)
 
@@ -86,6 +96,7 @@ def run_headless(cfg: RunConfig, scene: Scene, state: State):
         state.n, algorithm=cfg.algorithm, backend=cfg.backend,
         integrator=cfg.integrator, softening=cfg.softening, eps=cfg.eps,
         theta=cfg.theta, g=scene.g, multipole_order=cfg.multipole_order,
+        k_near=_cfg_k_near(cfg),
     )
     state = sim.prime(state)
     eps_diag = cfg.eps if cfg.eps is not None else 0.0
@@ -122,6 +133,19 @@ def run_headless(cfg: RunConfig, scene: Scene, state: State):
     print(f"{cfg.steps} steps of N={state.n} in {wall:.2f}s "
           f"({rate['steps_per_sec']:.2f} steps/s, "
           f"{rate['pairs_per_sec']:.3e} pairs/s)")
+    if sim.config.resolved_algorithm() == "tree":
+        from spacetpu.utils.metrics import tree_health
+
+        health = tree_health(state.pos, state.mass, theta=cfg.theta,
+                             k_near=sim._k_near)
+        if health["near_overflow"]:
+            print(f"WARNING: {health['near_overflow']} of "
+                  f"{health['clusters']} clusters overflowed the near-list "
+                  f"cap (k_near={health['k_near']}) — their dropped "
+                  f"neighbors fall back to far-field accuracy")
+        else:
+            print(f"tree health: 0/{health['clusters']} near-list "
+                  f"overflows (k_near={health['k_near']})")
     print(f"simulated: {compute_elapsed_time(cfg.steps, cfg.dt)}")
     if e0 != 0.0:
         print(f"relative energy drift: {(e1 - e0) / abs(e0):.3e}")

@@ -57,6 +57,12 @@ class SimConfig:
     # tree far-field order: 1 = monopole, 2 = +quadrupole, "auto" = 2 for
     # plummer softening (5-10x force accuracy for ~20% cost), 1 for "ref"
     multipole_order: object = "auto"
+    # tree near-list cap: None = geometric default (fast, can truncate on
+    # high-density-contrast scenes — overflow telemetry reports it);
+    # "auto" = measure the scene's true max near count at prime() time
+    # (accuracy-safe on any mass distribution, costs a calibration pass
+    # and possibly a larger near phase); int = explicit.
+    k_near: object = None
     # rollout-only optimization: reuse the tree's sort + near lists for this
     # many steps inside run() (stats always track current positions).
     # 1 = rebuild every step (reference parity, barnes_hut/mod.rs:13-14).
@@ -90,11 +96,44 @@ class Simulation:
 
     def __init__(self, config: SimConfig):
         self.config = config
-        self.acc_fn = _build_acc_fn(config)
+        #: resolved near-list cap (None = acc_tree's geometric default);
+        #: "auto" is measured from the first primed state (calibrate()).
+        self._k_near: int | None = (
+            config.k_near if isinstance(config.k_near, int) else None
+        )
+        self._needs_calibration = (
+            config.k_near == "auto"
+            and config.resolved_algorithm() == "tree"
+        )
+        self.acc_fn = _build_acc_fn(config, self._k_near)
         self._stepper = integrators.get_stepper(config.integrator)
         self.step = jax.jit(self._step, donate_argnums=(0,))
-        self.prime = jax.jit(self._prime, donate_argnums=(0,))
+        self._prime_jit = jax.jit(self._prime, donate_argnums=(0,))
         self.run = jax.jit(self._run, static_argnames=("steps",), donate_argnums=(0,))
+
+    def prime(self, state: State) -> State:
+        if self._needs_calibration:
+            self.calibrate(state)
+        return self._prime_jit(state)
+
+    def calibrate(self, state: State):
+        """k_near="auto": measure the scene's true max near-cluster count
+        and rebuild the force closure with a cap sized to it. Equal-count
+        clusters in high-density-contrast scenes (Plummer spheres) need
+        far larger caps than the geometric default — see
+        tree.measure_k_near. Must run before the jitted step/run first
+        trace (prime() does this automatically)."""
+        import math as _math
+
+        from spacetpu.ops import tree as tree_ops
+
+        cfg = self.config
+        gg = max(1, _math.ceil(cfg.n / tree_ops.LEAF))
+        self._k_near = tree_ops.measure_k_near(
+            state.pos, state.mass, theta=cfg.theta, gg=gg
+        )
+        self.acc_fn = _build_acc_fn(cfg, self._k_near)
+        self._needs_calibration = False
 
     def _check(self, state: State):
         if state.pos.shape[0] != self.config.n:
@@ -139,7 +178,7 @@ class Simulation:
         backend = cfg.resolved_backend()
         order = cfg.resolved_multipole_order()
         gg = max(1, _math.ceil(cfg.n / tree_ops.LEAF))
-        k_near = tree_ops.default_k_near(cfg.theta, gg)
+        k_near = self._k_near or tree_ops.default_k_near(cfg.theta, gg)
         r = cfg.tree_refresh_every
 
         def build(pos, mass):
@@ -169,7 +208,7 @@ class Simulation:
         return state
 
 
-def _build_acc_fn(config: SimConfig) -> Callable:
+def _build_acc_fn(config: SimConfig, k_near: int | None = None) -> Callable:
     if config.softening not in direct.SOFTENINGS:
         raise ValueError(
             f"unknown softening {config.softening!r} (want one of {direct.SOFTENINGS})"
@@ -209,6 +248,7 @@ def _build_acc_fn(config: SimConfig) -> Callable:
             g=config.g,
             backend=backend,
             multipole_order=config.resolved_multipole_order(),
+            k_near=k_near,
         )
     raise ValueError(f"unknown algorithm {algo!r}")
 
@@ -226,6 +266,7 @@ def make_simulation(
     chunk: int | None = None,
     multipole_order="auto",
     tree_refresh_every: int = 1,
+    k_near=None,
 ) -> Simulation:
     return Simulation(
         SimConfig(
@@ -240,6 +281,7 @@ def make_simulation(
             chunk=chunk,
             multipole_order=multipole_order,
             tree_refresh_every=tree_refresh_every,
+            k_near=k_near,
         )
     )
 

@@ -28,6 +28,7 @@ class RunConfig:
     eps: Optional[float] = None
     theta: float = constants.BARNES_HUT_THETA
     multipole_order: str = "auto"  # 1 | 2 | auto
+    k_near: str = "default"  # default | auto | <int>: tree near-list cap
     dt: float = constants.DELTA
     auto_frame: bool = True  # frame the camera to the scene at startup
     dtype: str = "float32"
@@ -79,6 +80,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--multipole-order", default=d.multipole_order,
                    choices=["1", "2", "auto"],
                    help="tree far-field order (2 = +quadrupole)")
+    p.add_argument("--k-near", dest="k_near", default=d.k_near,
+                   help="tree near-list cap: 'default' (geometric formula),"
+                        " 'auto' (measured from the scene at startup --"
+                        " accuracy-safe on any mass distribution), or an"
+                        " integer")
     p.add_argument("--no-auto-frame", dest="auto_frame",
                    action="store_false", default=d.auto_frame,
                    help="keep the reference's fixed camera at (0,0,2)")

@@ -95,3 +95,27 @@ class ThroughputTracker:
             "steps_per_sec": steps / wall_seconds,
             "pairs_per_sec": steps * self.pairs_per_step / wall_seconds,
         }
+
+def tree_health(pos, mass, *, theta: float, k_near: int | None = None) -> dict:
+    """Tree-quality telemetry: near-list overflow count (targets whose
+    accepted near set exceeded the static cap and were truncated to
+    far-field accuracy — the silent-degradation mode VERDICT r1 flagged).
+    Returns {"near_overflow": int, "clusters": int, "k_near": int}.
+    """
+    import math
+
+    import jax.numpy as jnp
+
+    from spacetpu.ops import tree as tree_ops
+
+    n = pos.shape[0]
+    gg = max(1, math.ceil(n / tree_ops.LEAF))
+    if k_near is None:
+        k_near = tree_ops.default_k_near(theta, gg)
+    prep = tree_ops.tree_prep(jnp.asarray(pos), jnp.asarray(mass),
+                              theta=theta, k_near=k_near, gg=gg)
+    return {
+        "near_overflow": int(prep["near_overflow"]),
+        "clusters": gg,
+        "k_near": k_near,
+    }

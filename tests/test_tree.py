@@ -220,3 +220,141 @@ def test_tree_pallas_interpret_matches_xla():
     )
     scale = np.abs(a).max()
     np.testing.assert_allclose(b, a, atol=5e-5 * scale)
+
+
+def _prep_stats(n, seed=0, clustered=False):
+    """Cluster summaries for a random scene (optionally heavily clustered)."""
+    import math
+
+    rng = np.random.default_rng(seed)
+    if clustered:
+        # two dense blobs + sparse background: stresses nonuniform density
+        a = rng.normal(size=(n // 3, 3)) * 0.02
+        b = rng.normal(size=(n // 3, 3)) * 0.02 + np.array([2.0, 0, 0])
+        c = rng.uniform(-4, 4, size=(n - 2 * (n // 3), 3))
+        pos = np.concatenate([a, b, c])
+    else:
+        pos = rng.normal(size=(n, 3))
+    mass = rng.uniform(0.1, 1.0, size=n)
+    gg = max(1, math.ceil(n / tree.LEAF))
+    perm, _ = morton.morton_order(jnp.asarray(pos))
+    stats = tree.tree_sorted_stats(
+        jnp.asarray(pos, jnp.float32), jnp.asarray(mass, jnp.float32),
+        perm, gg,
+    )
+    return stats
+
+
+@pytest.mark.parametrize("clustered", [False, True])
+def test_hier_near_lists_match_dense(clustered):
+    """The two-level near-list build accepts exactly the dense build's
+    cluster sets (the supercluster screen must have no false negatives)."""
+    stats = _prep_stats(40_000, seed=3, clustered=clustered)
+    theta = 0.5
+    gg = stats["com"].shape[0]
+    # size the cap to the scene's true maximum so both builders keep the
+    # full accepted set and must agree exactly
+    dist = np.linalg.norm(
+        np.asarray(stats["com"])[:, None] - np.asarray(stats["com"])[None],
+        axis=-1,
+    )
+    near_ct = (
+        (np.asarray(stats["r_src"])[None, :]
+         >= theta * (dist - np.asarray(stats["r_tgt"])[:, None]))
+        & (np.asarray(stats["m_tot"])[None, :] > 0)
+    ).sum(1)
+    k = int(near_ct.max())
+    dense, over_d = tree._near_lists(
+        stats["com"], stats["m_tot"], stats["r_src"], stats["r_tgt"],
+        theta, k,
+    )
+    hier, over_h = tree._near_lists_hier(
+        stats["com"], stats["m_tot"], stats["r_src"], stats["r_tgt"],
+        theta, k,
+    )
+    assert int(over_d) == 0
+    assert int(over_h) == 0
+    dense = np.asarray(dense)
+    hier = np.asarray(hier)
+    for t in range(gg):
+        assert set(dense[t]) == set(hier[t]), f"target cluster {t}"
+
+
+def test_near_overflow_counter():
+    """An artificially tiny cap must be detected by the overflow counter."""
+    stats = _prep_stats(40_000, seed=4)
+    theta = 0.5
+    _, over = tree._near_lists_hier(
+        stats["com"], stats["m_tot"], stats["r_src"], stats["r_tgt"],
+        theta, 4,  # absurdly small cap
+    )
+    assert int(over) > 0
+
+
+def test_benchmark_scenes_zero_overflow_with_measured_cap():
+    """The measured (auto) k_near cap never overflows on the benchmark
+    scenes — silent overflow cost 6x force error in round 1 and median
+    2.8e-2 on plummer_sphere with the geometric default (VERDICT weak #4)."""
+    from spacetpu.models import presets
+    from spacetpu.utils.metrics import tree_health
+
+    for name, scene in [
+        ("fixed_cloud", presets.fixed_cloud(30_000)),
+        ("plummer_sphere", presets.plummer_sphere(30_000, seed=1)),
+    ]:
+        for theta in (0.5, 0.8):
+            import math
+
+            pos = jnp.asarray(scene.pos, jnp.float32)
+            mass = jnp.asarray(scene.mass, jnp.float32)
+            gg = max(1, math.ceil(scene.n / tree.LEAF))
+            k = tree.measure_k_near(pos, mass, theta=theta, gg=gg)
+            h = tree_health(pos, mass, theta=theta, k_near=k)
+            assert h["near_overflow"] == 0, (name, theta, h)
+
+
+def test_overflow_telemetry_detects_plummer_default_cap():
+    """The geometric default cap DOES overflow on a Plummer sphere (huge
+    sparse halo clusters are near everything); the telemetry must see it
+    rather than silently degrading."""
+    from spacetpu.models import presets
+    from spacetpu.utils.metrics import tree_health
+
+    scene = presets.plummer_sphere(30_000, seed=1)
+    h = tree_health(scene.pos.astype(np.float32),
+                    scene.mass.astype(np.float32), theta=0.5)
+    assert h["near_overflow"] > 0
+
+
+def test_plummer_auto_cap_accuracy():
+    """k_near="auto" restores tree accuracy on the Plummer sphere (median
+    relative force error was 2.8e-2 with the default cap)."""
+    from spacetpu.models import presets
+    from spacetpu.sim import make_simulation
+
+    scene = presets.plummer_sphere(8_000, seed=2)
+    pos = jnp.asarray(scene.pos, jnp.float64)
+    mass = jnp.asarray(scene.mass, jnp.float64)
+    sim = make_simulation(scene.n, algorithm="tree", backend="xla",
+                          softening="plummer", eps=1e-4, g=scene.g,
+                          theta=0.5, k_near="auto")
+    state = sim.prime(scene.state(dtype=jnp.float64))
+    assert sim._k_near is not None and sim._k_near > 0
+    approx = np.asarray(state.acc)
+    exact = np.asarray(direct.acc_direct(pos, mass, softening="plummer",
+                                         eps=1e-4, g=scene.g))
+    scale = np.linalg.norm(exact, axis=-1)
+    scale = np.maximum(scale, np.percentile(scale, 5))
+    err = np.linalg.norm(approx - exact, axis=-1) / scale
+    assert np.median(err) < 5e-4, np.median(err)
+
+
+def test_tree_force_matches_with_hier_cutoff(monkeypatch):
+    """acc_tree is invariant to which near-list builder ran."""
+    pos, mass = _cluster(20_000, seed=7, dtype=jnp.float32)
+    kw = dict(theta=0.5, softening="plummer", eps=1e-2, g=1.0, backend="xla")
+    monkeypatch.setattr(tree, "HIER_NEAR_CUTOFF", 10**9)
+    a_dense = np.asarray(tree.acc_tree(pos, mass, **kw))
+    monkeypatch.setattr(tree, "HIER_NEAR_CUTOFF", 0)
+    a_hier = np.asarray(tree.acc_tree(pos, mass, **kw))
+    np.testing.assert_allclose(a_dense, a_hier, rtol=1e-5, atol=1e-7)
