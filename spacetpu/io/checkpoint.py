@@ -91,16 +91,34 @@ def save_orbax(path: str, state: State, *, extra: Optional[dict] = None):
             json.dump(extra, f)
 
 
-def load_orbax(path: str) -> "tuple[State, Optional[dict]]":
+def load_orbax(path: str, *, like: Optional[State] = None
+               ) -> "tuple[State, Optional[dict]]":
     """Restore an orbax checkpoint -> (state, extra). Unlike npz `load`,
     orbax checkpoints carry no scene metadata (names/colors/radii live in
-    host code; keep them with the run config)."""
+    host code; keep them with the run config).
+
+    like: optional template State whose shardings (and dtypes) the restore
+    should target — pass the live sharded state (or one built from
+    jax.ShapeDtypeStruct + NamedSharding) to restore each shard directly
+    onto its device without a host gather (multi-chip resume)."""
     import os
 
+    import jax as _jax
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    payload = ckptr.restore(path)
+    if like is not None:
+        target = {}
+        for f in _FIELDS:
+            v = getattr(like, f)
+            if v is not None:
+                target[f] = _jax.ShapeDtypeStruct(
+                    v.shape, v.dtype,
+                    sharding=getattr(v, "sharding", None),
+                )
+        payload = ckptr.restore(path, target)
+    else:
+        payload = ckptr.restore(path)
     kw = {f: payload.get(f) for f in _FIELDS}
     extra = None
     extra_path = str(path).rstrip("/") + ".extra.json"

@@ -206,8 +206,26 @@ def acc_cross_quad(pos_i, summaries, *, eps, tile_i: int = 256,
     return acc[:n_i]
 
 
-def acc_cross_quad_xla(pos_i, summaries, *, eps):
-    """XLA reference path for the multipole evaluation (CPU/tests)."""
+def acc_cross_quad_xla(pos_i, summaries, *, eps, chunk: int = 8192):
+    """XLA reference path for the multipole evaluation (CPU/tests).
+
+    Scanned over target chunks so the working set is O(chunk * S), never
+    O(M * S) — the dense form at the 16M-body mesh demo would need 24 GB."""
+    m = pos_i.shape[0]
+    if m > chunk:
+        pad = (-m) % chunk
+        pos_p = jnp.concatenate(
+            [pos_i, jnp.zeros((pad, 3), pos_i.dtype)], axis=0
+        ) if pad else pos_i
+
+        def body(_, tgt):
+            return None, acc_cross_quad_xla(tgt, summaries, eps=eps,
+                                            chunk=chunk)
+
+        _, out = jax.lax.scan(
+            body, None, pos_p.reshape(-1, chunk, 3)
+        )
+        return out.reshape(-1, 3)[:m]
     dtype = pos_i.dtype
     com = summaries[:3].T  # (S, 3)
     gm = summaries[3]

@@ -146,35 +146,51 @@ def _super_stats(com, m_tot, r_src, r_tgt):
     return com2, c_spread, rs_max, rt_max
 
 
-def _near_lists_hier(com, m_tot, r_src, r_tgt, theta: float, k_near: int,
-                     k_super: int | None = None):
-    """Two-level near-list build: O(G2^2) supercluster screen + exact
-    refinement over K2*SUPER candidates per target — replaces the (G, G)
-    distance matrix (986 MB at N=4M) with O(G * K2 * SUPER) work.
+def _super_screen(com, m_tot, r_src, r_tgt, theta: float, k_super: int):
+    """Supercluster-level near lists: (G2, K2) super indices + overflow.
 
-    The supercluster test is conservative (no false negatives): for target
-    t in super A and source s in super B,
-        d(t, s) >= |com2_A - com2_B| - spread_A - spread_B,
-    so B can contain a near source for A only if
-        rs_max_B >= theta * (D_AB - spread_A - spread_B - rt_max_A).
-
-    Returns (idx, overflow) like _near_lists; overflow also counts
-    supercluster-level truncations (scaled by SUPER so one unit ~ one
-    potentially-lost cluster)."""
-    g = com.shape[0]
-    g2 = -(-g // SUPER)
-    if k_super is None:
-        k_super = default_k_super(theta, g2)
+    The acceptance test is conservative on BOTH levels it serves:
+    - as a screen for the cluster near-list refinement (no false
+      negatives): for target t in super A and source s in super B,
+      d(t,s) >= D_AB - spread_A - spread_B, so accept whenever
+      rs_max_B + spread_B >= theta * (D_AB - spread_A - rt_max_A)
+      (a superset of the per-pair test since theta <= 1);
+    - as the far-field refinement set (far_levels=3): the same condition
+      with rs_max_B + spread_B read as the supercluster source radius is
+      exactly the theta-opening test for B's super multipole, so every
+      super whose multipole could violate theta for a body in A is
+      refined to cluster multipoles."""
+    g2 = -(-com.shape[0] // SUPER)
     com2, spread, rs_max, rt_max = _super_stats(com, m_tot, r_src, r_tgt)
-
     d2 = jnp.linalg.norm(com2[:, None, :] - com2[None, :, :], axis=-1)
-    possible = rs_max[None, :] >= theta * (
-        d2 - spread[:, None] - spread[None, :] - rt_max[:, None]
+    possible = (rs_max[None, :] + spread[None, :]) >= theta * (
+        d2 - spread[:, None] - rt_max[:, None]
     )  # (G2, G2) target x source
     over2 = jnp.sum(jnp.sum(possible, axis=1) > k_super)
     masked2 = jnp.where(possible, d2, jnp.inf)
     neg_d2, idx2 = jax.lax.top_k(-masked2, min(k_super, g2))
     idx2 = jnp.where(neg_d2 > -jnp.inf, idx2, g2)  # (G2, K2)
+    return idx2, over2
+
+
+def _near_lists_hier(com, m_tot, r_src, r_tgt, theta: float, k_near: int,
+                     k_super: int | None = None, idx2=None):
+    """Two-level near-list build: O(G2^2) supercluster screen + exact
+    refinement over K2*SUPER candidates per target — replaces the (G, G)
+    distance matrix (986 MB at N=4M) with O(G * K2 * SUPER) work.
+
+    idx2: optionally a precomputed (G2, K2) supercluster near list (the
+    3-level far field shares it so its refinement set provably contains
+    every near cluster). Returns (idx, overflow) like _near_lists;
+    overflow also counts supercluster-level truncations (scaled by SUPER
+    so one unit ~ one potentially-lost cluster)."""
+    g = com.shape[0]
+    g2 = -(-g // SUPER)
+    if k_super is None:
+        k_super = default_k_super(theta, g2)
+    over2 = jnp.zeros((), jnp.int32)
+    if idx2 is None:
+        idx2, over2 = _super_screen(com, m_tot, r_src, r_tgt, theta, k_super)
 
     # Candidate cluster ids per target supercluster: members of its K2
     # near superclusters; invalid supers map to the null cluster id G.
@@ -305,6 +321,130 @@ def _cluster_summaries(pos_g, mass_g, com, m_tot, g_const):
     for row, q in zip(range(4, 10), (qxx, qyy, qzz, qxy, qxz, qyz)):
         s = s.at[row, :gg].set(g_const * q)
     return s
+
+
+def _super_multipoles(summaries):
+    """Aggregate cluster multipole summaries (16, G) into supercluster
+    summaries (16, G2) about the mass-weighted supercluster COM, using the
+    parallel-axis theorem for the traceless quadrupole:
+        Q2 = sum_i [Q_i + m_i * (3 d_i d_i^T - |d_i|^2 I)],
+    d_i = com_i - com2. G must be a multiple of SUPER (callers pad with
+    null clusters)."""
+    g = summaries.shape[1]
+    if g % SUPER:
+        raise ValueError(f"G={g} not a multiple of SUPER={SUPER}")
+    g2 = g // SUPER
+    s = summaries.reshape(16, g2, SUPER)
+    com = s[0:3]  # (3, G2, SUPER)
+    gm = s[3]     # (G2, SUPER)
+    gm2 = jnp.sum(gm, axis=-1)  # (G2,)
+    com2 = jnp.sum(com * gm[None], axis=-1) / jnp.maximum(gm2, 1e-30)[None]
+    d = com - com2[:, :, None]  # (3, G2, SUPER)
+    d2 = jnp.sum(d * d, axis=0)
+    out = jnp.zeros((16, g2), summaries.dtype)
+    out = out.at[0:3].set(com2)
+    out = out.at[3].set(gm2)
+    # rows 4-9: xx yy zz xy xz yz
+    for row, (a, b) in zip(range(4, 7), ((0, 0), (1, 1), (2, 2))):
+        out = out.at[row].set(jnp.sum(
+            s[row] + gm * (3 * d[a] * d[b] - d2), axis=-1))
+    for row, (a, b) in zip(range(7, 10), ((0, 1), (0, 2), (1, 2))):
+        out = out.at[row].set(jnp.sum(s[row] + gm * 3 * d[a] * d[b], axis=-1))
+    return out
+
+
+def _superfar_refine_table(summaries, super_summaries, idx2):
+    """Gathered per-supercluster refinement strips for the 3-level far
+    field: for target super A, columns = the cluster summaries of A's K2
+    near supers followed by those supers' NEGATED super summaries (so one
+    evaluation computes  sum_B [clusters(B) - super(B)], which added to
+    the dense super far field replaces near supers by their clusters).
+
+    Returns (16, G2 * S_pad) with S_pad = K2 * (SUPER + 1) rounded up to a
+    multiple of 128 (zero columns are exact no-ops in the quad kernel)."""
+    g = summaries.shape[1]
+    g2, k2 = idx2.shape
+    # combined table: clusters | null col | negated supers | null super col
+    table = jnp.concatenate(
+        [summaries, jnp.zeros((16, 1), summaries.dtype),
+         super_summaries.at[3:10].multiply(-1.0),
+         jnp.zeros((16, 1), summaries.dtype)],
+        axis=1,
+    )
+    null_cluster = g
+    null_super = g + 1 + g2
+    members = jnp.minimum(
+        idx2[:, :, None] * SUPER + jnp.arange(SUPER)[None, None, :],
+        null_cluster,
+    ).reshape(g2, k2 * SUPER)
+    supers = jnp.where(idx2 < g2, g + 1 + idx2, null_super)  # (G2, K2)
+    cols = jnp.concatenate([members, supers], axis=1)  # (G2, K2*(SUPER+1))
+    s = cols.shape[1]
+    # pad to the pallas strip tile (the quad kernel's live temporaries are
+    # (BLOCK, tile) sized — wider tiles blow the 16 MB scoped-VMEM limit)
+    s_pad = -(-s // _SUPERFAR_TILE_J) * _SUPERFAR_TILE_J
+    if s_pad != s:
+        cols = jnp.concatenate(
+            [cols, jnp.full((g2, s_pad - s), null_cluster, cols.dtype)],
+            axis=1,
+        )
+    return jnp.take(table, cols.reshape(-1), axis=1).reshape(16, g2 * s_pad)
+
+
+#: lane width of the superfar refinement strip tiles (the quad kernel
+#: holds ~9 (BLOCK, tile) temporaries live; 512 keeps that ~4.7 MB)
+_SUPERFAR_TILE_J = 512
+
+
+def _superfar_refine_pallas(tcols, strips, *, eps, interpret):
+    """Evaluate the per-super refinement strips against their own target
+    clusters. tcols: (G*BLOCK, 8) packed targets with G a multiple of
+    SUPER; strips: (16, G2*S_pad). -> (G*LEAF, 3).
+
+    Grid is (supers, clusters-in-super, strip tiles) so every index map is
+    affine in the grid coordinates."""
+    from spacetpu.ops.pallas_direct import _kernel_quad
+
+    gg = tcols.shape[0] // BLOCK
+    g2 = gg // SUPER
+    s_pad = strips.shape[1] // g2
+    s_blocks = s_pad // _SUPERFAR_TILE_J
+    out = pl.pallas_call(
+        functools.partial(_kernel_quad, eps=float(eps)),
+        grid=(g2, SUPER, s_blocks),
+        in_specs=[
+            pl.BlockSpec((BLOCK, 8), lambda a2, i, j: (a2 * SUPER + i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (16, _SUPERFAR_TILE_J),
+                lambda a2, i, j, s_blocks=s_blocks: (0, a2 * s_blocks + j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((BLOCK, 8), lambda a2, i, j: (a2 * SUPER + i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((gg * BLOCK, 8), tcols.dtype),
+        interpret=interpret,
+    )(tcols, strips)
+    return out.reshape(gg, BLOCK, 8)[:, :LEAF, :3].reshape(gg * LEAF, 3)
+
+
+def _superfar_refine_xla(pos_g, strips, *, eps):
+    """XLA fallback: per-super strip evaluation via lax.map."""
+    from spacetpu.ops.pallas_direct import acc_cross_quad_xla
+
+    gg = pos_g.shape[0]
+    g2 = gg // SUPER
+    s_pad = strips.shape[1] // g2
+    strips = strips.reshape(16, g2, s_pad)
+    targets = pos_g.reshape(g2, SUPER * LEAF, 3)
+
+    def one_super(args):
+        tgt, strip = args
+        return acc_cross_quad_xla(tgt, strip, eps=eps)
+
+    out = jax.lax.map(one_super, (targets, strips.transpose(1, 0, 2)))
+    return out.reshape(gg * LEAF, 3)
 
 
 def _pack_targets(pos_g):
@@ -496,32 +636,55 @@ def tree_sorted_stats(pos, mass, perm, gg: int):
     )
 
 
-def tree_prep(pos, mass, *, theta: float, k_near: int, gg: int):
+def tree_prep(pos, mass, *, theta: float, k_near: int, gg: int,
+              far_levels: int = 2):
     """Phase 1: sort, clustering, statistics, near lists.
 
     Deterministic given (pos, mass) — in the sharded tree every device runs
     this redundantly on the gathered arrays and gets identical results.
-    Returns a dict of sorted/packed arrays plus perm/inv/idx."""
+    Returns a dict of sorted/packed arrays plus perm/inv/idx (+idx2 when
+    far_levels=3: the supercluster near list shared by the far-field
+    refinement and the cluster near-list screen, so the refined set
+    provably contains every near cluster)."""
     perm, inv = morton.morton_order(pos)
     stats = tree_sorted_stats(pos, mass, perm, gg)
-    idx, overflow = near_lists(
-        stats["com"], stats["m_tot"], stats["r_src"], stats["r_tgt"],
-        theta, k_near,
-    )
-    return dict(idx=idx, perm=perm, inv=inv, near_overflow=overflow, **stats)
+    if far_levels == 3:
+        if gg % SUPER:
+            raise ValueError(f"far_levels=3 needs gg % {SUPER} == 0, got {gg}")
+        g2 = gg // SUPER
+        idx2, over2 = _super_screen(
+            stats["com"], stats["m_tot"], stats["r_src"], stats["r_tgt"],
+            theta, default_k_super(theta, g2),
+        )
+        idx, overflow = _near_lists_hier(
+            stats["com"], stats["m_tot"], stats["r_src"], stats["r_tgt"],
+            theta, k_near, idx2=idx2,
+        )
+        overflow = overflow + over2 * SUPER
+    else:
+        idx2 = jnp.zeros((1, 1), jnp.int32)
+        idx, overflow = near_lists(
+            stats["com"], stats["m_tot"], stats["r_src"], stats["r_tgt"],
+            theta, k_near,
+        )
+    return dict(idx=idx, idx2=idx2, perm=perm, inv=inv,
+                near_overflow=overflow, **stats)
 
 
-def tree_structure(pos, mass, *, theta: float, k_near: int, gg: int):
+def tree_structure(pos, mass, *, theta: float, k_near: int, gg: int,
+                   far_levels: int = 2):
     """The cacheable part of tree construction: space-filling-curve sort
     and near lists. Bodies move a tiny fraction of a cluster radius per
-    step, so (perm, inv, idx) stay valid across several steps; stats are
-    always recomputed from current positions (tree_sorted_stats)."""
-    p = tree_prep(pos, mass, theta=theta, k_near=k_near, gg=gg)
-    return p["perm"], p["inv"], p["idx"]
+    step, so (perm, inv, idx, idx2) stay valid across several steps; stats
+    are always recomputed from current positions (tree_sorted_stats)."""
+    p = tree_prep(pos, mass, theta=theta, k_near=k_near, gg=gg,
+                  far_levels=far_levels)
+    return p["perm"], p["inv"], p["idx"], p["idx2"]
 
 
 def tree_eval(prep: dict, c0, n_clusters: int, *, softening: str,
-              eps, g, backend: str, interpret, multipole_order: int = 1):
+              eps, g, backend: str, interpret, multipole_order: int = 1,
+              far_levels: int = 2):
     """Phases 2+3 for target clusters [c0, c0 + n_clusters): far-field
     multipoles plus near correction, returning the sorted-order acceleration
     block of shape (n_clusters * LEAF, 3). n_clusters is static; c0 may be
@@ -532,13 +695,24 @@ def tree_eval(prep: dict, c0, n_clusters: int, *, softening: str,
     multipole_order=2: monopole+quadrupole far field (plummer only); the
     near correction is direct pairs plus a separate negated-multipole
     evaluation over each cluster's near list (a pseudo-body cannot carry a
-    quadrupole)."""
+    quadrupole).
+
+    far_levels=3 (requires multipole_order=2, gg/c0/n_clusters multiples
+    of SUPER): the dense far field runs against SUPERCLUSTER multipoles
+    (G2 = G/64 columns) and each target super additionally evaluates a
+    refinement strip replacing its near supers (prep["idx2"]) by their
+    member clusters — O(N*(G2 + K2*65)) instead of O(N*G), the step that
+    keeps the far field near-linear at N >= 4M."""
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     if multipole_order not in (1, 2):
         raise ValueError(f"multipole_order must be 1 or 2, got {multipole_order}")
     if multipole_order == 2 and softening != "plummer":
         raise ValueError("multipole_order=2 requires softening='plummer'")
+    if far_levels not in (2, 3):
+        raise ValueError(f"far_levels must be 2 or 3, got {far_levels}")
+    if far_levels == 3 and multipole_order != 2:
+        raise ValueError("far_levels=3 requires multipole_order=2")
     dtype = prep["pos_s"].dtype
     gg = prep["pos_g"].shape[0]
     pos_g = jax.lax.dynamic_slice_in_dim(prep["pos_g"], c0, n_clusters, 0)
@@ -552,8 +726,36 @@ def tree_eval(prep: dict, c0, n_clusters: int, *, softening: str,
             prep["pos_g"], prep["mass_g"], prep["com"], prep["m_tot"], g_arr
         )
 
-    # Phase 2: dense far field — target bodies vs ALL cluster multipoles.
-    if multipole_order == 2:
+    # Phase 2: dense far field.
+    if far_levels == 3:
+        from spacetpu.ops import pallas_direct
+
+        if n_clusters % SUPER or gg % SUPER:
+            raise ValueError("far_levels=3 needs SUPER-aligned blocks")
+        super_summaries = _super_multipoles(summaries[:, :gg])
+        strips = _superfar_refine_table(
+            summaries[:, :gg], super_summaries, prep["idx2"]
+        )
+        s2 = c0 // SUPER
+        n2 = n_clusters // SUPER
+        s_pad = strips.shape[1] // (gg // SUPER)
+        strips = jax.lax.dynamic_slice_in_dim(
+            strips, s2 * s_pad, n2 * s_pad, 1
+        )
+        if backend == "pallas":
+            acc = pallas_direct.acc_cross_quad(
+                targets, super_summaries, eps=eps, interpret=interpret,
+            )
+            acc = acc + _superfar_refine_pallas(
+                _pack_targets(pos_g), strips, eps=float(eps),
+                interpret=bool(interpret),
+            )
+        else:
+            acc = pallas_direct.acc_cross_quad_xla(
+                targets, super_summaries, eps=eps
+            )
+            acc = acc + _superfar_refine_xla(pos_g, strips, eps=eps)
+    elif multipole_order == 2:
         from spacetpu.ops import pallas_direct
 
         if backend == "pallas":
@@ -617,6 +819,85 @@ def tree_eval(prep: dict, c0, n_clusters: int, *, softening: str,
     return acc + corr
 
 
+def near_direct_correction(pos_g_t, idx, pool_pos_g, pool_mass_g, pool_com,
+                           pool_m_tot, *, softening, eps, g, backend,
+                           interpret, monopole_pseudo: bool):
+    """Near-field direct(-minus-monopole) correction of target clusters
+    against an arbitrary source-cluster POOL (the sharded tree's pool is
+    [local clusters | halo clusters]; the single-chip pool is all
+    clusters). idx: (G_t, K) slots into the pool; invalid slots point to
+    len(pool) (a trailing null cluster is appended). Returns
+    (G_t * LEAF, 3)."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    n_t = pos_g_t.shape[0]
+    p = pool_pos_g.shape[0]
+    dtype = pos_g_t.dtype
+    g_arr = jnp.asarray(g, dtype)
+    if backend == "pallas":
+        if idx.shape[1] % 8 != 0:
+            pad = 8 - idx.shape[1] % 8
+            idx = jnp.concatenate(
+                [idx, jnp.full((n_t, pad), p, jnp.int32)], axis=1
+            )
+        tcols = _pack_targets(pos_g_t)
+        srows = _pack_augmented(
+            pool_pos_g, pool_mass_g, pool_com, pool_m_tot, g_arr,
+            monopole_pseudo=monopole_pseudo,
+        )
+        return _near_correction_pallas(
+            tcols, srows, idx,
+            softening=softening, eps=float(eps), interpret=bool(interpret),
+        ).reshape(n_t * LEAF, 3)
+    aug_pos = jnp.concatenate(
+        [pool_pos_g, pool_com[:, None, :]], axis=1
+    )
+    pseudo_gm = (-pool_m_tot[:, None] * g_arr if monopole_pseudo
+                 else jnp.zeros((p, 1), dtype))
+    aug_gm = jnp.concatenate([pool_mass_g * g_arr, pseudo_gm], axis=1)
+    return _near_correction_xla(
+        pos_g_t, aug_pos, aug_gm, idx, softening=softening, eps=eps
+    ).reshape(n_t * LEAF, 3)
+
+
+def near_multipole_subtraction(pos_g_t, summaries, idx, *, eps, backend,
+                               interpret):
+    """Subtract the quadrupole far-field of each target cluster's near
+    list (idx indexes `summaries` columns; invalid = summaries null col -1
+    ... callers pass idx whose invalid slots equal summaries.shape[1]-1).
+    Returns (G_t * LEAF, 3)."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    neg = summaries.at[3:10].multiply(-1.0)
+    if backend == "pallas":
+        return _near_multipole_sub_pallas(
+            _pack_targets(pos_g_t), neg, idx, eps=float(eps),
+            interpret=bool(interpret),
+        )
+    return _near_multipole_sub_xla(pos_g_t, neg, idx, eps=eps)
+
+
+#: switch the far field to 3 levels (supercluster multipoles + refinement)
+#: above this many clusters: below it the dense N x G pass is cheap.
+FAR3_CUTOFF = 4096
+
+
+def resolve_far_levels(far_levels, gg: int, multipole_order: int) -> int:
+    if far_levels == "auto":
+        return 3 if (multipole_order == 2 and gg >= FAR3_CUTOFF) else 2
+    return int(far_levels)
+
+
+def _gg_for(n: int, far_levels, multipole_order: int) -> int:
+    """Cluster count for N bodies; SUPER-aligned when the 3-level far
+    field may engage (padding clusters are zero-mass, parked at the last
+    body)."""
+    gg = max(1, math.ceil(n / LEAF))
+    if resolve_far_levels(far_levels, gg, multipole_order) == 3:
+        gg = -(-gg // SUPER) * SUPER
+    return gg
+
+
 def acc_tree(
     pos,
     mass,
@@ -629,6 +910,7 @@ def acc_tree(
     k_near: int | None = None,
     interpret: bool | None = None,
     multipole_order: int = 1,
+    far_levels="auto",
 ):
     """Clustered Barnes-Hut acceleration: (N, 3), (N,) -> (N, 3)."""
     if softening not in direct.SOFTENINGS:
@@ -638,30 +920,33 @@ def acc_tree(
     if g is None:
         g = constants.G
     n = pos.shape[0]
-    gg = max(1, math.ceil(n / LEAF))
+    gg = _gg_for(n, far_levels, multipole_order)
+    far_levels = resolve_far_levels(far_levels, gg, multipole_order)
     if k_near is None:
         k_near = default_k_near(theta, gg)
 
-    prep = tree_prep(pos, mass, theta=theta, k_near=k_near, gg=gg)
+    prep = tree_prep(pos, mass, theta=theta, k_near=k_near, gg=gg,
+                     far_levels=far_levels)
     acc = tree_eval(prep, 0, gg, softening=softening, eps=eps, g=g,
                     backend=backend, interpret=interpret,
-                    multipole_order=multipole_order)
+                    multipole_order=multipole_order, far_levels=far_levels)
     # Unsort back to the caller's body order (gather via the inverse
     # permutation — gathers are far cheaper than scatters on TPU).
     return jnp.take(acc[:n], prep["inv"], axis=0)
 
 
 def acc_tree_cached(pos, mass, structure, *, softening: str, eps, g,
-                    backend: str, interpret=None, multipole_order: int = 1):
-    """acc_tree with a cached (perm, inv, idx) structure: statistics are
-    recomputed from the current positions, the sort and near lists are
+                    backend: str, interpret=None, multipole_order: int = 1,
+                    far_levels: int = 2):
+    """acc_tree with a cached (perm, inv, idx, idx2) structure: statistics
+    are recomputed from the current positions, the sort and near lists are
     reused (rollouts refresh them every few steps — see
     Simulation tree_refresh_every)."""
-    perm, inv, idx = structure
+    perm, inv, idx, idx2 = structure
     gg = idx.shape[0]
     stats = tree_sorted_stats(pos, mass, perm, gg)
-    prep = dict(idx=idx, perm=perm, inv=inv, **stats)
+    prep = dict(idx=idx, idx2=idx2, perm=perm, inv=inv, **stats)
     acc = tree_eval(prep, 0, gg, softening=softening, eps=eps, g=g,
                     backend=backend, interpret=interpret,
-                    multipole_order=multipole_order)
+                    multipole_order=multipole_order, far_levels=far_levels)
     return jnp.take(acc[: pos.shape[0]], inv, axis=0)

@@ -177,13 +177,15 @@ class Simulation:
         eps = cfg.resolved_eps()
         backend = cfg.resolved_backend()
         order = cfg.resolved_multipole_order()
-        gg = max(1, _math.ceil(cfg.n / tree_ops.LEAF))
+        gg = tree_ops._gg_for(cfg.n, "auto", order)
+        far_levels = tree_ops.resolve_far_levels("auto", gg, order)
         k_near = self._k_near or tree_ops.default_k_near(cfg.theta, gg)
         r = cfg.tree_refresh_every
 
         def build(pos, mass):
             return tree_ops.tree_structure(
-                pos, mass, theta=cfg.theta, k_near=k_near, gg=gg
+                pos, mass, theta=cfg.theta, k_near=k_near, gg=gg,
+                far_levels=far_levels,
             )
 
         def body(carry, k):
@@ -197,7 +199,7 @@ class Simulation:
             acc_fn = _ft.partial(
                 tree_ops.acc_tree_cached, structure=structure,
                 softening=cfg.softening, eps=eps, g=cfg.g, backend=backend,
-                multipole_order=order,
+                multipole_order=order, far_levels=far_levels,
             )
             return (self._stepper(s, dt, acc_fn), structure), None
 

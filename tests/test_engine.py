@@ -268,3 +268,40 @@ def test_cli_config_parsing():
     assert cfg.dt == 2.5
     round_trip = type(cfg).from_json(cfg.to_json())
     assert round_trip == cfg
+
+
+def test_checkpoint_orbax_sharded_roundtrip(tmp_path):
+    """Sharded save/restore without host gather: each shard written from
+    and restored to its device (VERDICT r1 item 8). Runs on the 8-device
+    CPU mesh; shardings must survive the round trip."""
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from spacetpu.io import checkpoint
+    from spacetpu.parallel import ring
+    from spacetpu.state import make_state
+
+    mesh = ring.make_mesh(8)
+    rng = np.random.default_rng(0)
+    n = 8 * 32
+    state = make_state(rng.normal(size=(n, 3)), rng.normal(size=(n, 3)),
+                       rng.uniform(0.5, 1.5, n), dtype=jnp.float32)
+    sim = ring.ShardedSimulation(mesh, n, softening="plummer", eps=1e-2,
+                                 g=1.0, backend="xla")
+    sharded = sim.shard_state(state)
+    path = str(tmp_path / "orbax_sharded")
+    checkpoint.save_orbax(path, sharded, extra={"mesh": 8})
+
+    # restore directly onto the mesh using the live state as the template
+    loaded, extra = checkpoint.load_orbax(path, like=sharded)
+    assert extra == {"mesh": 8}
+    assert loaded.pos.sharding == sharded.pos.sharding
+    assert loaded.pos.sharding.spec == P(ring.AXIS)
+    np.testing.assert_allclose(np.asarray(loaded.pos),
+                               np.asarray(sharded.pos))
+    np.testing.assert_allclose(np.asarray(loaded.mass),
+                               np.asarray(sharded.mass))
+    # and the restored state steps (shardings are really usable)
+    out = sim.step(loaded, jnp.float32(1e-3))
+    assert bool(jnp.all(jnp.isfinite(out.pos)))

@@ -358,3 +358,47 @@ def test_tree_force_matches_with_hier_cutoff(monkeypatch):
     monkeypatch.setattr(tree, "HIER_NEAR_CUTOFF", 0)
     a_hier = np.asarray(tree.acc_tree(pos, mass, **kw))
     np.testing.assert_allclose(a_dense, a_hier, rtol=1e-5, atol=1e-7)
+
+
+def test_far3_matches_far2_and_direct(monkeypatch):
+    """3-level far field (supercluster multipoles + refinement strips)
+    stays within the theta error budget and close to the 2-level result.
+    SUPER is shrunk to 8 so several superclusters exist at a test-friendly
+    N (the production value 64 only becomes multi-super at N >= ~70k)."""
+    monkeypatch.setattr(tree, "SUPER", 8)
+    pos, mass = _cluster(8_000, seed=11, dtype=jnp.float64)
+    kw = dict(theta=0.5, softening="plummer", eps=1e-2, g=1.0,
+              backend="xla", multipole_order=2)
+    a2 = np.asarray(tree.acc_tree(pos, mass, far_levels=2, **kw))
+    a3 = np.asarray(tree.acc_tree(pos, mass, far_levels=3, **kw))
+    exact = np.asarray(direct.acc_direct(pos, mass, softening="plummer",
+                                         eps=1e-2, g=1.0))
+    scale = np.linalg.norm(exact, axis=-1).mean()
+    for name, a in (("far2", a2), ("far3", a3)):
+        err = np.linalg.norm(a - exact, axis=-1) / scale
+        assert np.median(err) < 1e-3, (name, np.median(err))
+    # the extra level adds only theta-bounded error on top of far2
+    d23 = np.linalg.norm(a3 - a2, axis=-1) / scale
+    assert np.median(d23) < 1e-3, np.median(d23)
+
+
+def test_far3_simulation_energy(monkeypatch):
+    """A short 3-level rollout conserves energy like the 2-level one."""
+    from spacetpu.ops import energy
+    from spacetpu.sim import make_simulation
+    from spacetpu.state import make_state
+
+    monkeypatch.setattr(tree, "SUPER", 8)
+    monkeypatch.setattr(tree, "FAR3_CUTOFF", 1)
+    pos, mass = _cluster(3000, seed=13, dtype=jnp.float64)
+    sim = make_simulation(3000, algorithm="tree", backend="xla",
+                          softening="plummer", eps=1e-2, g=1.0,
+                          theta=0.5, tree_refresh_every=4)
+    vel = jnp.zeros_like(pos)
+    state = sim.prime(make_state(pos, vel, mass, dtype=jnp.float64))
+    e0 = float(energy.total_energy(state.pos, state.vel, state.mass,
+                                   eps=1e-2, g=1.0))
+    state = sim.run(state, 1e-3, 12)
+    e1 = float(energy.total_energy(state.pos, state.vel, state.mass,
+                                   eps=1e-2, g=1.0))
+    assert abs((e1 - e0) / e0) < 1e-5

@@ -1,0 +1,186 @@
+"""Sharded tree v2 (parallel/tree2.py): O(N/D) memory, halo exchange.
+
+Runs on the 8-virtual-device CPU mesh (conftest)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spacetpu.ops import direct, tree
+from spacetpu.parallel import ring, tree2
+from spacetpu.state import make_state
+
+LEAF = tree.LEAF
+
+
+def _scene(n, seed=0, dtype=jnp.float64):
+    rng = np.random.default_rng(seed)
+    u = rng.normal(size=(n, 3))
+    u /= np.linalg.norm(u, axis=-1, keepdims=True)
+    r = rng.uniform(0, 1, size=(n, 1)) ** (1 / 3)
+    pos = (u * r).astype(np.float64)
+    vel = rng.normal(size=(n, 3)) * 1e-3
+    mass = rng.uniform(0.5, 1.5, size=n) / n
+    return make_state(pos, vel, mass, dtype=dtype)
+
+
+def test_tree2_acc_matches_single_chip():
+    """With N a multiple of D*LEAF the sharded sort produces the same
+    clustering as the single-chip tree, so the primed accelerations must
+    match to f64 roundoff (identical kernels, identical near lists)."""
+    d = 4
+    n = d * LEAF * 2  # 2040 bodies, 8 clusters
+    state = _scene(n, seed=1)
+    mesh = ring.make_mesh(d)
+    sim = tree2.ShardedTreeSimulation(
+        mesh, n, theta=0.5, softening="plummer", eps=1e-3, g=1.0,
+        backend="xla", multipole_order=2, far_levels=2,
+    )
+    ts = sim.prime(sim.shard_state(state))
+    got = sim.user_order(ts)
+
+    ref = tree.acc_tree(
+        jnp.asarray(state.pos), jnp.asarray(state.mass), theta=0.5,
+        softening="plummer", eps=1e-3, g=1.0, backend="xla",
+        multipole_order=2, k_near=sim._k_near, far_levels=2,
+    )
+    np.testing.assert_allclose(np.asarray(got.acc), np.asarray(ref),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_tree2_rollout_matches_single_chip():
+    """A short rollout tracks the single-chip tree simulation closely."""
+    from spacetpu.sim import make_simulation
+
+    d = 4
+    n = d * LEAF * 2
+    state = _scene(n, seed=2)
+    mesh = ring.make_mesh(d)
+    sim = tree2.ShardedTreeSimulation(
+        mesh, n, theta=0.5, softening="plummer", eps=1e-3, g=1.0,
+        backend="xla", multipole_order=2, far_levels=2, resort_every=4,
+    )
+    ts = sim.prime(sim.shard_state(state))
+    ts = sim.run(ts, 1e-3, 12)
+    got = sim.user_order(ts)
+
+    ref_sim = make_simulation(n, algorithm="tree", backend="xla",
+                              softening="plummer", eps=1e-3, g=1.0,
+                              theta=0.5, k_near=sim._k_near)
+    ref_state = ref_sim.prime(_scene(n, seed=2))
+    ref_state = ref_sim.run(ref_state, 1e-3, 12)
+    np.testing.assert_allclose(np.asarray(got.pos),
+                               np.asarray(ref_state.pos),
+                               rtol=1e-7, atol=1e-10)
+
+
+def test_tree2_force_error_vs_direct():
+    """8-device run, far error bounded by theta like the single-chip tree."""
+    d = 8
+    n = d * LEAF * 2
+    state = _scene(n, seed=3)
+    mesh = ring.make_mesh(d)
+    sim = tree2.ShardedTreeSimulation(
+        mesh, n, theta=0.4, softening="plummer", eps=1e-3, g=1.0,
+        backend="xla", multipole_order=2,
+    )
+    ts = sim.prime(sim.shard_state(state))
+    got = sim.user_order(ts)
+    exact = np.asarray(direct.acc_direct(
+        jnp.asarray(state.pos), jnp.asarray(state.mass),
+        softening="plummer", eps=1e-3, g=1.0,
+    ))
+    scale = np.linalg.norm(exact, axis=-1).mean()
+    err = np.linalg.norm(np.asarray(got.acc) - exact, axis=-1) / scale
+    assert np.median(err) < 5e-3, np.median(err)
+
+
+def test_tree2_far3_path():
+    """The 3-level far field composes with the sharded evaluation
+    (SUPER shrunk so several superclusters exist at test size)."""
+    d = 4
+    old = tree.SUPER
+    tree.SUPER = 4
+    try:
+        n = d * LEAF * tree.SUPER  # 4 supers of 4 clusters
+        state = _scene(n, seed=4)
+        mesh = ring.make_mesh(d)
+        sim = tree2.ShardedTreeSimulation(
+            mesh, n, theta=0.5, softening="plummer", eps=1e-3, g=1.0,
+            backend="xla", multipole_order=2, far_levels=3,
+        )
+        ts = sim.prime(sim.shard_state(state))
+        got = sim.user_order(ts)
+        exact = np.asarray(direct.acc_direct(
+            jnp.asarray(state.pos), jnp.asarray(state.mass),
+            softening="plummer", eps=1e-3, g=1.0,
+        ))
+        scale = np.linalg.norm(exact, axis=-1).mean()
+        err = np.linalg.norm(np.asarray(got.acc) - exact, axis=-1) / scale
+        assert np.median(err) < 5e-3, np.median(err)
+    finally:
+        tree.SUPER = old
+
+
+def test_tree2_halo_cap_degrades_gracefully():
+    """A tiny halo cap must not crash or corrupt: dropped remote clusters
+    fall back to far-field accuracy and are counted by diagnose()."""
+    d = 4
+    n = d * LEAF * 2
+    state = _scene(n, seed=5)
+    mesh = ring.make_mesh(d)
+    full = tree2.ShardedTreeSimulation(
+        mesh, n, theta=0.5, softening="plummer", eps=1e-3, g=1.0,
+        backend="xla", multipole_order=2, far_levels=2,
+    )
+    tiny = tree2.ShardedTreeSimulation(
+        mesh, n, theta=0.5, softening="plummer", eps=1e-3, g=1.0,
+        backend="xla", multipole_order=2, far_levels=2, halo_cap=1,
+    )
+    ts_full = full.prime(full.shard_state(state))
+    ts_tiny = tiny.prime(tiny.shard_state(_scene(n, seed=5)))
+    diag_full = full.diagnose(ts_full)
+    diag_tiny = tiny.diagnose(ts_tiny)
+    assert diag_full["halo_overflow"] == 0
+    assert diag_tiny["halo_overflow"] > 0
+    a_full = np.asarray(full.user_order(ts_full).acc)
+    a_tiny = np.asarray(tiny.user_order(ts_tiny).acc)
+    # degraded but not corrupted: dropped clusters revert to their
+    # multipole (everything is mutually near in this tiny scene, so the
+    # error is the full quadrupole-truncation scale — bounded O(1), not
+    # garbage)
+    scale = np.linalg.norm(a_full, axis=-1).mean()
+    err = np.linalg.norm(a_tiny - a_full, axis=-1) / scale
+    assert np.all(np.isfinite(a_tiny))
+    assert np.median(err) < 1.0
+
+
+def test_tree2_required_n():
+    assert tree2.required_n(1000, 8, far_levels=2) == 8 * LEAF
+    assert tree2.required_n(8 * LEAF, 8, far_levels=2) == 8 * LEAF
+    n3 = tree2.required_n(100_000, 8, far_levels=3)
+    assert n3 % (8 * LEAF * tree.SUPER) == 0
+
+
+def test_tree2_energy_conservation():
+    """Leapfrog + sharded tree conserves energy over a short rollout."""
+    from spacetpu.ops import energy
+
+    d = 8
+    n = d * LEAF
+    state = _scene(n, seed=7)
+    mesh = ring.make_mesh(d)
+    sim = tree2.ShardedTreeSimulation(
+        mesh, n, theta=0.4, softening="plummer", eps=1e-2, g=1.0,
+        backend="xla", multipole_order=2, resort_every=8,
+    )
+    ts = sim.prime(sim.shard_state(state))
+    s0 = sim.user_order(ts)
+    e0 = float(energy.total_energy(s0.pos, s0.vel, s0.mass, eps=1e-2, g=1.0))
+    ts = sim.run(ts, 1e-3, 24)
+    s1 = sim.user_order(ts)
+    e1 = float(energy.total_energy(s1.pos, s1.vel, s1.mass, eps=1e-2, g=1.0))
+    assert abs((e1 - e0) / e0) < 1e-4
