@@ -160,6 +160,15 @@ def run_headless(cfg: RunConfig, scene: Scene, state: State):
 
 def main(argv=None):
     cfg = parse_args(argv)
+    if cfg.coordinator:
+        # must happen before any device query (parallel/multihost.py)
+        from spacetpu.parallel import multihost
+
+        multihost.initialize(
+            coordinator_address=cfg.coordinator,
+            num_processes=cfg.num_processes or None,
+            process_id=cfg.process_id if cfg.process_id >= 0 else None,
+        )
     scene = build_scene(cfg)
     state, scene = resolve_state(cfg, scene)
     # device enumeration log: the analogue of the reference's adapter
@@ -181,12 +190,12 @@ def main(argv=None):
     engine = build_engine(cfg, scene, state)
     source = FrameSource(engine, scene, width=cfg.width, height=cfg.height,
                          auto_frame=cfg.auto_frame,
-                         trail_length=cfg.trail_length)
+                         trail_length=cfg.trail_length, blend=cfg.blend)
     with engine:
         if cfg.frontend == "offline":
             OfflineViewer(source, cfg.out_dir).run(cfg.frames, gif=cfg.gif)
         else:
-            TerminalViewer(source).run(max_frames=cfg.frames)
+            TerminalViewer(source, graphics=cfg.term_graphics).run(max_frames=cfg.frames)
     if cfg.checkpoint and engine.final_state is not None:
         checkpoint.save(cfg.checkpoint, engine.final_state, scene=scene)
         print(f"checkpoint written to {cfg.checkpoint}")

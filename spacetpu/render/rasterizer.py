@@ -315,6 +315,61 @@ def render_scene(trail_history, trail_ages, colors, radii_world, view, proj, *,
     )
 
 
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def render_ordered(trail_history, trail_ages, colors, radii_world, view,
+                   proj, *, width: int, height: int, origin_shift=None,
+                   min_clip_size=MIN_CIRCLE_SIZE, trail_subdiv: int = 2,
+                   exposure=1.0):
+    """Depth-ordered alpha-over body rendering for few-body scenes.
+
+    Both reference pipelines alpha-blend in draw order
+    (`/root/reference/space/src/circle_pipeline.rs:42-56`); purely additive
+    splatting lets a sun shine through the planet in front of it. This
+    path composites bodies back-to-front with the exact radial circle_fs
+    profile (1-d^2)^2 as alpha — a lax.scan of dense (H, W) blends, which
+    is the right trade below a few hundred bodies (solar-system scenes;
+    the additive path remains the scalable default for clouds). Trails
+    render additively underneath."""
+    dtype = trail_history.dtype
+    n = trail_history.shape[1]
+    if origin_shift is not None:
+        trail_history = trail_history - origin_shift[None, None, :]
+
+    # additive trails as the base layer (no bodies: weight their group out)
+    base = render_scene(
+        trail_history, trail_ages, colors, jnp.zeros((n,), dtype),
+        view, proj, width=width, height=height, min_clip_size=0.0,
+        trail_subdiv=trail_subdiv, exposure=exposure,
+    )
+
+    e = proj[0, 0].astype(dtype)
+    newest_age = jnp.argmin(trail_ages)
+    bodies = trail_history[newest_age]
+    px, py, pixel_radius, valid = project(
+        bodies, view.astype(dtype), proj.astype(dtype), width=width,
+        height=height, min_clip_size=jnp.asarray(min_clip_size, dtype),
+        radii_clip=e * radii_world.astype(dtype),
+    )
+    # view-space depth for the painter's order (farthest first)
+    hom = jnp.concatenate([bodies, jnp.ones((n, 1), dtype)], axis=-1)
+    depth = -(hom @ view.astype(dtype).T)[:, 2]
+    order = jnp.argsort(jnp.where(valid, -depth, jnp.inf))
+
+    ys = jnp.arange(height, dtype=dtype)[:, None]
+    xs = jnp.arange(width, dtype=dtype)[None, :]
+
+    def composite(frame, i):
+        cx, cy = px[i], py[i]
+        r = jnp.maximum(pixel_radius[i], 1.0)
+        d2 = ((xs - cx) ** 2 + (ys - cy) ** 2) / (r * r)
+        a = jnp.clip(1.0 - d2, 0.0, 1.0) ** 2 * valid[i].astype(dtype)
+        frame = frame * (1.0 - a[..., None]) + a[..., None] * colors[i]
+        return frame, None
+
+    frame, _ = jax.lax.scan(composite, base, order)
+    return jnp.clip(frame, 0.0, 1.0)
+
+
 def to_u8(frame) -> np.ndarray:
     """Device float framebuffer -> host uint8 (H, W, 3)."""
     return np.asarray(jnp.round(jnp.clip(frame, 0, 1) * 255).astype(jnp.uint8))

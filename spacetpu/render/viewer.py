@@ -69,7 +69,8 @@ class FrameSource:
 
     def __init__(self, engine: SimEngine, scene: Scene, *,
                  width: int = 960, height: int = 540, auto_frame: bool = True,
-                 trail_length: int = constants.TRAIL_MAX_LENGTH):
+                 trail_length: int = constants.TRAIL_MAX_LENGTH,
+                 blend: str = "auto"):
         self.engine = engine
         self.scene = scene
         self.width = width
@@ -82,6 +83,12 @@ class FrameSource:
         self.radii = jnp.asarray(scene.radii, jnp.float32)
         self.info = InfoPanel()
         self._latest_positions = np.zeros((scene.n, 3), np.float32)
+        if blend not in ("auto", "ordered", "additive"):
+            raise ValueError(f"unknown blend mode {blend!r}")
+        # depth-ordered alpha-over for few-body scenes (opaque planets);
+        # additive glow splatting for clouds (rasterizer.render_ordered)
+        self.blend = ("ordered" if scene.n <= 128 else "additive"
+                      ) if blend == "auto" else blend
 
     def apply_keys(self, k: KeyState):
         cam = self.camera
@@ -114,9 +121,14 @@ class FrameSource:
                 shift = jnp.asarray(
                     snapshot[self.camera.relative_target % len(snapshot)]
                 )
-            from spacetpu.render.fastsplat import render_scene_auto
+            if self.blend == "ordered":
+                render_fn = rasterizer.render_ordered
+            else:
+                from spacetpu.render.fastsplat import (
+                    render_scene_auto as render_fn,
+                )
 
-            fb = render_scene_auto(
+            fb = render_fn(
                 self.trails.history,
                 trails.ages(self.trails),
                 self.colors,
@@ -193,23 +205,21 @@ class OfflineViewer:
 
 
 def _frame_to_ansi(rgb: np.ndarray) -> str:
-    """(H, W, 3) uint8 -> truecolor half-block string (2 rows per line)."""
-    h = rgb.shape[0] - (rgb.shape[0] % 2)
-    top = rgb[0:h:2]
-    bot = rgb[1:h:2]
-    lines = []
-    for tr, br in zip(top, bot):
-        parts = []
-        for (r1, g1, b1), (r2, g2, b2) in zip(tr, br):
-            parts.append(
-                f"\x1b[38;2;{r1};{g1};{b1}m\x1b[48;2;{r2};{g2};{b2}m▀"
-            )
-        lines.append("".join(parts) + "\x1b[0m")
-    return "\n".join(lines)
+    """(H, W, 3) uint8 -> truecolor half-block string (2 rows per line).
+    Vectorized escape-buffer assembly (render/termgfx.py)."""
+    from spacetpu.render import termgfx
+
+    return termgfx.ansi_halfblocks(rgb).decode("utf-8").rstrip("\n")
 
 
 class TerminalViewer:
-    """Interactive ANSI frontend with the reference's key bindings."""
+    """Interactive terminal frontend with the reference's key bindings.
+
+    Renders real pixels through the kitty graphics protocol, iTerm2
+    inline images, or sixel when the terminal supports one (detected from
+    the environment, overridable via --term-graphics), falling back to
+    truecolor ANSI half-blocks anywhere else — the closest a TTY gets to
+    the reference's vsync'd wgpu window (surface.rs:140-156)."""
 
     KEYMAP = {
         "w": "w", "a": "a", "s": "s", "d": "d",
@@ -220,9 +230,16 @@ class TerminalViewer:
         "\x1b[H": "home", "\x1b[5~": "pgup",
     }
 
-    def __init__(self, source: FrameSource, fps: float = 20.0):
+    def __init__(self, source: FrameSource, fps: float = 20.0,
+                 graphics: str = "auto"):
+        from spacetpu.render import termgfx
+
         self.source = source
         self.fps = fps
+        if graphics not in termgfx.PROTOCOLS:
+            raise ValueError(f"graphics must be one of {termgfx.PROTOCOLS}")
+        self.graphics = (termgfx.detect_protocol() if graphics == "auto"
+                         else graphics)
 
     def _read_keys(self) -> KeyState:
         """Non-blocking drain of stdin escape sequences."""
@@ -249,12 +266,28 @@ class TerminalViewer:
     def _fit_to_terminal(self):
         """Resize the framebuffer to the terminal (the resize handling of
         event_loop.rs:171-175 / ui.rs:85-88). Half-block rendering gives 2
-        pixel rows per text row; one row is reserved for the info line."""
+        pixel rows per text row (one row reserved for the info line); the
+        pixel protocols use the TTY-reported pixel area when available."""
         import shutil
 
+        from spacetpu.render import termgfx
+
         cols, rows = shutil.get_terminal_size()
-        w = max(32, cols)
-        h = max(32, (rows - 2) * 2)
+        if self.graphics == "ansi":
+            w = max(32, cols)
+            h = max(32, (rows - 2) * 2)
+        else:
+            px = termgfx.terminal_pixel_size()
+            if px is not None:
+                cell_h = max(1, px[1] // max(rows, 1))
+                w, h = px[0], max(32, px[1] - 2 * cell_h)
+            else:
+                # no pixel report: assume ~10x20 px cells
+                w, h = cols * 10, max(32, (rows - 2) * 20)
+            if self.graphics == "sixel":  # chatty protocol: cap resolution
+                w, h = min(w, 640), min(h, 400)
+        w -= w % 2
+        h -= h % 2
         if (w, h) != (self.source.width, self.source.height):
             self.source.width = w
             self.source.height = h
@@ -283,9 +316,19 @@ class TerminalViewer:
                 if keys.quit:
                     break
                 self.source.apply_keys(keys)
-                ansi = _frame_to_ansi(self.source.frame())
+                from spacetpu.render import termgfx
+
+                frame = termgfx.encode_frame(self.source.frame(),
+                                             self.graphics)
                 info = " | ".join(self.source.info_lines())
-                sys.stdout.write("\x1b[H" + ansi + "\n\x1b[0m" + info + "\x1b[K\n")
+                if self.graphics == "ansi":
+                    buf = (b"\x1b[H" + frame + b"\x1b[0m" + info.encode()
+                           + b"\x1b[K\n")
+                else:
+                    # pixel frame from the top-left, info on the last row
+                    buf = (b"\x1b[H" + frame + b"\x1b[999;1H\x1b[0m"
+                           + info.encode() + b"\x1b[K")
+                sys.stdout.buffer.write(buf)
                 sys.stdout.flush()
                 frame_i += 1
                 dt = 1.0 / self.fps - (time.monotonic() - t0)

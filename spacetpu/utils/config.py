@@ -34,6 +34,12 @@ class RunConfig:
     dtype: str = "float32"
     compensated: bool = True  # Kahan-compensated f32 integration
     frontend: str = "terminal"  # terminal | offline | none
+    term_graphics: str = "auto"  # auto | kitty | iterm2 | sixel | ansi
+    blend: str = "auto"  # auto | ordered | additive (body compositing)
+    # multi-host: join a jax.distributed runtime before touching devices
+    coordinator: str = ""  # host:port of process 0 ("" = single process)
+    num_processes: int = 0
+    process_id: int = -1
     width: int = 960
     height: int = 540
     trail_length: int = constants.TRAIL_MAX_LENGTH  # ring buffer snapshots
@@ -97,6 +103,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help="disable Kahan-compensated integration")
     p.add_argument("--frontend", default=d.frontend,
                    choices=["terminal", "offline", "none"])
+    p.add_argument("--coordinator", default=d.coordinator,
+                   help="multi-host: coordinator host:port (all processes "
+                        "run the same command; see parallel/multihost.py)")
+    p.add_argument("--num-processes", dest="num_processes", type=int,
+                   default=d.num_processes)
+    p.add_argument("--process-id", dest="process_id", type=int,
+                   default=d.process_id)
+    p.add_argument("--blend", default=d.blend,
+                   choices=["auto", "ordered", "additive"],
+                   help="body compositing: depth-ordered alpha-over "
+                        "(few-body scenes; auto for N<=128) or additive "
+                        "glow splatting")
+    p.add_argument("--term-graphics", dest="term_graphics",
+                   default=d.term_graphics,
+                   choices=["auto", "kitty", "iterm2", "sixel", "ansi"],
+                   help="terminal frontend pixel protocol (auto-detected; "
+                        "ansi = half-block fallback)")
     p.add_argument("--width", type=int, default=d.width)
     p.add_argument("--height", type=int, default=d.height)
     p.add_argument("--trail-length", type=int, default=d.trail_length,

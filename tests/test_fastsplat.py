@@ -156,3 +156,63 @@ def test_render_scene_fast_smoke():
     lit = ref.sum(-1) > 1e-3
     frac = fast.sum(-1)[lit].sum() / max(fast.sum(), 1e-9)
     assert frac > 0.6, frac
+
+
+def test_polyline_trail_continuity():
+    """A fast body's trail segment renders as a continuous stroke: every
+    pixel along the projected line is lit (the fixed-subdiv path beaded —
+    VERDICT r1 missing #2)."""
+    from spacetpu.render import trails
+    from spacetpu.render.camera import Camera
+
+    w, h = 256, 96
+    cam = Camera(w, h)
+    # newest segment ~115 px wide (the older segment fades to zero by the
+    # reference's trail-age alpha, line_vs — test the visible one)
+    tb = trails.make_trails(1, t=3)
+    tb = trails.push(tb, jnp.asarray([[-0.75, 0.0, 0.0]], jnp.float32))
+    tb = trails.push(tb, jnp.asarray([[-0.75, 0.0, 0.0]], jnp.float32))
+    tb = trails.push(tb, jnp.asarray([[0.75, 0.0, 0.0]], jnp.float32))
+    colors = jnp.asarray([[1.0, 1.0, 1.0]], jnp.float32)
+    radii = jnp.asarray([1e-6], jnp.float32)
+    frame = np.asarray(fs.render_scene_fast(
+        tb.history, trails.ages(tb), colors, radii,
+        jnp.asarray(cam.view()), jnp.asarray(cam.projection()),
+        width=w, height=h, interpret=True, trail_subdiv=40,
+    ))
+    row = frame[:, :, 0].max(axis=0)  # brightest per column
+    lit = np.where(row > 0.005)[0]
+    assert lit.size > 80, f"trail did not span the segment ({lit.size})"
+    x0, x1 = lit.min(), lit.max()
+    assert x1 - x0 > 80
+    # continuous: no dark gaps inside the stroke
+    assert np.all(row[x0:x1 + 1] > 0.005), "beaded trail (gaps in stroke)"
+
+
+def test_ordered_blending_occludes():
+    """Depth-ordered alpha-over: the near body covers the far one where
+    they overlap (additive splatting lets it shine through) — matches the
+    reference's draw-order blending (circle_pipeline.rs:42-56)."""
+    from spacetpu.render import rasterizer, trails
+    from spacetpu.render.camera import Camera
+
+    w, h = 128, 96
+    cam = Camera(w, h)  # default eye at (0, 0, 2) looking at origin
+    # far body: big bright red behind; near body: green in front
+    pos = np.array([[0.0, 0.0, -0.5], [0.0, 0.0, 0.5]], np.float32)
+    tb = trails.make_trails(2, t=2)
+    tb = trails.push(tb, jnp.asarray(pos))
+    colors = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], jnp.float32)
+    radii = jnp.asarray([0.5, 0.15], jnp.float32)
+    frame = np.asarray(rasterizer.render_ordered(
+        tb.history, trails.ages(tb), colors, radii,
+        jnp.asarray(cam.view()), jnp.asarray(cam.projection()),
+        width=w, height=h,
+    ))
+    center = frame[h // 2, w // 2]
+    assert center[1] > 0.9, center  # green fully covers
+    assert center[0] < 0.1, center  # no red bleeding through the center
+    # the far body's rim is still visible around the near one's disc
+    ring = frame[h // 2, w // 2 + 16]
+    assert ring[0] > 0.1, ring
+    assert ring[0] > ring[1], ring
