@@ -40,9 +40,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from spacetpu import constants
+from spacetpu.ops import cluster as cluster_ops
 from spacetpu.ops import direct, morton
 
-#: real bodies per leaf cluster; +1 slot for the -M pseudo-body => 256 block
+#: default real bodies per leaf cluster; +1 slot for the -M pseudo-body
+#: => 256-lane block. Smaller leaves cut the near-phase pair count roughly
+#: in half per halving (near lists cover a fixed *cluster* neighborhood;
+#: fewer bodies per cluster pair) at the price of more far-field columns —
+#: the sweet spot is scene- and backend-dependent (see BENCH_NOTES); every
+#: entry point below takes `leaf` (block = leaf + 1 must divide
+#: NEAR_TILE_J, i.e. leaf in {31, 63, 127, 255, ...}).
 LEAF = 255
 BLOCK = LEAF + 1
 
@@ -238,19 +245,25 @@ def _near_lists_hier(com, m_tot, r_src, r_tgt, theta: float, k_near: int,
 HIER_NEAR_CUTOFF = 2048
 
 
-def measure_k_near(pos, mass, *, theta: float, gg: int, headroom: float = 1.25,
-                   chunk: int = 2048) -> int:
-    """Measure the scene's actual maximum near-cluster count and return a
-    static cap sized to it (x headroom for drift, rounded up to 8).
+def measure_near(pos, mass, *, theta: float, gg: int, leaf: int = LEAF,
+                 cluster_mode: str = "equal", headroom: float = 1.25,
+                 chunk: int = 2048) -> dict:
+    """Measure the scene's near-list shape for static sizing (host-side,
+    prime-time): per-cluster near counts -> the k_near cap, the pair-mode
+    tile capacities, and the actual adaptive cluster count.
 
     Equal-count Hilbert clusters give huge radii in sparse regions of
     high-density-contrast scenes (e.g. a Plummer sphere), where the
     geometric default_k_near underestimates badly: measured on
     plummer_sphere(30k) at theta=0.5 the default cap of 83 left every
     cluster overflowed and cost median force error 2.8e-2; the measured
-    cap recovers 1e-14. Runs chunked on device — O(chunk * G) memory."""
-    perm, _ = morton.morton_order(pos)
-    stats = tree_sorted_stats(pos, mass, perm, gg)
+    cap recovers 1e-14. Runs chunked on device — O(chunk * G) memory.
+
+    Returns dict(k_near, near_tiles, near_tiles_q, n_clusters): all
+    headroom-scaled; near_tiles are capacities for tree_prep's
+    near_mode="pairs" lists (pj = NEAR_TILE_J/block and NEAR_QUAD_PJ)."""
+    _, _, clusters, stats = _build_clustering(pos, mass, gg, leaf,
+                                              cluster_mode)
     com, m_tot = stats["com"], stats["m_tot"]
     r_src, r_tgt = stats["r_src"], stats["r_tgt"]
 
@@ -261,19 +274,45 @@ def measure_k_near(pos, mass, *, theta: float, gg: int, headroom: float = 1.25,
         near = (r_src[None, :] >= theta * (dist - rt_t[:, None])) & (
             m_tot[None, :] > 0
         )
-        return jnp.max(jnp.sum(near, axis=1))
+        return jnp.sum(near, axis=1)
 
     chunk_n = min(chunk, gg)
     starts = jnp.arange(0, gg, chunk_n)  # tail chunk re-reads rows; harmless
     starts = jnp.minimum(starts, gg - chunk_n)
-    max_ct = int(jnp.max(jax.lax.map(count_chunk, starts)))
-    k = int(max_ct * headroom) + 8
-    k = -(-k // 8) * 8
-    return max(8, min(gg, k))
+    counts = jax.lax.map(count_chunk, starts).reshape(-1)
+    # drop tail re-reads: rebuild the exact per-cluster counts
+    import numpy as _np
+
+    counts = _np.asarray(counts)
+    rows = _np.concatenate(
+        [_np.arange(int(c0), int(c0) + chunk_n) for c0 in _np.asarray(starts)]
+    )
+    exact = _np.zeros(gg, _np.int64)
+    exact[rows] = counts
+    k = int(int(exact.max()) * headroom) + 8
+    k = max(8, min(gg, -(-k // 8) * 8))
+    pj = NEAR_TILE_J // (leaf + 1)
+    tiles = int(_np.maximum(-(-exact // pj), 1).sum())
+    tiles_q = int(_np.maximum(-(-exact // NEAR_QUAD_PJ), 1).sum())
+    return dict(
+        k_near=k,
+        near_tiles=int(tiles * headroom) + 8,
+        near_tiles_q=int(tiles_q * headroom) + 8,
+        n_clusters=int(clusters.n_clusters),
+    )
+
+
+def measure_k_near(pos, mass, *, theta: float, gg: int, headroom: float = 1.25,
+                   chunk: int = 2048) -> int:
+    """Back-compat wrapper: the measured k_near cap only."""
+    return measure_near(
+        pos, mass, theta=theta, gg=gg, headroom=headroom, chunk=chunk
+    )["k_near"]
 
 
 def near_lists(com, m_tot, r_src, r_tgt, theta: float, k_near: int):
     """(G, K) near-cluster lists + on-device overflow count."""
+    k_near = min(k_near, com.shape[0])
     if com.shape[0] > HIER_NEAR_CUTOFF:
         return _near_lists_hier(com, m_tot, r_src, r_tgt, theta, k_near)
     return _near_lists(com, m_tot, r_src, r_tgt, theta, k_near)
@@ -281,22 +320,24 @@ def near_lists(com, m_tot, r_src, r_tgt, theta: float, k_near: int):
 
 def _pack_augmented(pos_g, mass_g, com, m_tot, g_const, *,
                     monopole_pseudo: bool = True):
-    """Source operand (8, (G+1)*BLOCK): per cluster LEAF bodies followed by
-    a pseudo-body slot at the COM carrying -M (so a direct pass computes
+    """Source operand (8, (G+1)*block): per cluster `leaf` bodies followed
+    by a pseudo-body slot at the COM carrying -M (so a direct pass computes
     direct-minus-monopole in one sweep), plus a trailing all-zero null
     cluster. With monopole_pseudo=False the pseudo slot is massless (the
-    quadrupole path subtracts the full multipole in a separate eval)."""
-    gg = pos_g.shape[0]
+    quadrupole path subtracts the full multipole in a separate eval).
+    block = pos_g.shape[1] + 1."""
+    gg, leaf = pos_g.shape[:2]
+    block = leaf + 1
     dtype = pos_g.dtype
-    aug_pos = jnp.concatenate([pos_g, com[:, None, :]], axis=1)  # (G, BLOCK, 3)
+    aug_pos = jnp.concatenate([pos_g, com[:, None, :]], axis=1)  # (G, block, 3)
     pseudo_gm = (-m_tot[:, None] * g_const if monopole_pseudo
                  else jnp.zeros((gg, 1), dtype))
     aug_gm = jnp.concatenate([mass_g * g_const, pseudo_gm], axis=1)
-    rows = jnp.zeros((8, (gg + 1) * BLOCK), dtype)
-    rows = rows.at[:3, : gg * BLOCK].set(
-        aug_pos.reshape(gg * BLOCK, 3).T
+    rows = jnp.zeros((8, (gg + 1) * block), dtype)
+    rows = rows.at[:3, : gg * block].set(
+        aug_pos.reshape(gg * block, 3).T
     )
-    rows = rows.at[3, : gg * BLOCK].set(aug_gm.reshape(gg * BLOCK))
+    rows = rows.at[3, : gg * block].set(aug_gm.reshape(gg * block))
     return rows
 
 
@@ -396,16 +437,18 @@ def _superfar_refine_table(summaries, super_summaries, idx2):
 _SUPERFAR_TILE_J = 512
 
 
-def _superfar_refine_pallas(tcols, strips, *, eps, interpret):
+def _superfar_refine_pallas(tcols, strips, *, eps, interpret,
+                            block: int = BLOCK):
     """Evaluate the per-super refinement strips against their own target
-    clusters. tcols: (G*BLOCK, 8) packed targets with G a multiple of
-    SUPER; strips: (16, G2*S_pad). -> (G*LEAF, 3).
+    clusters. tcols: (G*block, 8) packed targets with G a multiple of
+    SUPER; strips: (16, G2*S_pad). -> (G*leaf, 3).
 
     Grid is (supers, clusters-in-super, strip tiles) so every index map is
     affine in the grid coordinates."""
     from spacetpu.ops.pallas_direct import _kernel_quad
 
-    gg = tcols.shape[0] // BLOCK
+    leaf = block - 1
+    gg = tcols.shape[0] // block
     g2 = gg // SUPER
     s_pad = strips.shape[1] // g2
     s_blocks = s_pad // _SUPERFAR_TILE_J
@@ -413,7 +456,7 @@ def _superfar_refine_pallas(tcols, strips, *, eps, interpret):
         functools.partial(_kernel_quad, eps=float(eps)),
         grid=(g2, SUPER, s_blocks),
         in_specs=[
-            pl.BlockSpec((BLOCK, 8), lambda a2, i, j: (a2 * SUPER + i, 0),
+            pl.BlockSpec((block, 8), lambda a2, i, j: (a2 * SUPER + i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (16, _SUPERFAR_TILE_J),
@@ -421,40 +464,41 @@ def _superfar_refine_pallas(tcols, strips, *, eps, interpret):
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec((BLOCK, 8), lambda a2, i, j: (a2 * SUPER + i, 0),
+        out_specs=pl.BlockSpec((block, 8), lambda a2, i, j: (a2 * SUPER + i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((gg * BLOCK, 8), tcols.dtype),
+        out_shape=jax.ShapeDtypeStruct((gg * block, 8), tcols.dtype),
         interpret=interpret,
     )(tcols, strips)
-    return out.reshape(gg, BLOCK, 8)[:, :LEAF, :3].reshape(gg * LEAF, 3)
+    return out.reshape(gg, block, 8)[:, :leaf, :3].reshape(gg * leaf, 3)
 
 
 def _superfar_refine_xla(pos_g, strips, *, eps):
     """XLA fallback: per-super strip evaluation via lax.map."""
     from spacetpu.ops.pallas_direct import acc_cross_quad_xla
 
-    gg = pos_g.shape[0]
+    gg, leaf = pos_g.shape[:2]
     g2 = gg // SUPER
     s_pad = strips.shape[1] // g2
     strips = strips.reshape(16, g2, s_pad)
-    targets = pos_g.reshape(g2, SUPER * LEAF, 3)
+    targets = pos_g.reshape(g2, SUPER * leaf, 3)
 
     def one_super(args):
         tgt, strip = args
         return acc_cross_quad_xla(tgt, strip, eps=eps)
 
     out = jax.lax.map(one_super, (targets, strips.transpose(1, 0, 2)))
-    return out.reshape(gg * LEAF, 3)
+    return out.reshape(gg * leaf, 3)
 
 
 def _pack_targets(pos_g):
-    """Target operand (G*BLOCK, 8): LEAF bodies + one dummy row per cluster
+    """Target operand (G*block, 8): leaf bodies + one dummy row per cluster
     (keeps target blocks congruent with source blocks)."""
-    gg = pos_g.shape[0]
+    gg, leaf = pos_g.shape[:2]
+    block = leaf + 1
     dtype = pos_g.dtype
-    tg = jnp.zeros((gg, BLOCK, 8), dtype)
-    tg = tg.at[:, :LEAF, :3].set(pos_g)
-    return tg.reshape(gg * BLOCK, 8)
+    tg = jnp.zeros((gg, block, 8), dtype)
+    tg = tg.at[:, :leaf, :3].set(pos_g)
+    return tg.reshape(gg * block, 8)
 
 
 #: lane width of the near-correction source tiles; K*BLOCK is padded to a
@@ -468,30 +512,33 @@ NEAR_TILE_J = 2048
 NEAR_CLUSTER_CHUNK = 4096
 
 
-def _near_correction_pallas(tcols, srows, idx, *, softening, eps, interpret):
+def _near_correction_pallas(tcols, srows, idx, *, softening, eps, interpret,
+                            block: int = BLOCK):
     """Chunked wrapper: see _near_correction_chunk."""
-    gg_t = tcols.shape[0] // BLOCK
+    gg_t = tcols.shape[0] // block
     if gg_t <= NEAR_CLUSTER_CHUNK:
         return _near_correction_chunk(
             tcols, srows, idx, softening=softening, eps=eps,
-            interpret=interpret,
+            interpret=interpret, block=block,
         )
     outs = []
     for c0 in range(0, gg_t, NEAR_CLUSTER_CHUNK):
         c1 = min(c0 + NEAR_CLUSTER_CHUNK, gg_t)
         outs.append(
             _near_correction_chunk(
-                tcols[c0 * BLOCK : c1 * BLOCK], srows, idx[c0:c1],
+                tcols[c0 * block : c1 * block], srows, idx[c0:c1],
                 softening=softening, eps=eps, interpret=interpret,
+                block=block,
             )
         )
     return jnp.concatenate(outs, axis=0)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("softening", "eps", "interpret")
+    jax.jit, static_argnames=("softening", "eps", "interpret", "block")
 )
-def _near_correction_chunk(tcols, srows, idx, *, softening, eps, interpret):
+def _near_correction_chunk(tcols, srows, idx, *, softening, eps, interpret,
+                           block: int = BLOCK):
     """Near-field correction with wide tiles.
 
     The naive formulation — one (256-target, 256-source) block per
@@ -505,26 +552,26 @@ def _near_correction_chunk(tcols, srows, idx, *, softening, eps, interpret):
     the all-zero null cluster.
     """
     from spacetpu.ops.pallas_direct import _kernel as _near_kernel
-    gg = tcols.shape[0] // BLOCK
+    gg = tcols.shape[0] // block
     k_near = idx.shape[1]
-    strip = k_near * BLOCK  # source columns per target cluster
+    strip = k_near * block  # source columns per target cluster
     if strip % NEAR_TILE_J != 0:
-        raise ValueError(f"k_near*BLOCK={strip} not a multiple of {NEAR_TILE_J}")
+        raise ValueError(f"k_near*block={strip} not a multiple of {NEAR_TILE_J}")
     s_blocks = strip // NEAR_TILE_J
 
-    # Gather whole clusters (contiguous (8, BLOCK) chunks) — a blocked
+    # Gather whole clusters (contiguous (8, block) chunks) — a blocked
     # gather is orders faster than per-column gathers on TPU.
-    n_src = srows.shape[1] // BLOCK
+    n_src = srows.shape[1] // block
     gathered = jnp.take(
-        srows.reshape(8, n_src, BLOCK), idx.astype(jnp.int32), axis=1
-    )  # (8, G, K, BLOCK)
+        srows.reshape(8, n_src, block), idx.astype(jnp.int32), axis=1
+    )  # (8, G, K, block)
     gathered = gathered.reshape(8, gg * strip)
 
     out = pl.pallas_call(
         functools.partial(_near_kernel, softening=softening, eps=float(eps)),
         grid=(gg, s_blocks),
         in_specs=[
-            pl.BlockSpec((BLOCK, 8), lambda a, j: (a, 0),
+            pl.BlockSpec((block, 8), lambda a, j: (a, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (8, NEAR_TILE_J),
@@ -532,22 +579,23 @@ def _near_correction_chunk(tcols, srows, idx, *, softening, eps, interpret):
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec((BLOCK, 8), lambda a, j: (a, 0),
+        out_specs=pl.BlockSpec((block, 8), lambda a, j: (a, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((gg * BLOCK, 8), tcols.dtype),
+        out_shape=jax.ShapeDtypeStruct((gg * block, 8), tcols.dtype),
         interpret=interpret,
     )(tcols, gathered)
-    return out.reshape(gg, BLOCK, 8)[:, :LEAF, :3]
+    return out.reshape(gg, block, 8)[:, : block - 1, :3]
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
-def _near_multipole_sub_pallas(tcols, summaries_neg, idx, *, eps, interpret):
+@functools.partial(jax.jit, static_argnames=("eps", "interpret", "block"))
+def _near_multipole_sub_pallas(tcols, summaries_neg, idx, *, eps, interpret,
+                               block: int = BLOCK):
     """Subtract the far-field multipole of each target cluster's K near
     clusters (their exact forces are added by the direct correction).
-    summaries_neg: (16, G+1) with gm/gQ negated. Returns (G*LEAF, 3)."""
+    summaries_neg: (16, G+1) with gm/gQ negated. Returns (G*leaf, 3)."""
     from spacetpu.ops.pallas_direct import _kernel_quad
 
-    gg_t = tcols.shape[0] // BLOCK
+    gg_t = tcols.shape[0] // block
     k = idx.shape[1]
     k_pad = ((k + 127) // 128) * 128
     if k_pad != k:
@@ -562,17 +610,18 @@ def _near_multipole_sub_pallas(tcols, summaries_neg, idx, *, eps, interpret):
         functools.partial(_kernel_quad, eps=float(eps)),
         grid=(gg_t, 1),
         in_specs=[
-            pl.BlockSpec((BLOCK, 8), lambda a, j: (a, 0),
+            pl.BlockSpec((block, 8), lambda a, j: (a, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((16, k_pad), lambda a, j: (0, a),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((BLOCK, 8), lambda a, j: (a, 0),
+        out_specs=pl.BlockSpec((block, 8), lambda a, j: (a, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((gg_t * BLOCK, 8), tcols.dtype),
+        out_shape=jax.ShapeDtypeStruct((gg_t * block, 8), tcols.dtype),
         interpret=interpret,
     )(tcols, gathered)
-    return out.reshape(gg_t, BLOCK, 8)[:, :LEAF, :3].reshape(gg_t * LEAF, 3)
+    leaf = block - 1
+    return out.reshape(gg_t, block, 8)[:, :leaf, :3].reshape(gg_t * leaf, 3)
 
 
 def _near_multipole_sub_xla(pos_g, summaries_neg, idx, *, eps):
@@ -609,13 +658,308 @@ def _near_correction_xla(pos_g, aug_pos, aug_gm, idx, *, softening, eps):
     return jax.lax.map(one_group, (pos_g, idx))
 
 
-def tree_sorted_stats(pos, mass, perm, gg: int):
+# --- pair-list near phase -------------------------------------------------
+#
+# The strip-mode near correction above pays G * k_cap * block^2 pairs: the
+# static cap must cover the WORST cluster, so scenes with skewed near-count
+# distributions (any clustered mass distribution; measured 2.4x waste on
+# fixed_cloud(300k), more on Plummer spheres) burn most of the near phase
+# on null-cluster padding. Pairs mode flattens the near lists into a tile
+# list — ceil(k_i/pj) tiles per target, ordered by target — so the kernel's
+# grid (and therefore its cost) is proportional to the actual near-pair
+# total, like the reference's per-body walk whose work is the visited-node
+# count (`/root/reference/space/src/sim/barnes_hut/mod.rs:46-76`). The
+# output block index is data-driven via scalar prefetch; tiles of one
+# target are contiguous, so each output block accumulates in VMEM across
+# its visits and is flushed exactly once.
+
+
+def near_pair_segments(idx, n_src: int, pj: int, cap_tiles: int):
+    """Flatten (G, K) near lists into the pair-kernel tile list.
+
+    idx: invalid slots = n_src (the null source). Every target gets
+    max(ceil(k_i/pj), 1) tiles (>= 1 so its output block is always
+    initialized). Returns (flat_src (cap_tiles*pj,), tile_tgt (cap_tiles,),
+    n_tiles, dropped): flat_src pads with n_src, tile_tgt pads with G (a
+    dummy target block the callers append), dropped counts valid entries
+    beyond cap_tiles (those targets degrade to far-field accuracy for the
+    dropped sources — surfaced through prep["near_overflow"])."""
+    g, k = idx.shape
+    valid = idx < n_src
+    k_i = jnp.sum(valid, axis=1).astype(jnp.int32)
+    tiles_i = jnp.maximum(-(-k_i // pj), 1)
+    csum = jnp.cumsum(tiles_i).astype(jnp.int32)
+    offs = jnp.concatenate([jnp.zeros((1,), jnp.int32), csum[:-1]])
+    n_tiles = csum[-1]
+    rank = jnp.cumsum(valid, axis=1).astype(jnp.int32) - 1
+    pos = offs[:, None] * pj + rank
+    ok = valid & (pos < cap_tiles * pj)
+    dropped = (jnp.sum(valid) - jnp.sum(ok)).astype(jnp.int32)
+    flat = jnp.full((cap_tiles * pj,), n_src, jnp.int32)
+    flat = flat.at[jnp.where(ok, pos, cap_tiles * pj).reshape(-1)].set(
+        jnp.where(ok, idx, n_src).reshape(-1).astype(jnp.int32), mode="drop"
+    )
+    t_range = jnp.arange(cap_tiles, dtype=jnp.int32)
+    tile_tgt = (
+        jnp.searchsorted(offs, t_range, side="right").astype(jnp.int32) - 1
+    )
+    tile_tgt = jnp.where(t_range < n_tiles, tile_tgt, g)
+    return flat, tile_tgt, n_tiles, dropped
+
+
+def _pairs_prologue(vfirst_ref, accin_ref, out_ref, tile):
+    """Shared accumulation tail of the pair kernels: at a target's first
+    tile in this call, seed from the running total (aliased accin — zeros
+    before the first chunk); otherwise accumulate in VMEM."""
+    t = pl.program_id(0)
+
+    @pl.when(vfirst_ref[t] != 0)
+    def _():
+        out_ref[:, :] = accin_ref[:, :] + tile
+
+    @pl.when(vfirst_ref[t] == 0)
+    def _():
+        out_ref[:, :] += tile
+
+
+def _kernel_pairs(tgt_ref, vfirst_ref, tcols_ref, strip_ref, accin_ref,
+                  out_ref, *, softening: str, eps: float):
+    """Pair-list analogue of `pallas_direct._kernel` (direct-minus-monopole
+    sources; see _pack_augmented)."""
+    del tgt_ref  # consumed by the index maps
+    xi = tcols_ref[:, 0:1]
+    yi = tcols_ref[:, 1:2]
+    zi = tcols_ref[:, 2:3]
+    xj = strip_ref[0:1, :]
+    yj = strip_ref[1:2, :]
+    zj = strip_ref[2:3, :]
+    gmj = strip_ref[3:4, :]
+    dx = xj - xi
+    dy = yj - yi
+    dz = zj - zi
+    r2 = dx * dx + dy * dy + dz * dz
+    if softening == "plummer":
+        d2 = r2 + eps * eps
+        inv = jax.lax.rsqrt(d2)
+        w = gmj * (inv * inv * inv)
+        if eps == 0.0:
+            w = jnp.where(d2 > 0.0, w, 0.0)
+    elif softening == "ref":
+        denom = r2 * jnp.sqrt(r2) + eps
+        w = gmj / denom
+        if eps == 0.0:
+            w = jnp.where(denom > 0.0, w, 0.0)
+    else:
+        raise ValueError(f"unknown softening {softening!r}")
+    ax = jnp.sum(w * dx, axis=1, keepdims=True)
+    ay = jnp.sum(w * dy, axis=1, keepdims=True)
+    az = jnp.sum(w * dz, axis=1, keepdims=True)
+    zero = jnp.zeros_like(ax)
+    tile = jnp.concatenate([ax, ay, az, zero, zero, zero, zero, zero], axis=1)
+    _pairs_prologue(vfirst_ref, accin_ref, out_ref, tile)
+
+
+def _kernel_quad_pairs(tgt_ref, vfirst_ref, tcols_ref, strip_ref, accin_ref,
+                       out_ref, *, eps: float):
+    """Pair-list analogue of `pallas_direct._kernel_quad` (used with
+    negated summaries to subtract the near clusters' far-field term)."""
+    del tgt_ref
+    xi = tcols_ref[:, 0:1]
+    yi = tcols_ref[:, 1:2]
+    zi = tcols_ref[:, 2:3]
+    xj = strip_ref[0:1, :]
+    yj = strip_ref[1:2, :]
+    zj = strip_ref[2:3, :]
+    gm = strip_ref[3:4, :]
+    qxx = strip_ref[4:5, :]
+    qyy = strip_ref[5:6, :]
+    qzz = strip_ref[6:7, :]
+    qxy = strip_ref[7:8, :]
+    qxz = strip_ref[8:9, :]
+    qyz = strip_ref[9:10, :]
+    dx = xj - xi
+    dy = yj - yi
+    dz = zj - zi
+    d2 = dx * dx + dy * dy + dz * dz + eps * eps
+    inv = jnp.where(d2 > 1e-18, jax.lax.rsqrt(jnp.maximum(d2, 1e-30)), 0.0)
+    inv2 = inv * inv
+    inv3 = inv2 * inv
+    inv4 = inv2 * inv2
+    nx = dx * inv
+    ny = dy * inv
+    nz = dz * inv
+    qn_x = qxx * nx + qxy * ny + qxz * nz
+    qn_y = qxy * nx + qyy * ny + qyz * nz
+    qn_z = qxz * nx + qyz * ny + qzz * nz
+    s = nx * qn_x + ny * qn_y + nz * qn_z
+    wm = gm * inv3
+    t2 = 2.5 * s * inv4
+    ax = jnp.sum(wm * dx + t2 * nx - qn_x * inv4, axis=1, keepdims=True)
+    ay = jnp.sum(wm * dy + t2 * ny - qn_y * inv4, axis=1, keepdims=True)
+    az = jnp.sum(wm * dz + t2 * nz - qn_z * inv4, axis=1, keepdims=True)
+    zero = jnp.zeros_like(ax)
+    tile = jnp.concatenate([ax, ay, az, zero, zero, zero, zero, zero], axis=1)
+    _pairs_prologue(vfirst_ref, accin_ref, out_ref, tile)
+
+
+#: tiles per pair-kernel launch: bounds the gathered strip to
+#: chunk * NEAR_TILE_J * 8 * 4 B (= 256 MB at 4096).
+NEAR_PAIRS_CHUNK = 4096
+#: summary columns per quad-pair tile (f32 lane tile)
+NEAR_QUAD_PJ = 128
+#: tiles per quad-pair launch (strips are (16, 128) — 8 KB/tile)
+NEAR_QUAD_CHUNK = 32768
+
+
+def _near_pairs_call(kernel, tcols_ext, strips_blocks, flat_src, tile_tgt,
+                     *, block, rows, interpret, chunk):
+    """Run a pair kernel over the tile list in gather-bounded chunks,
+    accumulating into one aliased (G+1 blocks) output buffer.
+
+    strips_blocks: (rows, n_src+1, width) source table gathered per chunk;
+    tcols_ext: ((G+1)*block, 8) targets with the dummy block appended."""
+    cap_tiles = tile_tgt.shape[0]
+    pj = flat_src.shape[0] // cap_tiles
+    width = strips_blocks.shape[2]
+    acc = jnp.zeros((tcols_ext.shape[0], 8), tcols_ext.dtype)
+    for c0 in range(0, cap_tiles, chunk):
+        c1 = min(c0 + chunk, cap_tiles)
+        nt = c1 - c0
+        gathered = jnp.take(
+            strips_blocks, flat_src[c0 * pj : c1 * pj], axis=1
+        ).reshape(rows, nt * pj * width)
+        tgt_c = tile_tgt[c0:c1]
+        vfirst = jnp.concatenate([
+            jnp.ones((1,), jnp.int32),
+            (tgt_c[1:] != tgt_c[:-1]).astype(jnp.int32),
+        ])
+        acc = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(nt,),
+                in_specs=[
+                    pl.BlockSpec((block, 8), lambda t, tgt, vf: (tgt[t], 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((rows, pj * width),
+                                 lambda t, tgt, vf: (0, t),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((block, 8), lambda t, tgt, vf: (tgt[t], 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((block, 8),
+                                       lambda t, tgt, vf: (tgt[t], 0),
+                                       memory_space=pltpu.VMEM),
+            ),
+            out_shape=jax.ShapeDtypeStruct(acc.shape, acc.dtype),
+            input_output_aliases={4: 0},
+            interpret=interpret,
+        )(tgt_c, vfirst, tcols_ext, gathered, acc)
+    return acc
+
+
+def _append_dummy_block(tcols, block):
+    return jnp.concatenate(
+        [tcols, jnp.zeros((block, 8), tcols.dtype)], axis=0
+    )
+
+
+def _near_pairs_direct_pallas(pos_g, srows, flat_src, tile_tgt, *,
+                              softening, eps, interpret):
+    """Pair-list direct(-minus-monopole) correction. srows from
+    _pack_augmented (null cluster included). Returns (G, leaf, 3)."""
+    gg, leaf = pos_g.shape[:2]
+    block = leaf + 1
+    tcols_ext = _append_dummy_block(_pack_targets(pos_g), block)
+    srows3 = srows.reshape(8, srows.shape[1] // block, block)
+    acc = _near_pairs_call(
+        functools.partial(_kernel_pairs, softening=softening, eps=float(eps)),
+        tcols_ext, srows3, flat_src, tile_tgt,
+        block=block, rows=8, interpret=bool(interpret),
+        chunk=NEAR_PAIRS_CHUNK,
+    )
+    return acc[: gg * block].reshape(gg, block, 8)[:, :leaf, :3]
+
+
+def _near_pairs_quad_pallas(pos_g, summaries_neg, flat_src, tile_tgt, *,
+                            eps, interpret):
+    """Pair-list negated-multipole subtraction. summaries_neg: (16, G+1).
+    Returns (G * leaf, 3)."""
+    gg, leaf = pos_g.shape[:2]
+    block = leaf + 1
+    tcols_ext = _append_dummy_block(_pack_targets(pos_g), block)
+    strips = summaries_neg[:, :, None]  # width-1 "blocks"
+    acc = _near_pairs_call(
+        functools.partial(_kernel_quad_pairs, eps=float(eps)),
+        tcols_ext, strips, flat_src, tile_tgt,
+        block=block, rows=16, interpret=bool(interpret),
+        chunk=NEAR_QUAD_CHUNK,
+    )
+    return acc[: gg * block].reshape(gg, block, 8)[:, :leaf, :3].reshape(
+        gg * leaf, 3
+    )
+
+
+def _near_pairs_direct_xla(pos_g, aug_pos, aug_gm, flat_src, tile_tgt, *,
+                           softening, eps):
+    """XLA fallback for the pair-list direct correction (CPU tests)."""
+    gg, leaf = pos_g.shape[:2]
+    pj = flat_src.shape[0] // tile_tgt.shape[0]
+    pos_ext = jnp.concatenate(
+        [pos_g, jnp.zeros((1, leaf, 3), pos_g.dtype)], axis=0
+    )
+    aug_pos = jnp.concatenate(
+        [aug_pos, jnp.zeros((1,) + aug_pos.shape[1:], aug_pos.dtype)], axis=0
+    )
+    aug_gm = jnp.concatenate(
+        [aug_gm, jnp.zeros((1,) + aug_gm.shape[1:], aug_gm.dtype)], axis=0
+    )
+
+    def one_tile(args):
+        tgt_id, src_ids = args
+        tgt = pos_ext[tgt_id]
+        sp = aug_pos[src_ids].reshape(-1, 3)
+        sm = aug_gm[src_ids].reshape(-1)
+        return direct.acc_cross(
+            tgt, sp, sm, softening=softening, eps=eps, g=1.0
+        )
+
+    contrib = jax.lax.map(
+        one_tile, (tile_tgt, flat_src.reshape(-1, pj))
+    )  # (T, leaf, 3)
+    acc = jax.ops.segment_sum(contrib, tile_tgt, num_segments=gg + 1)
+    return acc[:gg]
+
+
+def _near_pairs_quad_xla(pos_g, summaries_neg, flat_src, tile_tgt, *, eps):
+    """XLA fallback for the pair-list multipole subtraction."""
+    from spacetpu.ops.pallas_direct import acc_cross_quad_xla
+
+    gg, leaf = pos_g.shape[:2]
+    pj = flat_src.shape[0] // tile_tgt.shape[0]
+    pos_ext = jnp.concatenate(
+        [pos_g, jnp.zeros((1, leaf, 3), pos_g.dtype)], axis=0
+    )
+
+    def one_tile(args):
+        tgt_id, src_ids = args
+        return acc_cross_quad_xla(
+            pos_ext[tgt_id], summaries_neg[:, src_ids], eps=eps
+        )
+
+    contrib = jax.lax.map(one_tile, (tile_tgt, flat_src.reshape(-1, pj)))
+    acc = jax.ops.segment_sum(contrib, tile_tgt, num_segments=gg + 1)
+    return acc[:gg].reshape(gg * leaf, 3)
+
+
+def tree_sorted_stats(pos, mass, perm, gg: int, leaf: int = LEAF):
     """Gather bodies into the (cached or fresh) sorted order and compute
-    cluster statistics from the CURRENT positions. O(N) — cheap enough to
-    run every step even when the sort/near-lists are cached."""
+    cluster statistics from the CURRENT positions for the EQUAL-count
+    partition. O(N) — cheap enough to run every step even when the
+    sort/near-lists are cached."""
     n = pos.shape[0]
     dtype = pos.dtype
-    n_pad = gg * LEAF
+    n_pad = gg * leaf
     pos_sorted = pos[perm]
     # zero-mass padding parked at the last body's position (not the origin,
     # which would corrupt the last cluster's centroid/target radius)
@@ -627,8 +971,8 @@ def tree_sorted_stats(pos, mass, perm, gg: int):
     mass_s = jnp.concatenate(
         [mass[perm], jnp.zeros((n_pad - n,), dtype)], axis=0
     )
-    pos_g = pos_s.reshape(gg, LEAF, 3)
-    mass_g = mass_s.reshape(gg, LEAF)
+    pos_g = pos_s.reshape(gg, leaf, 3)
+    mass_g = mass_s.reshape(gg, leaf)
     com, m_tot, r_src, r_tgt = _group_stats(pos_g, mass_g)
     return dict(
         pos_s=pos_s, mass_s=mass_s, pos_g=pos_g, mass_g=mass_g,
@@ -636,18 +980,57 @@ def tree_sorted_stats(pos, mass, perm, gg: int):
     )
 
 
+def cluster_stats(pos, mass, perm, clusters):
+    """Cluster statistics from the current positions through an arbitrary
+    `cluster.Clusters` gather plan (adaptive partitions; also valid for
+    equal ones). Padded slots repeat the cluster's last real body with zero
+    mass, so centroids/radii see no foreign positions; trailing empty
+    clusters park at the last sorted body."""
+    pos_sorted = pos[perm]
+    mass_sorted = mass[perm]
+    pos_g, mass_g = cluster_ops.gather_clusters(
+        pos_sorted, mass_sorted, clusters
+    )
+    com, m_tot, r_src, r_tgt = _group_stats(pos_g, mass_g)
+    return dict(
+        pos_s=pos_sorted, mass_s=mass_sorted, pos_g=pos_g, mass_g=mass_g,
+        com=com, m_tot=m_tot, r_src=r_src, r_tgt=r_tgt,
+    )
+
+
+def _build_clustering(pos, mass, gg: int, leaf: int, cluster_mode: str):
+    """(perm, inv, clusters, stats) for either partition mode."""
+    n = pos.shape[0]
+    if cluster_mode == "adaptive":
+        perm, inv, hi_s, lo_s = morton.sfc_sort_2w(pos)
+        clusters = cluster_ops.adaptive_clusters(hi_s, lo_s, n, leaf, gg)
+        stats = cluster_stats(pos, mass, perm, clusters)
+    elif cluster_mode == "equal":
+        perm, inv = morton.morton_order(pos)
+        clusters = cluster_ops.equal_clusters(n, leaf, gg)
+        stats = tree_sorted_stats(pos, mass, perm, gg, leaf)
+    else:
+        raise ValueError(f"unknown cluster_mode {cluster_mode!r}")
+    return perm, inv, clusters, stats
+
+
 def tree_prep(pos, mass, *, theta: float, k_near: int, gg: int,
-              far_levels: int = 2):
+              far_levels: int = 2, leaf: int = LEAF,
+              cluster_mode: str = "equal", near_mode: str = "strip",
+              near_tiles: int | None = None,
+              near_tiles_q: int | None = None):
     """Phase 1: sort, clustering, statistics, near lists.
 
     Deterministic given (pos, mass) — in the sharded tree every device runs
     this redundantly on the gathered arrays and gets identical results.
-    Returns a dict of sorted/packed arrays plus perm/inv/idx (+idx2 when
-    far_levels=3: the supercluster near list shared by the far-field
-    refinement and the cluster near-list screen, so the refined set
-    provably contains every near cluster)."""
-    perm, inv = morton.morton_order(pos)
-    stats = tree_sorted_stats(pos, mass, perm, gg)
+    Returns a dict of sorted/packed arrays plus perm/inv/clusters/idx
+    (+idx2 when far_levels=3: the supercluster near list shared by the
+    far-field refinement and the cluster near-list screen, so the refined
+    set provably contains every near cluster; + the flattened tile lists
+    when near_mode="pairs" — see near_pair_segments)."""
+    perm, inv, clusters, stats = _build_clustering(
+        pos, mass, gg, leaf, cluster_mode
+    )
     if far_levels == 3:
         if gg % SUPER:
             raise ValueError(f"far_levels=3 needs gg % {SUPER} == 0, got {gg}")
@@ -667,28 +1050,66 @@ def tree_prep(pos, mass, *, theta: float, k_near: int, gg: int,
             stats["com"], stats["m_tot"], stats["r_src"], stats["r_tgt"],
             theta, k_near,
         )
-    return dict(idx=idx, idx2=idx2, perm=perm, inv=inv,
-                near_overflow=overflow, **stats)
+    prep = dict(idx=idx, idx2=idx2, perm=perm, inv=inv, clusters=clusters,
+                **stats)
+    if near_mode == "pairs":
+        block = leaf + 1
+        if NEAR_TILE_J % block:
+            raise ValueError(
+                f"near_mode='pairs' needs block=leaf+1 to divide "
+                f"{NEAR_TILE_J}, got leaf={leaf}"
+            )
+        pj = NEAR_TILE_J // block
+        if near_tiles is None:
+            near_tiles = gg * max(-(-k_near // pj), 1)
+        if near_tiles_q is None:
+            near_tiles_q = gg * max(-(-k_near // NEAR_QUAD_PJ), 1)
+        flat, ttgt, _, drop = near_pair_segments(idx, gg, pj, near_tiles)
+        flatq, ttgtq, _, dropq = near_pair_segments(
+            idx, gg, NEAR_QUAD_PJ, near_tiles_q
+        )
+        prep.update(near_flat=flat, near_tile_tgt=ttgt,
+                    nearq_flat=flatq, nearq_tile_tgt=ttgtq)
+        overflow = overflow + drop + dropq
+    elif near_mode != "strip":
+        raise ValueError(f"unknown near_mode {near_mode!r}")
+    prep["near_overflow"] = overflow + clusters.overflow
+    return prep
+
+
+#: keys of the tree_prep entries that stay valid across steps (bodies move
+#: a tiny fraction of a cluster radius per step); everything else is a
+#: statistic of the current positions and is recomputed by
+#: `acc_tree_cached` each call.
+STRUCTURE_KEYS = ("perm", "inv", "clusters", "idx", "idx2",
+                  "near_flat", "near_tile_tgt", "nearq_flat",
+                  "nearq_tile_tgt")
 
 
 def tree_structure(pos, mass, *, theta: float, k_near: int, gg: int,
-                   far_levels: int = 2):
-    """The cacheable part of tree construction: space-filling-curve sort
-    and near lists. Bodies move a tiny fraction of a cluster radius per
-    step, so (perm, inv, idx, idx2) stay valid across several steps; stats
-    are always recomputed from current positions (tree_sorted_stats)."""
+                   far_levels: int = 2, leaf: int = LEAF,
+                   cluster_mode: str = "equal", near_mode: str = "strip",
+                   near_tiles: int | None = None,
+                   near_tiles_q: int | None = None):
+    """The cacheable part of tree construction: space-filling-curve sort,
+    clustering, near lists (and their flattened pair tiles). Returns a dict
+    of the STRUCTURE_KEYS present for the given modes."""
     p = tree_prep(pos, mass, theta=theta, k_near=k_near, gg=gg,
-                  far_levels=far_levels)
-    return p["perm"], p["inv"], p["idx"], p["idx2"]
+                  far_levels=far_levels, leaf=leaf,
+                  cluster_mode=cluster_mode, near_mode=near_mode,
+                  near_tiles=near_tiles, near_tiles_q=near_tiles_q)
+    return {k: p[k] for k in STRUCTURE_KEYS if k in p}
 
 
 def tree_eval(prep: dict, c0, n_clusters: int, *, softening: str,
               eps, g, backend: str, interpret, multipole_order: int = 1,
-              far_levels: int = 2):
+              far_levels: int = 2, near_mode: str = "strip"):
     """Phases 2+3 for target clusters [c0, c0 + n_clusters): far-field
-    multipoles plus near correction, returning the sorted-order acceleration
-    block of shape (n_clusters * LEAF, 3). n_clusters is static; c0 may be
-    traced (the sharded tree slices per-device blocks).
+    multipoles plus near correction, returning the slot-order acceleration
+    block of shape (n_clusters * leaf, 3). n_clusters is static; c0 may be
+    traced (the sharded tree slices per-device blocks). near_mode="pairs"
+    (full range only) drives the near phase through the flattened tile
+    lists prep carries — cost proportional to the actual near-pair count.
 
     multipole_order=1: monopole far field; the near correction embeds a -M
     pseudo-body per source cluster so direct-minus-monopole is one pass.
@@ -714,11 +1135,14 @@ def tree_eval(prep: dict, c0, n_clusters: int, *, softening: str,
     if far_levels == 3 and multipole_order != 2:
         raise ValueError("far_levels=3 requires multipole_order=2")
     dtype = prep["pos_s"].dtype
-    gg = prep["pos_g"].shape[0]
+    gg, leaf = prep["pos_g"].shape[:2]
+    if near_mode == "pairs" and n_clusters != gg:
+        raise ValueError("near_mode='pairs' supports the full target range "
+                         "only (c0=0, n_clusters=G)")
     pos_g = jax.lax.dynamic_slice_in_dim(prep["pos_g"], c0, n_clusters, 0)
     mass_g = jax.lax.dynamic_slice_in_dim(prep["mass_g"], c0, n_clusters, 0)
     idx = jax.lax.dynamic_slice_in_dim(prep["idx"], c0, n_clusters, 0)
-    targets = pos_g.reshape(n_clusters * LEAF, 3)
+    targets = pos_g.reshape(n_clusters * leaf, 3)
     g_arr = jnp.asarray(g, dtype)
 
     if multipole_order == 2:
@@ -748,7 +1172,7 @@ def tree_eval(prep: dict, c0, n_clusters: int, *, softening: str,
             )
             acc = acc + _superfar_refine_pallas(
                 _pack_targets(pos_g), strips, eps=float(eps),
-                interpret=bool(interpret),
+                interpret=bool(interpret), block=leaf + 1,
             )
         else:
             acc = pallas_direct.acc_cross_quad_xla(
@@ -781,9 +1205,46 @@ def tree_eval(prep: dict, c0, n_clusters: int, *, softening: str,
 
     # Phase 3: near-field correction.
     monopole_pseudo = multipole_order == 1
-    if backend == "pallas":
-        if idx.shape[1] % 8 != 0:  # pad near lists with the null cluster
-            pad = 8 - idx.shape[1] % 8
+    block = leaf + 1
+    if near_mode == "pairs":
+        if backend == "pallas":
+            srows = _pack_augmented(
+                prep["pos_g"], prep["mass_g"], prep["com"], prep["m_tot"],
+                g_arr, monopole_pseudo=monopole_pseudo,
+            )
+            corr = _near_pairs_direct_pallas(
+                prep["pos_g"], srows, prep["near_flat"],
+                prep["near_tile_tgt"], softening=softening, eps=float(eps),
+                interpret=bool(interpret),
+            ).reshape(gg * leaf, 3)
+            if multipole_order == 2:
+                corr = corr + _near_pairs_quad_pallas(
+                    prep["pos_g"], summaries.at[3:10].multiply(-1.0),
+                    prep["nearq_flat"], prep["nearq_tile_tgt"],
+                    eps=float(eps), interpret=bool(interpret),
+                )
+        else:
+            aug_pos = jnp.concatenate(
+                [prep["pos_g"], prep["com"][:, None, :]], axis=1
+            )
+            pseudo_gm = (-prep["m_tot"][:, None] * g_arr if monopole_pseudo
+                         else jnp.zeros((gg, 1), dtype))
+            aug_gm = jnp.concatenate(
+                [prep["mass_g"] * g_arr, pseudo_gm], axis=1
+            )
+            corr = _near_pairs_direct_xla(
+                prep["pos_g"], aug_pos, aug_gm, prep["near_flat"],
+                prep["near_tile_tgt"], softening=softening, eps=eps,
+            ).reshape(gg * leaf, 3)
+            if multipole_order == 2:
+                corr = corr + _near_pairs_quad_xla(
+                    prep["pos_g"], summaries.at[3:10].multiply(-1.0),
+                    prep["nearq_flat"], prep["nearq_tile_tgt"], eps=eps,
+                )
+    elif backend == "pallas":
+        pad_mult = NEAR_TILE_J // block
+        if idx.shape[1] % pad_mult != 0:  # pad near lists w/ the null cluster
+            pad = pad_mult - idx.shape[1] % pad_mult
             idx = jnp.concatenate(
                 [idx, jnp.full((n_clusters, pad), gg, jnp.int32)], axis=1
             )
@@ -796,11 +1257,12 @@ def tree_eval(prep: dict, c0, n_clusters: int, *, softening: str,
         corr = _near_correction_pallas(
             tcols, srows, idx,
             softening=softening, eps=float(eps), interpret=bool(interpret),
-        ).reshape(n_clusters * LEAF, 3)
+            block=block,
+        ).reshape(n_clusters * leaf, 3)
         if multipole_order == 2:
             corr = corr + _near_multipole_sub_pallas(
                 tcols, summaries.at[3:10].multiply(-1.0), idx,
-                eps=float(eps), interpret=bool(interpret),
+                eps=float(eps), interpret=bool(interpret), block=block,
             )
     else:
         aug_pos = jnp.concatenate(
@@ -811,7 +1273,7 @@ def tree_eval(prep: dict, c0, n_clusters: int, *, softening: str,
         aug_gm = jnp.concatenate([prep["mass_g"] * g_arr, pseudo_gm], axis=1)
         corr = _near_correction_xla(
             pos_g, aug_pos, aug_gm, idx, softening=softening, eps=eps
-        ).reshape(n_clusters * LEAF, 3)
+        ).reshape(n_clusters * leaf, 3)
         if multipole_order == 2:
             corr = corr + _near_multipole_sub_xla(
                 pos_g, summaries.at[3:10].multiply(-1.0), idx, eps=eps
@@ -827,16 +1289,18 @@ def near_direct_correction(pos_g_t, idx, pool_pos_g, pool_mass_g, pool_com,
     [local clusters | halo clusters]; the single-chip pool is all
     clusters). idx: (G_t, K) slots into the pool; invalid slots point to
     len(pool) (a trailing null cluster is appended). Returns
-    (G_t * LEAF, 3)."""
+    (G_t * leaf, 3)."""
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
-    n_t = pos_g_t.shape[0]
+    n_t, leaf = pos_g_t.shape[:2]
+    block = leaf + 1
     p = pool_pos_g.shape[0]
     dtype = pos_g_t.dtype
     g_arr = jnp.asarray(g, dtype)
     if backend == "pallas":
-        if idx.shape[1] % 8 != 0:
-            pad = 8 - idx.shape[1] % 8
+        pad_mult = NEAR_TILE_J // block
+        if idx.shape[1] % pad_mult != 0:
+            pad = pad_mult - idx.shape[1] % pad_mult
             idx = jnp.concatenate(
                 [idx, jnp.full((n_t, pad), p, jnp.int32)], axis=1
             )
@@ -848,7 +1312,8 @@ def near_direct_correction(pos_g_t, idx, pool_pos_g, pool_mass_g, pool_com,
         return _near_correction_pallas(
             tcols, srows, idx,
             softening=softening, eps=float(eps), interpret=bool(interpret),
-        ).reshape(n_t * LEAF, 3)
+            block=block,
+        ).reshape(n_t * leaf, 3)
     aug_pos = jnp.concatenate(
         [pool_pos_g, pool_com[:, None, :]], axis=1
     )
@@ -857,7 +1322,7 @@ def near_direct_correction(pos_g_t, idx, pool_pos_g, pool_mass_g, pool_com,
     aug_gm = jnp.concatenate([pool_mass_g * g_arr, pseudo_gm], axis=1)
     return _near_correction_xla(
         pos_g_t, aug_pos, aug_gm, idx, softening=softening, eps=eps
-    ).reshape(n_t * LEAF, 3)
+    ).reshape(n_t * leaf, 3)
 
 
 def near_multipole_subtraction(pos_g_t, summaries, idx, *, eps, backend,
@@ -865,14 +1330,14 @@ def near_multipole_subtraction(pos_g_t, summaries, idx, *, eps, backend,
     """Subtract the quadrupole far-field of each target cluster's near
     list (idx indexes `summaries` columns; invalid = summaries null col -1
     ... callers pass idx whose invalid slots equal summaries.shape[1]-1).
-    Returns (G_t * LEAF, 3)."""
+    Returns (G_t * leaf, 3)."""
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     neg = summaries.at[3:10].multiply(-1.0)
     if backend == "pallas":
         return _near_multipole_sub_pallas(
             _pack_targets(pos_g_t), neg, idx, eps=float(eps),
-            interpret=bool(interpret),
+            interpret=bool(interpret), block=pos_g_t.shape[1] + 1,
         )
     return _near_multipole_sub_xla(pos_g_t, neg, idx, eps=eps)
 
@@ -888,11 +1353,17 @@ def resolve_far_levels(far_levels, gg: int, multipole_order: int) -> int:
     return int(far_levels)
 
 
-def _gg_for(n: int, far_levels, multipole_order: int) -> int:
-    """Cluster count for N bodies; SUPER-aligned when the 3-level far
+def _gg_for(n: int, far_levels, multipole_order: int, leaf: int = LEAF,
+            cluster_mode: str = "equal") -> int:
+    """Cluster-count cap for N bodies; SUPER-aligned when the 3-level far
     field may engage (padding clusters are zero-mass, parked at the last
-    body)."""
-    gg = max(1, math.ceil(n / LEAF))
+    body). The adaptive cap is the provable worst case — production
+    callers measure the scene instead (measure_near) and pass gg
+    explicitly."""
+    if cluster_mode == "adaptive":
+        gg = cluster_ops.g_cap_for(n, leaf)
+    else:
+        gg = max(1, math.ceil(n / leaf))
     if resolve_far_levels(far_levels, gg, multipole_order) == 3:
         gg = -(-gg // SUPER) * SUPER
     return gg
@@ -911,6 +1382,12 @@ def acc_tree(
     interpret: bool | None = None,
     multipole_order: int = 1,
     far_levels="auto",
+    leaf: int = LEAF,
+    cluster_mode: str = "equal",
+    near_mode: str = "strip",
+    near_tiles: int | None = None,
+    near_tiles_q: int | None = None,
+    gg: int | None = None,
 ):
     """Clustered Barnes-Hut acceleration: (N, 3), (N,) -> (N, 3)."""
     if softening not in direct.SOFTENINGS:
@@ -920,33 +1397,39 @@ def acc_tree(
     if g is None:
         g = constants.G
     n = pos.shape[0]
-    gg = _gg_for(n, far_levels, multipole_order)
+    if gg is None:
+        gg = _gg_for(n, far_levels, multipole_order, leaf, cluster_mode)
     far_levels = resolve_far_levels(far_levels, gg, multipole_order)
     if k_near is None:
         k_near = default_k_near(theta, gg)
 
     prep = tree_prep(pos, mass, theta=theta, k_near=k_near, gg=gg,
-                     far_levels=far_levels)
+                     far_levels=far_levels, leaf=leaf,
+                     cluster_mode=cluster_mode, near_mode=near_mode,
+                     near_tiles=near_tiles, near_tiles_q=near_tiles_q)
     acc = tree_eval(prep, 0, gg, softening=softening, eps=eps, g=g,
                     backend=backend, interpret=interpret,
-                    multipole_order=multipole_order, far_levels=far_levels)
+                    multipole_order=multipole_order, far_levels=far_levels,
+                    near_mode=near_mode)
     # Unsort back to the caller's body order (gather via the inverse
     # permutation — gathers are far cheaper than scatters on TPU).
-    return jnp.take(acc[:n], prep["inv"], axis=0)
+    return cluster_ops.unsort_slots(acc, prep["clusters"], prep["inv"])
 
 
 def acc_tree_cached(pos, mass, structure, *, softening: str, eps, g,
                     backend: str, interpret=None, multipole_order: int = 1,
-                    far_levels: int = 2):
-    """acc_tree with a cached (perm, inv, idx, idx2) structure: statistics
-    are recomputed from the current positions, the sort and near lists are
-    reused (rollouts refresh them every few steps — see
+                    far_levels: int = 2, near_mode: str = "strip"):
+    """acc_tree with a cached `tree_structure` dict: statistics are
+    recomputed from the current positions, the sort/clustering/near lists
+    are reused (rollouts refresh them every few steps — see
     Simulation tree_refresh_every)."""
-    perm, inv, idx, idx2 = structure
-    gg = idx.shape[0]
-    stats = tree_sorted_stats(pos, mass, perm, gg)
-    prep = dict(idx=idx, idx2=idx2, perm=perm, inv=inv, **stats)
+    inv = structure["inv"]
+    clusters = structure["clusters"]
+    gg = structure["idx"].shape[0]
+    stats = cluster_stats(pos, mass, structure["perm"], clusters)
+    prep = dict(structure, **stats)
     acc = tree_eval(prep, 0, gg, softening=softening, eps=eps, g=g,
                     backend=backend, interpret=interpret,
-                    multipole_order=multipole_order, far_levels=far_levels)
-    return jnp.take(acc[: pos.shape[0]], inv, axis=0)
+                    multipole_order=multipole_order, far_levels=far_levels,
+                    near_mode=near_mode)
+    return cluster_ops.unsort_slots(acc, clusters, inv)

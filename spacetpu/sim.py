@@ -67,6 +67,27 @@ class SimConfig:
     # many steps inside run() (stats always track current positions).
     # 1 = rebuild every step (reference parity, barnes_hut/mod.rs:13-14).
     tree_refresh_every: int = 1
+    # tree clustering: bodies per leaf cluster ("auto" = tree.LEAF) and the
+    # partition mode — "equal" (round-1 equal-count runs) or "adaptive"
+    # (density-bounded octree-cell runs, the high-density-contrast fix;
+    # see ops/cluster.py). "auto" currently resolves to "equal".
+    leaf: object = "auto"
+    cluster_mode: str = "auto"
+    # near-phase evaluation: "strip" (static per-cluster cap) or "pairs"
+    # (flattened tile list — cost tracks the actual near-pair count;
+    # calibrated capacities when k_near="auto"). "auto" -> "strip".
+    near_mode: str = "auto"
+
+    def resolved_leaf(self) -> int:
+        from spacetpu.ops import tree as tree_ops
+
+        return tree_ops.LEAF if self.leaf == "auto" else int(self.leaf)
+
+    def resolved_cluster_mode(self) -> str:
+        return "equal" if self.cluster_mode == "auto" else self.cluster_mode
+
+    def resolved_near_mode(self) -> str:
+        return "strip" if self.near_mode == "auto" else self.near_mode
 
     def resolved_multipole_order(self) -> int:
         if self.multipole_order == "auto":
@@ -101,9 +122,17 @@ class Simulation:
         self._k_near: int | None = (
             config.k_near if isinstance(config.k_near, int) else None
         )
-        self._needs_calibration = (
+        #: measured static sizes (calibrate()): cluster-count cap and the
+        #: pair-mode tile capacities; None = worst-case defaults.
+        self._gg: int | None = None
+        self._near_tiles: int | None = None
+        self._near_tiles_q: int | None = None
+        # pairs/adaptive modes want measured capacities (they run with
+        # worst-case caps otherwise); k_near="auto" always calibrates.
+        self._needs_calibration = config.resolved_algorithm() == "tree" and (
             config.k_near == "auto"
-            and config.resolved_algorithm() == "tree"
+            or config.resolved_near_mode() == "pairs"
+            or config.resolved_cluster_mode() == "adaptive"
         )
         self.acc_fn = _build_acc_fn(config, self._k_near)
         self._stepper = integrators.get_stepper(config.integrator)
@@ -117,22 +146,40 @@ class Simulation:
         return self._prime_jit(state)
 
     def calibrate(self, state: State):
-        """k_near="auto": measure the scene's true max near-cluster count
-        and rebuild the force closure with a cap sized to it. Equal-count
-        clusters in high-density-contrast scenes (Plummer spheres) need
-        far larger caps than the geometric default — see
-        tree.measure_k_near. Must run before the jitted step/run first
-        trace (prime() does this automatically)."""
-        import math as _math
-
+        """k_near="auto": measure the scene's near-list shape and rebuild
+        the force closure with statically sized caps — the max near count
+        (k_near), the pair-mode tile capacities, and (adaptive clustering)
+        the actual cluster count. Equal-count clusters in
+        high-density-contrast scenes (Plummer spheres) need far larger
+        caps than the geometric default — see tree.measure_near. Must run
+        before the jitted step/run first trace (prime() does this
+        automatically)."""
         from spacetpu.ops import tree as tree_ops
 
         cfg = self.config
-        gg = max(1, _math.ceil(cfg.n / tree_ops.LEAF))
-        self._k_near = tree_ops.measure_k_near(
-            state.pos, state.mass, theta=cfg.theta, gg=gg
+        order = cfg.resolved_multipole_order()
+        leaf = cfg.resolved_leaf()
+        cmode = cfg.resolved_cluster_mode()
+        gg = tree_ops._gg_for(cfg.n, "auto", order, leaf, cmode)
+        m = tree_ops.measure_near(
+            state.pos, state.mass, theta=cfg.theta, gg=gg, leaf=leaf,
+            cluster_mode=cmode,
         )
-        self.acc_fn = _build_acc_fn(cfg, self._k_near)
+        if not isinstance(cfg.k_near, int):
+            self._k_near = m["k_near"]
+        self._near_tiles = m["near_tiles"]
+        self._near_tiles_q = m["near_tiles_q"]
+        if cmode == "adaptive":
+            # shrink the worst-case cluster cap to the measured scene
+            # (+25% headroom for drift; SUPER-aligned for the 3-level far
+            # field; adaptive_clusters falls back to the equal-count split
+            # if a rebuild ever exceeds it)
+            gg_meas = min(gg, int(m["n_clusters"] * 1.25) + 8)
+            self._gg = -(-gg_meas // tree_ops.SUPER) * tree_ops.SUPER
+        self.acc_fn = _build_acc_fn(
+            cfg, self._k_near, gg=self._gg, near_tiles=self._near_tiles,
+            near_tiles_q=self._near_tiles_q,
+        )
         self._needs_calibration = False
 
     def _check(self, state: State):
@@ -169,7 +216,6 @@ class Simulation:
         radius per step, so the cached structure stays valid; cluster
         statistics always track the current positions)."""
         import functools as _ft
-        import math as _math
 
         from spacetpu.ops import tree as tree_ops
 
@@ -177,7 +223,10 @@ class Simulation:
         eps = cfg.resolved_eps()
         backend = cfg.resolved_backend()
         order = cfg.resolved_multipole_order()
-        gg = tree_ops._gg_for(cfg.n, "auto", order)
+        leaf = cfg.resolved_leaf()
+        cmode = cfg.resolved_cluster_mode()
+        nmode = cfg.resolved_near_mode()
+        gg = self._gg or tree_ops._gg_for(cfg.n, "auto", order, leaf, cmode)
         far_levels = tree_ops.resolve_far_levels("auto", gg, order)
         k_near = self._k_near or tree_ops.default_k_near(cfg.theta, gg)
         r = cfg.tree_refresh_every
@@ -185,7 +234,9 @@ class Simulation:
         def build(pos, mass):
             return tree_ops.tree_structure(
                 pos, mass, theta=cfg.theta, k_near=k_near, gg=gg,
-                far_levels=far_levels,
+                far_levels=far_levels, leaf=leaf, cluster_mode=cmode,
+                near_mode=nmode, near_tiles=self._near_tiles,
+                near_tiles_q=self._near_tiles_q,
             )
 
         def body(carry, k):
@@ -200,6 +251,7 @@ class Simulation:
                 tree_ops.acc_tree_cached, structure=structure,
                 softening=cfg.softening, eps=eps, g=cfg.g, backend=backend,
                 multipole_order=order, far_levels=far_levels,
+                near_mode=nmode,
             )
             return (self._stepper(s, dt, acc_fn), structure), None
 
@@ -210,7 +262,9 @@ class Simulation:
         return state
 
 
-def _build_acc_fn(config: SimConfig, k_near: int | None = None) -> Callable:
+def _build_acc_fn(config: SimConfig, k_near: int | None = None, *,
+                  gg: int | None = None, near_tiles: int | None = None,
+                  near_tiles_q: int | None = None) -> Callable:
     if config.softening not in direct.SOFTENINGS:
         raise ValueError(
             f"unknown softening {config.softening!r} (want one of {direct.SOFTENINGS})"
@@ -251,6 +305,12 @@ def _build_acc_fn(config: SimConfig, k_near: int | None = None) -> Callable:
             backend=backend,
             multipole_order=config.resolved_multipole_order(),
             k_near=k_near,
+            leaf=config.resolved_leaf(),
+            cluster_mode=config.resolved_cluster_mode(),
+            near_mode=config.resolved_near_mode(),
+            near_tiles=near_tiles,
+            near_tiles_q=near_tiles_q,
+            gg=gg,
         )
     raise ValueError(f"unknown algorithm {algo!r}")
 
@@ -269,6 +329,9 @@ def make_simulation(
     multipole_order="auto",
     tree_refresh_every: int = 1,
     k_near=None,
+    leaf="auto",
+    cluster_mode: str = "auto",
+    near_mode: str = "auto",
 ) -> Simulation:
     return Simulation(
         SimConfig(
@@ -284,6 +347,9 @@ def make_simulation(
             multipole_order=multipole_order,
             tree_refresh_every=tree_refresh_every,
             k_near=k_near,
+            leaf=leaf,
+            cluster_mode=cluster_mode,
+            near_mode=near_mode,
         )
     )
 

@@ -1,0 +1,202 @@
+"""Adaptive clustering + pair-list near phase (round-2 tree overhaul).
+
+The reference octree adapts cell size to density by recursive splitting
+(`/root/reference/space/src/sim/barnes_hut/tree.rs:143-174`) and walks per
+body so its work tracks the visited-node count
+(`barnes_hut/mod.rs:46-76`). These tests cover the TPU analogues:
+`ops/cluster.py` (density-bounded static-shape partitions) and
+`ops/tree.py` near_mode="pairs" (near cost proportional to the actual
+near-pair total).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spacetpu.models import presets
+from spacetpu.ops import cluster, direct, morton, tree
+
+
+def _check_partition(cl, n, leaf):
+    slot = np.asarray(cl.slot)
+    mask = np.asarray(cl.mask)
+    bs = np.asarray(cl.body_slot)
+    flat = slot.ravel()[mask.ravel()]
+    assert len(flat) == n
+    assert len(np.unique(flat)) == n, "a body appears in two clusters"
+    g, j = bs // leaf, bs % leaf
+    assert (slot[g, j] == np.arange(n)).all()
+    assert mask[g, j].all()
+    counts = mask.sum(1)
+    assert counts.max() <= leaf
+    gcnt = int(cl.n_clusters)
+    assert (counts[gcnt:] == 0).all()
+    return counts
+
+
+@pytest.mark.parametrize("leaf", [31, 255])
+@pytest.mark.parametrize(
+    "scene_fn",
+    [
+        lambda: presets.plummer_sphere(20_000, seed=1),
+        lambda: presets.fixed_cloud(20_000),
+        lambda: presets.fixed_shell(5_000),
+    ],
+)
+def test_adaptive_partition_invariants(scene_fn, leaf):
+    st = scene_fn().state(dtype=jnp.float32)
+    n = st.pos.shape[0]
+    perm, inv, hi_s, lo_s = morton.sfc_sort_2w(st.pos)
+    g_cap = cluster.g_cap_for(n, leaf)
+    cl = cluster.adaptive_clusters(hi_s, lo_s, n, leaf, g_cap)
+    assert int(cl.overflow) == 0
+    _check_partition(cl, n, leaf)
+
+
+def test_near_pair_cost_landscape_on_plummer():
+    """The round-2 tree overhaul's payoff on a high-density-contrast
+    scene: small adaptive leaves cut the near-phase pair count severalfold
+    vs the round-1 configuration (equal-count 255-body clusters), and
+    adaptive beats equal at the same small leaf (bounded cluster radii in
+    the rho ~ r^-5 tail)."""
+    st = presets.plummer_sphere(60_000, seed=0).state(dtype=jnp.float32)
+    n = st.pos.shape[0]
+
+    def pairs_per_body(cmode, leaf):
+        gg = tree._gg_for(n, 2, 2, leaf, cmode)
+        m = tree.measure_near(st.pos, st.mass, theta=0.5, gg=gg, leaf=leaf,
+                              cluster_mode=cmode, headroom=1.0)
+        block = leaf + 1
+        pj = tree.NEAR_TILE_J // block
+        return m["near_tiles"] * pj * block * block / n
+
+    round1 = pairs_per_body("equal", 255)
+    assert pairs_per_body("adaptive", 31) < 0.35 * round1
+    assert pairs_per_body("adaptive", 31) < 0.75 * pairs_per_body("equal", 31)
+
+
+def test_adaptive_overflow_falls_back_to_equal():
+    st = presets.plummer_sphere(5_000, seed=2).state(dtype=jnp.float32)
+    n = st.pos.shape[0]
+    leaf = 63
+    perm, inv, hi_s, lo_s = morton.sfc_sort_2w(st.pos)
+    g_cap = -(-n // leaf) + 2  # far below the adaptive partition's count
+    cl = cluster.adaptive_clusters(hi_s, lo_s, n, leaf, g_cap)
+    assert int(cl.overflow) == 1
+    counts = _check_partition(cl, n, leaf)
+    # equal-count fallback: all but the last cluster full
+    gcnt = int(cl.n_clusters)
+    assert (counts[: gcnt - 1] == leaf).all()
+
+
+def test_equal_clusters_match_round1_layout():
+    n, leaf = 1000, 255
+    gg = -(-n // leaf)
+    cl = cluster.equal_clusters(n, leaf, gg)
+    _check_partition(cl, n, leaf)
+    assert (np.asarray(cl.body_slot) == np.arange(n)).all()
+
+
+@pytest.mark.parametrize("cmode", ["equal", "adaptive"])
+@pytest.mark.parametrize("leaf", [63, 255])
+def test_tree_accuracy_modes(cmode, leaf):
+    """Force error vs the exact direct sum for every (cluster, near) mode;
+    pairs and strip must agree bit-for-bit (same near sets)."""
+    st = presets.plummer_sphere(8_000, seed=3).state(dtype=jnp.float64)
+    pos, mass = st.pos, st.mass
+    exact = np.asarray(
+        direct.acc_direct(pos, mass, softening="plummer", eps=1e-3, g=1.0)
+    )
+    en = np.linalg.norm(exact, axis=1)
+    gg = tree._gg_for(8_000, 2, 2, leaf, cmode)
+    m = tree.measure_near(pos, mass, theta=0.5, gg=gg, leaf=leaf,
+                          cluster_mode=cmode)
+    kw = dict(theta=0.5, softening="plummer", eps=1e-3, g=1.0,
+              backend="xla", multipole_order=2, leaf=leaf,
+              cluster_mode=cmode, k_near=m["k_near"], gg=gg, far_levels=2)
+    a_strip = np.asarray(tree.acc_tree(pos, mass, near_mode="strip", **kw))
+    a_pairs = np.asarray(
+        tree.acc_tree(pos, mass, near_mode="pairs",
+                      near_tiles=m["near_tiles"],
+                      near_tiles_q=m["near_tiles_q"], **kw)
+    )
+    # identical near sets; differences are pure f64 summation-order noise
+    # (pairs sums 8-cluster tiles, strip one 2048-lane pass)
+    np.testing.assert_allclose(a_pairs, a_strip, rtol=1e-6, atol=1e-8)
+    err = np.linalg.norm(a_strip - exact, axis=1) / np.maximum(en, 1e-300)
+    assert np.percentile(err, 99) < 2e-3
+    assert np.percentile(err, 50) < 2e-4
+
+
+def test_pairs_capacity_overflow_degrades_gracefully():
+    """Undersized tile capacity drops the farthest near entries (their
+    far-field term still applies) and reports the count."""
+    st = presets.fixed_cloud(8_000).state(dtype=jnp.float32)
+    pos, mass = st.pos, st.mass
+    gg = tree._gg_for(8_000, 2, 1, 255, "equal")
+    k = tree.default_k_near(0.5, gg)
+    prep = tree.tree_prep(pos, mass, theta=0.5, k_near=k, gg=gg,
+                          far_levels=2, near_mode="pairs", near_tiles=4)
+    assert int(prep["near_overflow"]) > 0
+    acc = tree.tree_eval(prep, 0, gg, softening="plummer", eps=0.0, g=1.0,
+                         backend="xla", interpret=True, multipole_order=1,
+                         near_mode="pairs")
+    assert bool(jnp.all(jnp.isfinite(acc)))
+
+
+def test_near_pair_segments_layout():
+    idx = jnp.asarray([
+        [0, 2, 5, 5, 5],   # 2 valid -> 1 tile (pj=2)
+        [1, 2, 3, 4, 5],   # 4 valid -> 2 tiles
+        [5, 5, 5, 5, 5],   # 0 valid -> 1 tile (always >= 1)
+    ], jnp.int32)
+    flat, ttgt, n_tiles, dropped = tree.near_pair_segments(idx, 5, 2, 6)
+    assert int(n_tiles) == 4
+    assert int(dropped) == 0
+    np.testing.assert_array_equal(np.asarray(ttgt), [0, 1, 1, 2, 3, 3])
+    np.testing.assert_array_equal(
+        np.asarray(flat), [0, 2, 1, 2, 3, 4, 5, 5, 5, 5, 5, 5]
+    )
+
+
+@pytest.mark.parametrize("cmode", ["equal", "adaptive"])
+def test_simulation_modes_run_and_conserve(cmode):
+    """End-to-end Simulation with the new modes: calibrated caps, finite
+    rollout, and parity between pairs and strip stepping."""
+    from spacetpu import make_simulation
+    from spacetpu.models import presets as p
+
+    scene = p.plummer_sphere(4_000, seed=5)
+    kw = dict(algorithm="tree", backend="xla", integrator="leapfrog",
+              softening="plummer", eps=1e-2, g=1.0, theta=0.5,
+              cluster_mode=cmode)
+    sims = {
+        nm: make_simulation(4_000, near_mode=nm, k_near="auto", **kw)
+        for nm in ("strip", "pairs")
+    }
+    outs = {}
+    for nm, sim in sims.items():
+        state = sim.prime(scene.state(dtype=jnp.float32))
+        state = sim.run(state, jnp.float32(1e-3), 3)
+        assert bool(jnp.all(jnp.isfinite(state.pos)))
+        outs[nm] = np.asarray(state.pos)
+    np.testing.assert_allclose(outs["pairs"], outs["strip"],
+                               rtol=5e-5, atol=1e-6)
+
+
+def test_simulation_cached_structure_with_modes():
+    """tree_refresh_every>1 with adaptive clustering + pairs mode."""
+    from spacetpu import make_simulation
+    from spacetpu.models import presets as p
+
+    scene = p.plummer_sphere(3_000, seed=6)
+    sim = make_simulation(
+        3_000, algorithm="tree", backend="xla", integrator="leapfrog",
+        softening="plummer", eps=1e-2, g=1.0, theta=0.5,
+        cluster_mode="adaptive", near_mode="pairs", k_near="auto",
+        tree_refresh_every=2,
+    )
+    state = sim.prime(scene.state(dtype=jnp.float32))
+    state = sim.run(state, jnp.float32(1e-3), 5)
+    assert bool(jnp.all(jnp.isfinite(state.pos)))
