@@ -224,8 +224,18 @@ def _near_lists_hier(com, m_tot, r_src, r_tgt, theta: float, k_near: int,
         )
         over = jnp.sum(jnp.sum(near, axis=1) > k_near)
         masked = jnp.where(near, dist, jnp.inf)
-        neg_d, j = jax.lax.top_k(-masked, k_near)  # (SUPER, K)
+        # k_near can exceed the candidate-pool size (dense scenes at small
+        # leaf measure k_near ~ G while the pool is K2*SUPER): the true
+        # near set is still inside the pool, so take the whole pool and
+        # pad the list with null ids up to k_near.
+        k_eff = min(k_near, masked.shape[1])
+        neg_d, j = jax.lax.top_k(-masked, k_eff)  # (SUPER, k_eff)
         idx = jnp.where(neg_d > -jnp.inf, cand_b[j], g)
+        if k_eff < k_near:
+            idx = jnp.concatenate(
+                [idx, jnp.full((idx.shape[0], k_near - k_eff), g, idx.dtype)],
+                axis=1,
+            )
         return idx.astype(jnp.int32), over
 
     pad = g2 * SUPER - g
@@ -506,24 +516,29 @@ def _pack_targets(pos_g):
 NEAR_TILE_J = 2048
 
 
-#: target clusters per gathered-strip chunk: bounds the strip's HBM
-#: footprint to CHUNK * K * BLOCK * 32 B (~2.7 GB at K=128) so N=4M-scale
-#: trees fit alongside their state.
-NEAR_CLUSTER_CHUNK = 4096
+#: HBM budget for one gathered source strip (bytes). The strip for a chunk
+#: of C target clusters is C * K * BLOCK * 32 B — XLA holds the gather AND
+#: its masked copy live at once, so the peak is ~2x this budget. Measured
+#: k_near caps can be large (fixed_cloud(1M) theta=0.5: K=496; Plummer
+#: equal-clusters: near-dense), so the chunk size must scale with 1/K —
+#: a fixed cluster count OOMed at exactly those caps.
+NEAR_STRIP_BYTES = 1 << 31
 
 
 def _near_correction_pallas(tcols, srows, idx, *, softening, eps, interpret,
                             block: int = BLOCK):
     """Chunked wrapper: see _near_correction_chunk."""
     gg_t = tcols.shape[0] // block
-    if gg_t <= NEAR_CLUSTER_CHUNK:
+    k_near = max(idx.shape[1], 1)
+    chunk = max(NEAR_STRIP_BYTES // (k_near * block * 32), 1)
+    if gg_t <= chunk:
         return _near_correction_chunk(
             tcols, srows, idx, softening=softening, eps=eps,
             interpret=interpret, block=block,
         )
     outs = []
-    for c0 in range(0, gg_t, NEAR_CLUSTER_CHUNK):
-        c1 = min(c0 + NEAR_CLUSTER_CHUNK, gg_t)
+    for c0 in range(0, gg_t, chunk):
+        c1 = min(c0 + chunk, gg_t)
         outs.append(
             _near_correction_chunk(
                 tcols[c0 * block : c1 * block], srows, idx[c0:c1],

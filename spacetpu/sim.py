@@ -75,7 +75,10 @@ class SimConfig:
     cluster_mode: str = "auto"
     # near-phase evaluation: "strip" (static per-cluster cap) or "pairs"
     # (flattened tile list — cost tracks the actual near-pair count;
-    # calibrated capacities when k_near="auto"). "auto" -> "strip".
+    # calibrated capacities when k_near="auto"). "auto" -> "pairs": always
+    # at least as fast on TPU (measured theta=0.5 quad: fixed_cloud(1M)
+    # 948 -> 405 ms/step, plummer_sphere(300k) 618 -> 519) and its HBM
+    # stays O(actual pairs) where dense strip gathers OOM.
     near_mode: str = "auto"
 
     def resolved_leaf(self) -> int:
@@ -84,10 +87,14 @@ class SimConfig:
         return tree_ops.LEAF if self.leaf == "auto" else int(self.leaf)
 
     def resolved_cluster_mode(self) -> str:
+        # "auto" starts from "equal"; calibrate() upgrades to "adaptive"
+        # when the measured near lists are heavy-tailed AND the adaptive
+        # partition measurably shrinks the near work (Simulation passes its
+        # calibrated choice through _build_acc_fn explicitly).
         return "equal" if self.cluster_mode == "auto" else self.cluster_mode
 
     def resolved_near_mode(self) -> str:
-        return "strip" if self.near_mode == "auto" else self.near_mode
+        return "pairs" if self.near_mode == "auto" else self.near_mode
 
     def resolved_multipole_order(self) -> int:
         if self.multipole_order == "auto":
@@ -127,6 +134,9 @@ class Simulation:
         self._gg: int | None = None
         self._near_tiles: int | None = None
         self._near_tiles_q: int | None = None
+        #: calibrated clustering choice for cluster_mode="auto" (None until
+        #: calibrate() has compared the measured partitions).
+        self._cluster_mode: str | None = None
         # pairs/adaptive modes want measured capacities (they run with
         # worst-case caps otherwise); k_near="auto" always calibrates.
         self._needs_calibration = config.resolved_algorithm() == "tree" and (
@@ -165,6 +175,28 @@ class Simulation:
             state.pos, state.mass, theta=cfg.theta, gg=gg, leaf=leaf,
             cluster_mode=cmode,
         )
+        if cfg.cluster_mode == "auto" and cmode == "equal":
+            # Heavy-tailed near lists (mean near count >> the uniform-cloud
+            # geometric estimate) mean equal-count clusters in the sparse
+            # tail span huge radii and go near to everything — the Plummer
+            # pathology. Only then is the adaptive partition worth its
+            # extra clusters: measure it and keep whichever needs fewer
+            # near tiles (tile count ~ actual near work in pairs mode).
+            # Measured at theta=0.5: plummer_sphere(300k) 519 -> 387
+            # ms/step from this upgrade; fixed_cloud stays equal.
+            pj = max(tree_ops.NEAR_TILE_J // (leaf + 1), 1)
+            mean_near = m["near_tiles"] * pj / max(int(m["n_clusters"]), 1)
+            trigger = min(4.0 * tree_ops.default_k_near(cfg.theta, gg),
+                          gg / 2)
+            if mean_near > trigger:
+                gg_a = tree_ops._gg_for(cfg.n, "auto", order, leaf, "adaptive")
+                m_a = tree_ops.measure_near(
+                    state.pos, state.mass, theta=cfg.theta, gg=gg_a,
+                    leaf=leaf, cluster_mode="adaptive",
+                )
+                if m_a["near_tiles"] < 0.8 * m["near_tiles"]:
+                    cmode, gg, m = "adaptive", gg_a, m_a
+        self._cluster_mode = cmode
         if not isinstance(cfg.k_near, int):
             self._k_near = m["k_near"]
         self._near_tiles = m["near_tiles"]
@@ -178,7 +210,7 @@ class Simulation:
             self._gg = -(-gg_meas // tree_ops.SUPER) * tree_ops.SUPER
         self.acc_fn = _build_acc_fn(
             cfg, self._k_near, gg=self._gg, near_tiles=self._near_tiles,
-            near_tiles_q=self._near_tiles_q,
+            near_tiles_q=self._near_tiles_q, cluster_mode=cmode,
         )
         self._needs_calibration = False
 
@@ -224,7 +256,7 @@ class Simulation:
         backend = cfg.resolved_backend()
         order = cfg.resolved_multipole_order()
         leaf = cfg.resolved_leaf()
-        cmode = cfg.resolved_cluster_mode()
+        cmode = self._cluster_mode or cfg.resolved_cluster_mode()
         nmode = cfg.resolved_near_mode()
         gg = self._gg or tree_ops._gg_for(cfg.n, "auto", order, leaf, cmode)
         far_levels = tree_ops.resolve_far_levels("auto", gg, order)
@@ -264,7 +296,8 @@ class Simulation:
 
 def _build_acc_fn(config: SimConfig, k_near: int | None = None, *,
                   gg: int | None = None, near_tiles: int | None = None,
-                  near_tiles_q: int | None = None) -> Callable:
+                  near_tiles_q: int | None = None,
+                  cluster_mode: str | None = None) -> Callable:
     if config.softening not in direct.SOFTENINGS:
         raise ValueError(
             f"unknown softening {config.softening!r} (want one of {direct.SOFTENINGS})"
@@ -306,7 +339,7 @@ def _build_acc_fn(config: SimConfig, k_near: int | None = None, *,
             multipole_order=config.resolved_multipole_order(),
             k_near=k_near,
             leaf=config.resolved_leaf(),
-            cluster_mode=config.resolved_cluster_mode(),
+            cluster_mode=cluster_mode or config.resolved_cluster_mode(),
             near_mode=config.resolved_near_mode(),
             near_tiles=near_tiles,
             near_tiles_q=near_tiles_q,

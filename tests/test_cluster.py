@@ -200,3 +200,71 @@ def test_simulation_cached_structure_with_modes():
     state = sim.prime(scene.state(dtype=jnp.float32))
     state = sim.run(state, jnp.float32(1e-3), 5)
     assert bool(jnp.all(jnp.isfinite(state.pos)))
+
+
+def _fake_measures(equal: dict, adaptive: dict):
+    def fake(pos, mass, *, theta, gg, leaf=tree.LEAF, cluster_mode="equal",
+             **kw):
+        return dict(equal) if cluster_mode == "equal" else dict(adaptive)
+
+    return fake
+
+
+def test_auto_cluster_mode_upgrades_on_heavy_tail(monkeypatch):
+    """cluster_mode="auto": calibrate() measures the equal partition and,
+    when its near lists are heavy-tailed AND the adaptive partition
+    measurably shrinks the tile count, switches the force closure to
+    adaptive clustering (the TPU-measured policy: plummer_sphere(300k)
+    519 -> 387 ms/step)."""
+    from spacetpu import make_simulation
+
+    n = 4_000
+    # gg_equal = 16 -> trigger = min(4*k_geom, gg/2) = 8; canned equal
+    # measurement has mean near = 32 * 8 / 16 = 16 > 8, and the canned
+    # adaptive tiles are well under 0.8x -> upgrade.
+    eq = dict(k_near=16, near_tiles=32, near_tiles_q=8, n_clusters=16)
+    ad = dict(k_near=24, near_tiles=16, near_tiles_q=6, n_clusters=20)
+    monkeypatch.setattr(tree, "measure_near", _fake_measures(eq, ad))
+    sim = make_simulation(n, algorithm="tree", backend="xla", g=1.0,
+                          theta=0.5, cluster_mode="auto", near_mode="pairs",
+                          k_near="auto")
+    sim.calibrate(presets.fixed_cloud(n).state(dtype=jnp.float32))
+    assert sim._cluster_mode == "adaptive"
+    assert sim._k_near == 24
+    assert sim._near_tiles == 16
+    assert sim._gg is not None and sim._gg % tree.SUPER == 0
+
+
+def test_auto_cluster_mode_stays_equal_without_win(monkeypatch):
+    """Heavy-tailed trigger alone is not enough: if the measured adaptive
+    partition does not cut near tiles below 0.8x, auto keeps the equal
+    split (uniform clouds: equal was 405 vs adaptive 490 ms/step at N=1M)."""
+    from spacetpu import make_simulation
+
+    n = 4_000
+    eq = dict(k_near=16, near_tiles=32, near_tiles_q=8, n_clusters=16)
+    ad = dict(k_near=24, near_tiles=30, near_tiles_q=8, n_clusters=20)
+    monkeypatch.setattr(tree, "measure_near", _fake_measures(eq, ad))
+    sim = make_simulation(n, algorithm="tree", backend="xla", g=1.0,
+                          theta=0.5, cluster_mode="auto", near_mode="pairs",
+                          k_near="auto")
+    sim.calibrate(presets.fixed_cloud(n).state(dtype=jnp.float32))
+    assert sim._cluster_mode == "equal"
+    assert sim._k_near == 16
+    assert sim._gg is None
+
+
+def test_auto_modes_end_to_end():
+    """Default tree configuration (near_mode auto -> pairs, cluster_mode
+    auto) primes, calibrates and rolls out finitely."""
+    from spacetpu import make_simulation
+
+    scene = presets.plummer_sphere(3_000, seed=7)
+    sim = make_simulation(3_000, algorithm="tree", backend="xla", g=1.0,
+                          theta=0.5, softening="plummer", eps=1e-2)
+    assert sim.config.resolved_near_mode() == "pairs"
+    state = sim.prime(scene.state(dtype=jnp.float32))
+    assert sim._cluster_mode in ("equal", "adaptive")
+    assert sim._near_tiles is not None
+    state = sim.run(state, jnp.float32(1e-3), 3)
+    assert bool(jnp.all(jnp.isfinite(state.pos)))

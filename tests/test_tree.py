@@ -280,6 +280,30 @@ def test_hier_near_lists_match_dense(clustered):
         assert set(dense[t]) == set(hier[t]), f"target cluster {t}"
 
 
+def test_hier_near_lists_k_exceeds_candidate_pool():
+    """k_near larger than the K2*SUPER refine candidate pool (dense scenes
+    at small leaf measure k_near ~ G) must pad with null ids, not crash
+    top_k, and still return the exact near sets."""
+    stats = _prep_stats(40_000, seed=5)
+    theta = 0.5
+    gg = stats["com"].shape[0]
+    k = gg + 37  # beyond any candidate pool
+    dense, _ = tree._near_lists(
+        stats["com"], stats["m_tot"], stats["r_src"], stats["r_tgt"],
+        theta, min(k, gg),
+    )
+    hier, over = tree._near_lists_hier(
+        stats["com"], stats["m_tot"], stats["r_src"], stats["r_tgt"],
+        theta, k,
+    )
+    assert int(over) == 0
+    assert hier.shape == (gg, k)
+    dense = np.asarray(dense)
+    hier = np.asarray(hier)
+    for t in range(gg):
+        assert set(dense[t]) - {gg} == set(hier[t]) - {gg}
+
+
 def test_near_overflow_counter():
     """An artificially tiny cap must be detected by the overflow counter."""
     stats = _prep_stats(40_000, seed=4)
