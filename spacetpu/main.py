@@ -68,19 +68,29 @@ def _cfg_k_near(cfg: RunConfig):
     return int(cfg.k_near)
 
 
+def _cfg_tree_kwargs(cfg: RunConfig) -> dict:
+    """Tree-tuning flags shared by every Simulation construction site."""
+    leaf = cfg.leaf if cfg.leaf == "auto" else int(cfg.leaf)
+    return dict(
+        k_near=_cfg_k_near(cfg), near_mode=cfg.near_mode,
+        cluster_mode=cfg.cluster_mode, leaf=leaf,
+        tree_refresh_every=cfg.tree_refresh_every,
+    )
+
+
 def build_engine(cfg: RunConfig, scene: Scene, state: State) -> SimEngine:
     if cfg.algorithm == "auto":
         return make_engine_for(
             state, delta=cfg.dt, theta=cfg.theta, backend=cfg.backend,
             integrator=cfg.integrator, softening=cfg.softening, eps=cfg.eps,
             g=scene.g, multipole_order=cfg.multipole_order,
-            k_near=_cfg_k_near(cfg),
+            **_cfg_tree_kwargs(cfg),
         )
     sim = make_simulation(
         state.n, algorithm=cfg.algorithm, backend=cfg.backend,
         integrator=cfg.integrator, softening=cfg.softening, eps=cfg.eps,
         theta=cfg.theta, g=scene.g, multipole_order=cfg.multipole_order,
-        k_near=_cfg_k_near(cfg),
+        **_cfg_tree_kwargs(cfg),
     )
     return SimEngine(sim, state, delta=cfg.dt)
 
@@ -96,7 +106,7 @@ def run_headless(cfg: RunConfig, scene: Scene, state: State):
         state.n, algorithm=cfg.algorithm, backend=cfg.backend,
         integrator=cfg.integrator, softening=cfg.softening, eps=cfg.eps,
         theta=cfg.theta, g=scene.g, multipole_order=cfg.multipole_order,
-        k_near=_cfg_k_near(cfg),
+        **_cfg_tree_kwargs(cfg),
     )
     state = sim.prime(state)
     eps_diag = cfg.eps if cfg.eps is not None else 0.0

@@ -29,6 +29,10 @@ class RunConfig:
     theta: float = constants.BARNES_HUT_THETA
     multipole_order: str = "auto"  # 1 | 2 | auto
     k_near: str = "default"  # default | auto | <int>: tree near-list cap
+    near_mode: str = "auto"  # auto | pairs | strip: tree near-phase kernel
+    cluster_mode: str = "auto"  # auto | equal | adaptive: tree partition
+    leaf: str = "auto"  # auto | <int>: bodies per tree leaf cluster
+    tree_refresh_every: int = 1  # steps between tree structure rebuilds
     dt: float = constants.DELTA
     auto_frame: bool = True  # frame the camera to the scene at startup
     dtype: str = "float32"
@@ -91,6 +95,23 @@ def build_parser() -> argparse.ArgumentParser:
                         " 'auto' (measured from the scene at startup --"
                         " accuracy-safe on any mass distribution), or an"
                         " integer")
+    p.add_argument("--near-mode", dest="near_mode", default=d.near_mode,
+                   choices=["auto", "pairs", "strip"],
+                   help="tree near-phase kernel: 'pairs' (cost tracks the"
+                        " actual near-pair count; the auto default) or"
+                        " 'strip' (static per-cluster cap)")
+    p.add_argument("--cluster-mode", dest="cluster_mode",
+                   default=d.cluster_mode,
+                   choices=["auto", "equal", "adaptive"],
+                   help="tree partition: 'equal' (equal-count SFC runs),"
+                        " 'adaptive' (density-bounded cells), or 'auto'"
+                        " (measure the scene and pick)")
+    p.add_argument("--leaf", default=d.leaf,
+                   help="bodies per tree leaf cluster ('auto' = 255)")
+    p.add_argument("--tree-refresh-every", dest="tree_refresh_every",
+                   type=int, default=d.tree_refresh_every,
+                   help="steps between tree sort/near-list rebuilds inside"
+                        " run() (1 = every step)")
     p.add_argument("--no-auto-frame", dest="auto_frame",
                    action="store_false", default=d.auto_frame,
                    help="keep the reference's fixed camera at (0,0,2)")
