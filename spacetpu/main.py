@@ -147,7 +147,7 @@ def run_headless(cfg: RunConfig, scene: Scene, state: State):
         from spacetpu.utils.metrics import tree_health
 
         health = tree_health(state.pos, state.mass, theta=cfg.theta,
-                             k_near=sim._k_near)
+                             k_near=sim._k_near, k_super=sim._k_super)
         if health["near_overflow"]:
             print(f"WARNING: {health['near_overflow']} of "
                   f"{health['clusters']} clusters overflowed the near-list "

@@ -257,7 +257,7 @@ HIER_NEAR_CUTOFF = 2048
 
 def measure_near(pos, mass, *, theta: float, gg: int, leaf: int = LEAF,
                  cluster_mode: str = "equal", headroom: float = 1.25,
-                 chunk: int = 2048) -> dict:
+                 chunk: int = 2048, n_shards: int | None = None) -> dict:
     """Measure the scene's near-list shape for static sizing (host-side,
     prime-time): per-cluster near counts -> the k_near cap, the pair-mode
     tile capacities, and the actual adaptive cluster count.
@@ -271,7 +271,11 @@ def measure_near(pos, mass, *, theta: float, gg: int, leaf: int = LEAF,
 
     Returns dict(k_near, near_tiles, near_tiles_q, n_clusters): all
     headroom-scaled; near_tiles are capacities for tree_prep's
-    near_mode="pairs" lists (pj = NEAR_TILE_J/block and NEAR_QUAD_PJ)."""
+    near_mode="pairs" lists (pj = NEAR_TILE_J/block and NEAR_QUAD_PJ).
+    With n_shards (the sharded tree: gg split into n_shards contiguous
+    per-device blocks) also near_tiles_shard / near_tiles_q_shard — the
+    worst single shard's tile totals, the static caps every device must
+    use under SPMD."""
     _, _, clusters, stats = _build_clustering(pos, mass, gg, leaf,
                                               cluster_mode)
     com, m_tot = stats["com"], stats["m_tot"]
@@ -302,14 +306,37 @@ def measure_near(pos, mass, *, theta: float, gg: int, leaf: int = LEAF,
     k = int(int(exact.max()) * headroom) + 8
     k = max(8, min(gg, -(-k // 8) * 8))
     pj = NEAR_TILE_J // (leaf + 1)
-    tiles = int(_np.maximum(-(-exact // pj), 1).sum())
-    tiles_q = int(_np.maximum(-(-exact // NEAR_QUAD_PJ), 1).sum())
-    return dict(
+    tiles_i = _np.maximum(-(-exact // pj), 1)
+    tiles_q_i = _np.maximum(-(-exact // NEAR_QUAD_PJ), 1)
+    out = dict(
         k_near=k,
-        near_tiles=int(tiles * headroom) + 8,
-        near_tiles_q=int(tiles_q * headroom) + 8,
+        near_tiles=int(tiles_i.sum() * headroom) + 8,
+        near_tiles_q=int(tiles_q_i.sum() * headroom) + 8,
         n_clusters=int(clusters.n_clusters),
     )
+    # Supercluster-screen cap. The geometric default_k_super silently
+    # truncates once G2 outgrows it (uniform ball at N=1M: all 62 supers
+    # mutually near vs the default 28) — and a truncated screen UNDER-
+    # covers the refinement pool, so near lists drop true near clusters.
+    # Measure the conservative accept counts exactly (G2 x G2 is small).
+    g2 = -(-gg // SUPER)
+    com2, spread, rs_max, rt_max = _super_stats(com, m_tot, r_src, r_tgt)
+    d2m = jnp.linalg.norm(com2[:, None, :] - com2[None, :, :], axis=-1)
+    possible = (rs_max[None, :] + spread[None, :]) >= theta * (
+        d2m - spread[:, None] - rt_max[:, None]
+    )
+    cnt2 = int(jnp.max(jnp.sum(possible, axis=1)))
+    out["k_super"] = max(4, min(g2, int(cnt2 * headroom) + 4))
+    if n_shards:
+        if gg % n_shards:
+            raise ValueError(f"gg={gg} not divisible by n_shards={n_shards}")
+        out["near_tiles_shard"] = (
+            int(tiles_i.reshape(n_shards, -1).sum(1).max() * headroom) + 8
+        )
+        out["near_tiles_q_shard"] = (
+            int(tiles_q_i.reshape(n_shards, -1).sum(1).max() * headroom) + 8
+        )
+    return out
 
 
 def measure_k_near(pos, mass, *, theta: float, gg: int, headroom: float = 1.25,
@@ -320,11 +347,13 @@ def measure_k_near(pos, mass, *, theta: float, gg: int, headroom: float = 1.25,
     )["k_near"]
 
 
-def near_lists(com, m_tot, r_src, r_tgt, theta: float, k_near: int):
+def near_lists(com, m_tot, r_src, r_tgt, theta: float, k_near: int,
+               k_super: int | None = None):
     """(G, K) near-cluster lists + on-device overflow count."""
     k_near = min(k_near, com.shape[0])
     if com.shape[0] > HIER_NEAR_CUTOFF:
-        return _near_lists_hier(com, m_tot, r_src, r_tgt, theta, k_near)
+        return _near_lists_hier(com, m_tot, r_src, r_tgt, theta, k_near,
+                                k_super=k_super)
     return _near_lists(com, m_tot, r_src, r_tgt, theta, k_near)
 
 
@@ -1033,7 +1062,8 @@ def tree_prep(pos, mass, *, theta: float, k_near: int, gg: int,
               far_levels: int = 2, leaf: int = LEAF,
               cluster_mode: str = "equal", near_mode: str = "strip",
               near_tiles: int | None = None,
-              near_tiles_q: int | None = None):
+              near_tiles_q: int | None = None,
+              k_super: int | None = None):
     """Phase 1: sort, clustering, statistics, near lists.
 
     Deterministic given (pos, mass) — in the sharded tree every device runs
@@ -1052,7 +1082,7 @@ def tree_prep(pos, mass, *, theta: float, k_near: int, gg: int,
         g2 = gg // SUPER
         idx2, over2 = _super_screen(
             stats["com"], stats["m_tot"], stats["r_src"], stats["r_tgt"],
-            theta, default_k_super(theta, g2),
+            theta, k_super or default_k_super(theta, g2),
         )
         idx, overflow = _near_lists_hier(
             stats["com"], stats["m_tot"], stats["r_src"], stats["r_tgt"],
@@ -1063,7 +1093,7 @@ def tree_prep(pos, mass, *, theta: float, k_near: int, gg: int,
         idx2 = jnp.zeros((1, 1), jnp.int32)
         idx, overflow = near_lists(
             stats["com"], stats["m_tot"], stats["r_src"], stats["r_tgt"],
-            theta, k_near,
+            theta, k_near, k_super=k_super,
         )
     prep = dict(idx=idx, idx2=idx2, perm=perm, inv=inv, clusters=clusters,
                 **stats)
@@ -1105,14 +1135,16 @@ def tree_structure(pos, mass, *, theta: float, k_near: int, gg: int,
                    far_levels: int = 2, leaf: int = LEAF,
                    cluster_mode: str = "equal", near_mode: str = "strip",
                    near_tiles: int | None = None,
-                   near_tiles_q: int | None = None):
+                   near_tiles_q: int | None = None,
+                   k_super: int | None = None):
     """The cacheable part of tree construction: space-filling-curve sort,
     clustering, near lists (and their flattened pair tiles). Returns a dict
     of the STRUCTURE_KEYS present for the given modes."""
     p = tree_prep(pos, mass, theta=theta, k_near=k_near, gg=gg,
                   far_levels=far_levels, leaf=leaf,
                   cluster_mode=cluster_mode, near_mode=near_mode,
-                  near_tiles=near_tiles, near_tiles_q=near_tiles_q)
+                  near_tiles=near_tiles, near_tiles_q=near_tiles_q,
+                  k_super=k_super)
     return {k: p[k] for k in STRUCTURE_KEYS if k in p}
 
 
@@ -1403,6 +1435,7 @@ def acc_tree(
     near_tiles: int | None = None,
     near_tiles_q: int | None = None,
     gg: int | None = None,
+    k_super: int | None = None,
 ):
     """Clustered Barnes-Hut acceleration: (N, 3), (N,) -> (N, 3)."""
     if softening not in direct.SOFTENINGS:
@@ -1421,7 +1454,8 @@ def acc_tree(
     prep = tree_prep(pos, mass, theta=theta, k_near=k_near, gg=gg,
                      far_levels=far_levels, leaf=leaf,
                      cluster_mode=cluster_mode, near_mode=near_mode,
-                     near_tiles=near_tiles, near_tiles_q=near_tiles_q)
+                     near_tiles=near_tiles, near_tiles_q=near_tiles_q,
+                     k_super=k_super)
     acc = tree_eval(prep, 0, gg, softening=softening, eps=eps, g=g,
                     backend=backend, interpret=interpret,
                     multipole_order=multipole_order, far_levels=far_levels,

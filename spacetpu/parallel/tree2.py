@@ -48,6 +48,7 @@ from spacetpu.parallel.ring import AXIS
 from spacetpu.state import State
 
 LEAF = tree_ops.LEAF
+BLOCK = tree_ops.BLOCK
 
 
 class TreeShardedState(NamedTuple):
@@ -161,7 +162,9 @@ def _halo_exchange(idx_mine, pos_g, mass_g, *, axis: str, g_l: int,
 def _tree2_acc(pos_l, mass_l, *, axis: str, theta: float, k_near: int,
                softening: str, eps: float, g: float, backend: str,
                interpret, multipole_order: int, far_levels: int,
-               halo_cap: int, with_diag: bool = False):
+               halo_cap: int, near_mode: str = "strip",
+               near_tiles: int = 0, near_tiles_q: int = 0,
+               k_super: int = 0, with_diag: bool = False):
     """Per-device tree force for a globally SFC-sorted body shard.
 
     Runs inside shard_map; pos_l/mass_l are the local (G_l*LEAF,) shards.
@@ -199,7 +202,7 @@ def _tree2_acc(pos_l, mass_l, *, axis: str, theta: float, k_near: int,
     if far_levels == 3:
         idx2, over2 = tree_ops._super_screen(
             com_all, m_all, rs_all, rt_all, theta,
-            tree_ops.default_k_super(theta, gg // tree_ops.SUPER),
+            k_super or tree_ops.default_k_super(theta, gg // tree_ops.SUPER),
         )
         idx_all, over_near = tree_ops._near_lists_hier(
             com_all, m_all, rs_all, rt_all, theta, k_near, idx2=idx2,
@@ -207,7 +210,8 @@ def _tree2_acc(pos_l, mass_l, *, axis: str, theta: float, k_near: int,
         over_near = over_near + over2 * tree_ops.SUPER
     else:
         idx_all, over_near = tree_ops.near_lists(
-            com_all, m_all, rs_all, rt_all, theta, k_near
+            com_all, m_all, rs_all, rt_all, theta, k_near,
+            k_super=k_super or None,
         )
     idx_mine = jax.lax.dynamic_slice_in_dim(idx_all, base, g_l, 0)
 
@@ -257,19 +261,73 @@ def _tree2_acc(pos_l, mass_l, *, axis: str, theta: float, k_near: int,
         idx_mine, pos_g, mass_g, axis=axis, g_l=g_l, halo_cap=halo_cap,
     )
     pool_com, pool_m, _, _ = tree_ops._group_stats(pool_pos_g, pool_mass_g)
-    corr = tree_ops.near_direct_correction(
-        pos_g, idx_pool, pool_pos_g, pool_mass_g, pool_com, pool_m,
-        softening=softening, eps=eps, g=g, backend=backend,
-        interpret=interpret, monopole_pseudo=(multipole_order == 1),
-    )
-    if multipole_order == 2:
-        summ_null = jnp.concatenate(
-            [summ_all, jnp.zeros((16, 1), dtype)], axis=1
+    over_tiles = jnp.zeros((), jnp.int32)
+    monopole_pseudo = multipole_order == 1
+    if near_mode == "pairs":
+        # pair-tile near phase (cost ~ the device's ACTUAL near-pair
+        # count; see ops/tree.py pair-list section). The caps are static
+        # and identical on every device under SPMD — size them with
+        # measure_near(n_shards=D)'s worst-shard totals.
+        p = pool_pos_g.shape[0]
+        pj = tree_ops.NEAR_TILE_J // BLOCK
+        flat, ttgt, _, drop = tree_ops.near_pair_segments(
+            idx_pool, p, pj, near_tiles
         )
-        corr = corr + tree_ops.near_multipole_subtraction(
-            pos_g, summ_null, idx_mine, eps=eps, backend=backend,
-            interpret=interpret,
+        over_tiles = over_tiles + drop
+        if backend == "pallas":
+            srows = tree_ops._pack_augmented(
+                pool_pos_g, pool_mass_g, pool_com, pool_m, g_arr,
+                monopole_pseudo=monopole_pseudo,
+            )
+            corr = tree_ops._near_pairs_direct_pallas(
+                pos_g, srows, flat, ttgt, softening=softening,
+                eps=float(eps), interpret=bool(interpret),
+            ).reshape(m, 3)
+        else:
+            aug_pos = jnp.concatenate(
+                [pool_pos_g, pool_com[:, None, :]], axis=1
+            )
+            pseudo_gm = (-pool_m[:, None] * g_arr if monopole_pseudo
+                         else jnp.zeros((p, 1), dtype))
+            aug_gm = jnp.concatenate(
+                [pool_mass_g * g_arr, pseudo_gm], axis=1
+            )
+            corr = tree_ops._near_pairs_direct_xla(
+                pos_g, aug_pos, aug_gm, flat, ttgt,
+                softening=softening, eps=eps,
+            ).reshape(m, 3)
+        if multipole_order == 2:
+            summ_null = jnp.concatenate(
+                [summ_all, jnp.zeros((16, 1), dtype)], axis=1
+            )
+            neg = summ_null.at[3:10].multiply(-1.0)
+            flatq, ttgtq, _, dropq = tree_ops.near_pair_segments(
+                idx_mine, gg, tree_ops.NEAR_QUAD_PJ, near_tiles_q
+            )
+            over_tiles = over_tiles + dropq
+            if backend == "pallas":
+                corr = corr + tree_ops._near_pairs_quad_pallas(
+                    pos_g, neg, flatq, ttgtq, eps=float(eps),
+                    interpret=bool(interpret),
+                ).reshape(m, 3)
+            else:
+                corr = corr + tree_ops._near_pairs_quad_xla(
+                    pos_g, neg, flatq, ttgtq, eps=eps
+                ).reshape(m, 3)
+    else:
+        corr = tree_ops.near_direct_correction(
+            pos_g, idx_pool, pool_pos_g, pool_mass_g, pool_com, pool_m,
+            softening=softening, eps=eps, g=g, backend=backend,
+            interpret=interpret, monopole_pseudo=monopole_pseudo,
         )
+        if multipole_order == 2:
+            summ_null = jnp.concatenate(
+                [summ_all, jnp.zeros((16, 1), dtype)], axis=1
+            )
+            corr = corr + tree_ops.near_multipole_subtraction(
+                pos_g, summ_null, idx_mine, eps=eps, backend=backend,
+                interpret=interpret,
+            )
     acc = acc.reshape(m, 3) + corr.reshape(m, 3)
     if with_diag:
         # halo ids dropped by the cap degrade those clusters to far-field
@@ -277,6 +335,7 @@ def _tree2_acc(pos_l, mass_l, *, axis: str, theta: float, k_near: int,
         return acc, {
             "near_overflow": jax.lax.psum(over_near, axis) // jax.lax.axis_size(axis),
             "halo_overflow": jax.lax.psum(over_halo, axis),
+            "tile_overflow": jax.lax.psum(over_tiles, axis),
         }
     return acc
 
@@ -310,6 +369,18 @@ class ShardedTreeSimulation:
     multipole_order: object = "auto"
     far_levels: object = "auto"
     halo_cap: Optional[int] = None
+    #: near-phase kernel: "pairs" (tile list sized to the actual near-pair
+    #: count; the auto default, mirroring the single-chip policy) or
+    #: "strip" (static per-cluster cap). Pairs caps default to the worst
+    #: case (= strip cost); pass measured near_tiles/near_tiles_q from
+    #: tree.measure_near(n_shards=D)'s *_shard values for the real win.
+    near_mode: str = "auto"
+    near_tiles: Optional[int] = None
+    near_tiles_q: Optional[int] = None
+    #: supercluster-screen cap (None = geometric default; pass
+    #: measure_near()'s "k_super" — the default silently truncates once
+    #: G2 outgrows it, under-covering the near lists)
+    k_super: Optional[int] = None
     #: re-sort the state globally every this many steps (the SFC order
     #: degrades slowly; near lists are rebuilt every step regardless)
     resort_every: int = 16
@@ -362,6 +433,21 @@ class ShardedTreeSimulation:
         if h is None:
             h = max(64, self._g_l // 2)
         self._halo_cap = int(min(h, self._g_l))
+        self._near_mode = ("pairs" if self.near_mode == "auto"
+                           else self.near_mode)
+        if self._near_mode not in ("pairs", "strip"):
+            raise ValueError(f"unknown near_mode {self.near_mode!r}")
+        pj = tree_ops.NEAR_TILE_J // BLOCK
+        self._near_tiles = int(
+            self.near_tiles
+            if self.near_tiles is not None
+            else self._g_l * max(-(-self._k_near // pj), 1)
+        )
+        self._near_tiles_q = int(
+            self.near_tiles_q
+            if self.near_tiles_q is not None
+            else self._g_l * max(-(-self._k_near // tree_ops.NEAR_QUAD_PJ), 1)
+        )
         self._stepper = integrators.get_stepper(self.integrator)
 
         acc_fn = functools.partial(
@@ -369,7 +455,9 @@ class ShardedTreeSimulation:
             softening=self.softening, eps=self._eps, g=self.g,
             backend=self._backend, interpret=self._interpret,
             multipole_order=self._order, far_levels=self._far_levels,
-            halo_cap=self._halo_cap,
+            halo_cap=self._halo_cap, near_mode=self._near_mode,
+            near_tiles=self._near_tiles, near_tiles_q=self._near_tiles_q,
+            k_super=int(self.k_super or 0),
         )
         r = self.resort_every
 
@@ -439,6 +527,7 @@ class ShardedTreeSimulation:
             sp = ts_specs(ts)
             return smap(local_diag, in_specs=(sp,), out_specs={
                 "near_overflow": P(), "halo_overflow": P(),
+                "tile_overflow": P(),
             })(ts)
 
         self.step = step
@@ -457,6 +546,12 @@ class ShardedTreeSimulation:
         def put(leaf, spec):
             if leaf is None:
                 return None
+            # copy before placing: device_put may alias the input buffer
+            # (replicated leaves / matching placements), and prime()'s
+            # donation would then delete the caller's array out from under
+            # them (one extra copy, once per run)
+            if isinstance(leaf, jax.Array):
+                leaf = jnp.copy(leaf)
             return jax.device_put(leaf, NamedSharding(self.mesh, spec))
 
         st = State(

@@ -134,6 +134,7 @@ class Simulation:
         self._gg: int | None = None
         self._near_tiles: int | None = None
         self._near_tiles_q: int | None = None
+        self._k_super: int | None = None
         #: calibrated clustering choice for cluster_mode="auto" (None until
         #: calibrate() has compared the measured partitions).
         self._cluster_mode: str | None = None
@@ -201,6 +202,7 @@ class Simulation:
             self._k_near = m["k_near"]
         self._near_tiles = m["near_tiles"]
         self._near_tiles_q = m["near_tiles_q"]
+        self._k_super = m.get("k_super")
         if cmode == "adaptive":
             # shrink the worst-case cluster cap to the measured scene
             # (+25% headroom for drift; SUPER-aligned for the 3-level far
@@ -211,6 +213,7 @@ class Simulation:
         self.acc_fn = _build_acc_fn(
             cfg, self._k_near, gg=self._gg, near_tiles=self._near_tiles,
             near_tiles_q=self._near_tiles_q, cluster_mode=cmode,
+            k_super=self._k_super,
         )
         self._needs_calibration = False
 
@@ -268,7 +271,7 @@ class Simulation:
                 pos, mass, theta=cfg.theta, k_near=k_near, gg=gg,
                 far_levels=far_levels, leaf=leaf, cluster_mode=cmode,
                 near_mode=nmode, near_tiles=self._near_tiles,
-                near_tiles_q=self._near_tiles_q,
+                near_tiles_q=self._near_tiles_q, k_super=self._k_super,
             )
 
         def body(carry, k):
@@ -297,7 +300,8 @@ class Simulation:
 def _build_acc_fn(config: SimConfig, k_near: int | None = None, *,
                   gg: int | None = None, near_tiles: int | None = None,
                   near_tiles_q: int | None = None,
-                  cluster_mode: str | None = None) -> Callable:
+                  cluster_mode: str | None = None,
+                  k_super: int | None = None) -> Callable:
     if config.softening not in direct.SOFTENINGS:
         raise ValueError(
             f"unknown softening {config.softening!r} (want one of {direct.SOFTENINGS})"
@@ -344,6 +348,7 @@ def _build_acc_fn(config: SimConfig, k_near: int | None = None, *,
             near_tiles=near_tiles,
             near_tiles_q=near_tiles_q,
             gg=gg,
+            k_super=k_super,
         )
     raise ValueError(f"unknown algorithm {algo!r}")
 

@@ -96,7 +96,9 @@ class ThroughputTracker:
             "pairs_per_sec": steps * self.pairs_per_step / wall_seconds,
         }
 
-def tree_health(pos, mass, *, theta: float, k_near: int | None = None) -> dict:
+
+def tree_health(pos, mass, *, theta: float, k_near: int | None = None,
+                k_super: int | None = None) -> dict:
     """Tree-quality telemetry: near-list overflow count (targets whose
     accepted near set exceeded the static cap and were truncated to
     far-field accuracy — the silent-degradation mode VERDICT r1 flagged).
@@ -113,7 +115,8 @@ def tree_health(pos, mass, *, theta: float, k_near: int | None = None) -> dict:
     if k_near is None:
         k_near = tree_ops.default_k_near(theta, gg)
     prep = tree_ops.tree_prep(jnp.asarray(pos), jnp.asarray(mass),
-                              theta=theta, k_near=k_near, gg=gg)
+                              theta=theta, k_near=k_near, gg=gg,
+                              k_super=k_super)
     return {
         "near_overflow": int(prep["near_overflow"]),
         "clusters": gg,

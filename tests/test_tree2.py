@@ -184,3 +184,45 @@ def test_tree2_energy_conservation():
     s1 = sim.user_order(ts)
     e1 = float(energy.total_energy(s1.pos, s1.vel, s1.mass, eps=1e-2, g=1.0))
     assert abs((e1 - e0) / e0) < 1e-4
+
+
+def test_tree2_pairs_measured_caps_match_strip():
+    """near_mode="pairs" with measured worst-shard tile caps
+    (measure_near(n_shards=D)) reproduces the strip near phase exactly and
+    reports zero tile overflow; an absurdly small cap is counted, not
+    silent."""
+    d = 4
+    n = d * LEAF * 2
+    state = _scene(n, seed=7)
+    mesh = ring.make_mesh(d)
+    gg = n // LEAF
+    m = tree.measure_near(
+        jnp.asarray(state.pos), jnp.asarray(state.mass), theta=0.5, gg=gg,
+        n_shards=d,
+    )
+    kw = dict(theta=0.5, softening="plummer", eps=1e-3, g=1.0,
+              backend="xla", multipole_order=2, far_levels=2,
+              k_near=m["k_near"])
+    sims = {
+        "strip": tree2.ShardedTreeSimulation(mesh, n, near_mode="strip", **kw),
+        "pairs": tree2.ShardedTreeSimulation(
+            mesh, n, near_mode="pairs",
+            near_tiles=m["near_tiles_shard"],
+            near_tiles_q=m["near_tiles_q_shard"], **kw,
+        ),
+    }
+    acc = {}
+    for name, sim in sims.items():
+        ts = sim.prime(sim.shard_state(state))
+        acc[name] = np.asarray(sim.user_order(ts).acc)
+        diag = sim.diagnose(ts)
+        assert int(diag["tile_overflow"]) == 0
+        assert int(diag["near_overflow"]) == 0
+    np.testing.assert_allclose(acc["pairs"], acc["strip"],
+                               rtol=1e-9, atol=1e-12)
+
+    tiny = tree2.ShardedTreeSimulation(
+        mesh, n, near_mode="pairs", near_tiles=1, near_tiles_q=1, **kw
+    )
+    ts = tiny.prime(tiny.shard_state(state))
+    assert int(tiny.diagnose(ts)["tile_overflow"]) > 0
