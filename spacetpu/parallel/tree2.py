@@ -433,8 +433,12 @@ class ShardedTreeSimulation:
         if h is None:
             h = max(64, self._g_l // 2)
         self._halo_cap = int(min(h, self._g_l))
-        self._near_mode = ("pairs" if self.near_mode == "auto"
-                           else self.near_mode)
+        # pairs on the Pallas/TPU path only (the XLA tile-list fallback's
+        # lax.map compile degenerates at large G on CPU)
+        self._near_mode = (
+            ("pairs" if backend == "pallas" else "strip")
+            if self.near_mode == "auto" else self.near_mode
+        )
         if self._near_mode not in ("pairs", "strip"):
             raise ValueError(f"unknown near_mode {self.near_mode!r}")
         pj = tree_ops.NEAR_TILE_J // BLOCK

@@ -94,7 +94,12 @@ class SimConfig:
         return "equal" if self.cluster_mode == "auto" else self.cluster_mode
 
     def resolved_near_mode(self) -> str:
-        return "pairs" if self.near_mode == "auto" else self.near_mode
+        if self.near_mode != "auto":
+            return self.near_mode
+        # pairs on the Pallas/TPU path only: the XLA fallback evaluates the
+        # tile list with lax.map, whose compile time degenerates at large G
+        # on CPU (16M demo: >25 min in XLA vs minutes for strip).
+        return "pairs" if self.resolved_backend() == "pallas" else "strip"
 
     def resolved_multipole_order(self) -> int:
         if self.multipole_order == "auto":

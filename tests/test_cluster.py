@@ -261,8 +261,14 @@ def test_auto_modes_end_to_end():
 
     scene = presets.plummer_sphere(3_000, seed=7)
     sim = make_simulation(3_000, algorithm="tree", backend="xla", g=1.0,
-                          theta=0.5, softening="plummer", eps=1e-2)
+                          theta=0.5, softening="plummer", eps=1e-2,
+                          near_mode="pairs")
     assert sim.config.resolved_near_mode() == "pairs"
+    # backend-aware auto: pairs only on the Pallas/TPU path (the XLA
+    # tile-list fallback's lax.map compile degenerates at large G)
+    from spacetpu.sim import SimConfig
+    assert SimConfig(n=3_000, algorithm="tree",
+                     backend="xla").resolved_near_mode() == "strip"
     state = sim.prime(scene.state(dtype=jnp.float32))
     assert sim._cluster_mode in ("equal", "adaptive")
     assert sim._near_tiles is not None
