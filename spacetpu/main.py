@@ -144,10 +144,7 @@ def run_headless(cfg: RunConfig, scene: Scene, state: State):
           f"({rate['steps_per_sec']:.2f} steps/s, "
           f"{rate['pairs_per_sec']:.3e} pairs/s)")
     if sim.config.resolved_algorithm() == "tree":
-        from spacetpu.utils.metrics import tree_health
-
-        health = tree_health(state.pos, state.mass, theta=cfg.theta,
-                             k_near=sim._k_near, k_super=sim._k_super)
+        health = sim.health(state)
         if health["near_overflow"]:
             print(f"WARNING: {health['near_overflow']} of "
                   f"{health['clusters']} clusters overflowed the near-list "
@@ -179,6 +176,10 @@ def main(argv=None):
             num_processes=cfg.num_processes or None,
             process_id=cfg.process_id if cfg.process_id >= 0 else None,
         )
+    if cfg.tree_refresh_every > 1 and cfg.frontend != "none":
+        print("note: --tree-refresh-every takes effect in batch rollouts "
+              "(--frontend none) only; the interactive engine rebuilds the "
+              "tree every tick")
     scene = build_scene(cfg)
     state, scene = resolve_state(cfg, scene)
     # device enumeration log: the analogue of the reference's adapter

@@ -153,6 +153,18 @@ def _super_stats(com, m_tot, r_src, r_tgt):
     return com2, c_spread, rs_max, rt_max
 
 
+def _super_accept(com2, spread, rs_max, rt_max, theta: float):
+    """(G2, G2) target x source conservative supercluster accept matrix
+    (+ pair distances). The single source of truth shared by the runtime
+    screen and measure_near's k_super sizing — a divergence between the
+    two would silently re-introduce screen truncation."""
+    d2 = jnp.linalg.norm(com2[:, None, :] - com2[None, :, :], axis=-1)
+    possible = (rs_max[None, :] + spread[None, :]) >= theta * (
+        d2 - spread[:, None] - rt_max[:, None]
+    )
+    return possible, d2
+
+
 def _super_screen(com, m_tot, r_src, r_tgt, theta: float, k_super: int):
     """Supercluster-level near lists: (G2, K2) super indices + overflow.
 
@@ -169,10 +181,7 @@ def _super_screen(com, m_tot, r_src, r_tgt, theta: float, k_super: int):
       refined to cluster multipoles."""
     g2 = -(-com.shape[0] // SUPER)
     com2, spread, rs_max, rt_max = _super_stats(com, m_tot, r_src, r_tgt)
-    d2 = jnp.linalg.norm(com2[:, None, :] - com2[None, :, :], axis=-1)
-    possible = (rs_max[None, :] + spread[None, :]) >= theta * (
-        d2 - spread[:, None] - rt_max[:, None]
-    )  # (G2, G2) target x source
+    possible, d2 = _super_accept(com2, spread, rs_max, rt_max, theta)
     over2 = jnp.sum(jnp.sum(possible, axis=1) > k_super)
     masked2 = jnp.where(possible, d2, jnp.inf)
     neg_d2, idx2 = jax.lax.top_k(-masked2, min(k_super, g2))
@@ -321,10 +330,7 @@ def measure_near(pos, mass, *, theta: float, gg: int, leaf: int = LEAF,
     # Measure the conservative accept counts exactly (G2 x G2 is small).
     g2 = -(-gg // SUPER)
     com2, spread, rs_max, rt_max = _super_stats(com, m_tot, r_src, r_tgt)
-    d2m = jnp.linalg.norm(com2[:, None, :] - com2[None, :, :], axis=-1)
-    possible = (rs_max[None, :] + spread[None, :]) >= theta * (
-        d2m - spread[:, None] - rt_max[:, None]
-    )
+    possible, _ = _super_accept(com2, spread, rs_max, rt_max, theta)
     cnt2 = int(jnp.max(jnp.sum(possible, axis=1)))
     out["k_super"] = max(4, min(g2, int(cnt2 * headroom) + 4))
     if n_shards:
@@ -751,6 +757,37 @@ def near_pair_segments(idx, n_src: int, pj: int, cap_tiles: int):
     return flat, tile_tgt, n_tiles, dropped
 
 
+def near_pair_segments_consistent(idx_d, n_src_d: int, pj_d: int, cap_d: int,
+                                  idx_q, n_src_q: int, pj_q: int, cap_q: int):
+    """Build the direct and quad-subtraction tile lists CONSISTENTLY.
+
+    The quad pass subtracts each near cluster's multipole on the premise
+    that the direct pass adds its exact force: a cluster present in only
+    one list leaves a force hole (multipole subtracted, nothing added)
+    or a double count — both strictly worse than the far-field fallback.
+    The two tile lists have different tile widths (pj) and caps, so their
+    positional overflow drops would hit different clusters. Instead,
+    targets whose tiles do not fit BOTH caps are dropped from BOTH lists
+    entirely (those targets cleanly degrade to far-field accuracy for all
+    their near clusters); `dropped` counts their valid entries.
+
+    idx_d/idx_q must mark the same slots invalid (>= their n_src) — e.g.
+    the same near list in two index spaces (global vs halo pool)."""
+    valid = idx_d < n_src_d
+    k_i = jnp.sum(valid, axis=1).astype(jnp.int32)
+    t_d = jnp.maximum(-(-k_i // pj_d), 1)
+    t_q = jnp.maximum(-(-k_i // pj_q), 1)
+    fit = (jnp.cumsum(t_d) <= cap_d) & (jnp.cumsum(t_q) <= cap_q)
+    dropped = jnp.sum(jnp.where(fit, 0, k_i)).astype(jnp.int32)
+    idx_d = jnp.where(fit[:, None], idx_d, n_src_d)
+    idx_q = jnp.where(fit[:, None], idx_q, n_src_q)
+    flat_d, ttgt_d, _, d1 = near_pair_segments(idx_d, n_src_d, pj_d, cap_d)
+    flat_q, ttgt_q, _, d2 = near_pair_segments(idx_q, n_src_q, pj_q, cap_q)
+    # d1/d2 are zero by construction (masking only shrinks prefix sums);
+    # counted anyway as belt and braces
+    return flat_d, ttgt_d, flat_q, ttgt_q, dropped + d1 + d2
+
+
 def _pairs_prologue(vfirst_ref, accin_ref, out_ref, tile):
     """Shared accumulation tail of the pair kernels: at a target's first
     tile in this call, seed from the running total (aliased accin — zeros
@@ -1109,13 +1146,12 @@ def tree_prep(pos, mass, *, theta: float, k_near: int, gg: int,
             near_tiles = gg * max(-(-k_near // pj), 1)
         if near_tiles_q is None:
             near_tiles_q = gg * max(-(-k_near // NEAR_QUAD_PJ), 1)
-        flat, ttgt, _, drop = near_pair_segments(idx, gg, pj, near_tiles)
-        flatq, ttgtq, _, dropq = near_pair_segments(
-            idx, gg, NEAR_QUAD_PJ, near_tiles_q
+        flat, ttgt, flatq, ttgtq, drop = near_pair_segments_consistent(
+            idx, gg, pj, near_tiles, idx, gg, NEAR_QUAD_PJ, near_tiles_q
         )
         prep.update(near_flat=flat, near_tile_tgt=ttgt,
                     nearq_flat=flatq, nearq_tile_tgt=ttgtq)
-        overflow = overflow + drop + dropq
+        overflow = overflow + drop
     elif near_mode != "strip":
         raise ValueError(f"unknown near_mode {near_mode!r}")
     prep["near_overflow"] = overflow + clusters.overflow
@@ -1254,40 +1290,18 @@ def tree_eval(prep: dict, c0, n_clusters: int, *, softening: str,
     monopole_pseudo = multipole_order == 1
     block = leaf + 1
     if near_mode == "pairs":
-        if backend == "pallas":
-            srows = _pack_augmented(
-                prep["pos_g"], prep["mass_g"], prep["com"], prep["m_tot"],
-                g_arr, monopole_pseudo=monopole_pseudo,
+        corr = near_pairs_correction(
+            prep["pos_g"], prep["pos_g"], prep["mass_g"], prep["com"],
+            prep["m_tot"], prep["near_flat"], prep["near_tile_tgt"],
+            softening=softening, eps=eps, g=g, backend=backend,
+            interpret=interpret, monopole_pseudo=monopole_pseudo,
+        )
+        if multipole_order == 2:
+            corr = corr + near_pairs_multipole_subtraction(
+                prep["pos_g"], summaries, prep["nearq_flat"],
+                prep["nearq_tile_tgt"], eps=eps, backend=backend,
+                interpret=interpret,
             )
-            corr = _near_pairs_direct_pallas(
-                prep["pos_g"], srows, prep["near_flat"],
-                prep["near_tile_tgt"], softening=softening, eps=float(eps),
-                interpret=bool(interpret),
-            ).reshape(gg * leaf, 3)
-            if multipole_order == 2:
-                corr = corr + _near_pairs_quad_pallas(
-                    prep["pos_g"], summaries.at[3:10].multiply(-1.0),
-                    prep["nearq_flat"], prep["nearq_tile_tgt"],
-                    eps=float(eps), interpret=bool(interpret),
-                )
-        else:
-            aug_pos = jnp.concatenate(
-                [prep["pos_g"], prep["com"][:, None, :]], axis=1
-            )
-            pseudo_gm = (-prep["m_tot"][:, None] * g_arr if monopole_pseudo
-                         else jnp.zeros((gg, 1), dtype))
-            aug_gm = jnp.concatenate(
-                [prep["mass_g"] * g_arr, pseudo_gm], axis=1
-            )
-            corr = _near_pairs_direct_xla(
-                prep["pos_g"], aug_pos, aug_gm, prep["near_flat"],
-                prep["near_tile_tgt"], softening=softening, eps=eps,
-            ).reshape(gg * leaf, 3)
-            if multipole_order == 2:
-                corr = corr + _near_pairs_quad_xla(
-                    prep["pos_g"], summaries.at[3:10].multiply(-1.0),
-                    prep["nearq_flat"], prep["nearq_tile_tgt"], eps=eps,
-                )
     elif backend == "pallas":
         pad_mult = NEAR_TILE_J // block
         if idx.shape[1] % pad_mult != 0:  # pad near lists w/ the null cluster
@@ -1387,6 +1401,56 @@ def near_multipole_subtraction(pos_g_t, summaries, idx, *, eps, backend,
             interpret=bool(interpret), block=pos_g_t.shape[1] + 1,
         )
     return _near_multipole_sub_xla(pos_g_t, neg, idx, eps=eps)
+
+
+def near_pairs_correction(pos_g_t, pool_pos_g, pool_mass_g, pool_com,
+                          pool_m_tot, flat_src, tile_tgt, *, softening, eps,
+                          g, backend, interpret, monopole_pseudo: bool):
+    """Pair-tile analogue of `near_direct_correction` (same source-pool
+    contract; flat_src/tile_tgt from near_pair_segments over pool slots).
+    Returns (G_t * leaf, 3)."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    n_t, leaf = pos_g_t.shape[:2]
+    p = pool_pos_g.shape[0]
+    dtype = pos_g_t.dtype
+    g_arr = jnp.asarray(g, dtype)
+    if backend == "pallas":
+        srows = _pack_augmented(
+            pool_pos_g, pool_mass_g, pool_com, pool_m_tot, g_arr,
+            monopole_pseudo=monopole_pseudo,
+        )
+        return _near_pairs_direct_pallas(
+            pos_g_t, srows, flat_src, tile_tgt, softening=softening,
+            eps=float(eps), interpret=bool(interpret),
+        ).reshape(n_t * leaf, 3)
+    aug_pos = jnp.concatenate([pool_pos_g, pool_com[:, None, :]], axis=1)
+    pseudo_gm = (-pool_m_tot[:, None] * g_arr if monopole_pseudo
+                 else jnp.zeros((p, 1), dtype))
+    aug_gm = jnp.concatenate([pool_mass_g * g_arr, pseudo_gm], axis=1)
+    return _near_pairs_direct_xla(
+        pos_g_t, aug_pos, aug_gm, flat_src, tile_tgt,
+        softening=softening, eps=eps,
+    ).reshape(n_t * leaf, 3)
+
+
+def near_pairs_multipole_subtraction(pos_g_t, summaries, flat_src, tile_tgt,
+                                     *, eps, backend, interpret):
+    """Pair-tile analogue of `near_multipole_subtraction` (flat_src slots
+    into `summaries` columns; invalid = the trailing null column).
+    Returns (G_t * leaf, 3)."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    n_t, leaf = pos_g_t.shape[:2]
+    neg = summaries.at[3:10].multiply(-1.0)
+    if backend == "pallas":
+        return _near_pairs_quad_pallas(
+            pos_g_t, neg, flat_src, tile_tgt, eps=float(eps),
+            interpret=bool(interpret),
+        ).reshape(n_t * leaf, 3)
+    return _near_pairs_quad_xla(
+        pos_g_t, neg, flat_src, tile_tgt, eps=eps
+    ).reshape(n_t * leaf, 3)
 
 
 #: switch the far field to 3 levels (supercluster multipoles + refinement)

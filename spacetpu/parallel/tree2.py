@@ -267,53 +267,36 @@ def _tree2_acc(pos_l, mass_l, *, axis: str, theta: float, k_near: int,
         # pair-tile near phase (cost ~ the device's ACTUAL near-pair
         # count; see ops/tree.py pair-list section). The caps are static
         # and identical on every device under SPMD — size them with
-        # measure_near(n_shards=D)'s worst-shard totals.
+        # measure_near(n_shards=D)'s worst-shard totals. The direct list
+        # lives in halo-pool slots, the quad list in global cluster ids;
+        # halo-dropped clusters are nulled in BOTH (a cluster present in
+        # only one list would leave a force hole worse than far-field
+        # fallback), and the consistent builder drops whole targets that
+        # fit neither cap.
         p = pool_pos_g.shape[0]
         pj = tree_ops.NEAR_TILE_J // BLOCK
-        flat, ttgt, _, drop = tree_ops.near_pair_segments(
-            idx_pool, p, pj, near_tiles
+        idx_q = jnp.where(idx_pool >= p, gg, idx_mine)
+        flat, ttgt, flatq, ttgtq, drop = (
+            tree_ops.near_pair_segments_consistent(
+                idx_pool, p, pj, near_tiles,
+                idx_q, gg, tree_ops.NEAR_QUAD_PJ, near_tiles_q,
+            )
         )
         over_tiles = over_tiles + drop
-        if backend == "pallas":
-            srows = tree_ops._pack_augmented(
-                pool_pos_g, pool_mass_g, pool_com, pool_m, g_arr,
-                monopole_pseudo=monopole_pseudo,
-            )
-            corr = tree_ops._near_pairs_direct_pallas(
-                pos_g, srows, flat, ttgt, softening=softening,
-                eps=float(eps), interpret=bool(interpret),
-            ).reshape(m, 3)
-        else:
-            aug_pos = jnp.concatenate(
-                [pool_pos_g, pool_com[:, None, :]], axis=1
-            )
-            pseudo_gm = (-pool_m[:, None] * g_arr if monopole_pseudo
-                         else jnp.zeros((p, 1), dtype))
-            aug_gm = jnp.concatenate(
-                [pool_mass_g * g_arr, pseudo_gm], axis=1
-            )
-            corr = tree_ops._near_pairs_direct_xla(
-                pos_g, aug_pos, aug_gm, flat, ttgt,
-                softening=softening, eps=eps,
-            ).reshape(m, 3)
+        corr = tree_ops.near_pairs_correction(
+            pos_g, pool_pos_g, pool_mass_g, pool_com, pool_m,
+            flat, ttgt, softening=softening, eps=eps, g=g,
+            backend=backend, interpret=interpret,
+            monopole_pseudo=monopole_pseudo,
+        ).reshape(m, 3)
         if multipole_order == 2:
             summ_null = jnp.concatenate(
                 [summ_all, jnp.zeros((16, 1), dtype)], axis=1
             )
-            neg = summ_null.at[3:10].multiply(-1.0)
-            flatq, ttgtq, _, dropq = tree_ops.near_pair_segments(
-                idx_mine, gg, tree_ops.NEAR_QUAD_PJ, near_tiles_q
-            )
-            over_tiles = over_tiles + dropq
-            if backend == "pallas":
-                corr = corr + tree_ops._near_pairs_quad_pallas(
-                    pos_g, neg, flatq, ttgtq, eps=float(eps),
-                    interpret=bool(interpret),
-                ).reshape(m, 3)
-            else:
-                corr = corr + tree_ops._near_pairs_quad_xla(
-                    pos_g, neg, flatq, ttgtq, eps=eps
-                ).reshape(m, 3)
+            corr = corr + tree_ops.near_pairs_multipole_subtraction(
+                pos_g, summ_null, flatq, ttgtq, eps=eps,
+                backend=backend, interpret=interpret,
+            ).reshape(m, 3)
     else:
         corr = tree_ops.near_direct_correction(
             pos_g, idx_pool, pool_pos_g, pool_mass_g, pool_com, pool_m,
@@ -324,8 +307,13 @@ def _tree2_acc(pos_l, mass_l, *, axis: str, theta: float, k_near: int,
             summ_null = jnp.concatenate(
                 [summ_all, jnp.zeros((16, 1), dtype)], axis=1
             )
+            # null the halo-dropped clusters here too: the direct pass
+            # skipped them, so subtracting their multipole would leave a
+            # force hole instead of far-field fallback
+            p = pool_pos_g.shape[0]
+            idx_sub = jnp.where(idx_pool >= p, gg, idx_mine)
             corr = corr + tree_ops.near_multipole_subtraction(
-                pos_g, summ_null, idx_mine, eps=eps, backend=backend,
+                pos_g, summ_null, idx_sub, eps=eps, backend=backend,
                 interpret=interpret,
             )
     acc = acc.reshape(m, 3) + corr.reshape(m, 3)

@@ -222,6 +222,32 @@ class Simulation:
         )
         self._needs_calibration = False
 
+    def health(self, state: State) -> dict:
+        """Tree telemetry (near-list overflow) computed with THIS
+        simulation's calibrated partition and caps — a generic
+        equal/LEAF/geometric-cap rebuild (utils.metrics.tree_health) would
+        mis-report overflow for adaptive/custom-leaf/calibrated sims."""
+        from spacetpu.ops import tree as tree_ops
+
+        cfg = self.config
+        if cfg.resolved_algorithm() != "tree":
+            return {}
+        order = cfg.resolved_multipole_order()
+        leaf = cfg.resolved_leaf()
+        cmode = self._cluster_mode or cfg.resolved_cluster_mode()
+        gg = self._gg or tree_ops._gg_for(cfg.n, "auto", order, leaf, cmode)
+        far = tree_ops.resolve_far_levels("auto", gg, order)
+        k = self._k_near or tree_ops.default_k_near(cfg.theta, gg)
+        prep = tree_ops.tree_prep(
+            jnp.asarray(state.pos), jnp.asarray(state.mass),
+            theta=cfg.theta, k_near=k, gg=gg, far_levels=far, leaf=leaf,
+            cluster_mode=cmode, near_mode=cfg.resolved_near_mode(),
+            near_tiles=self._near_tiles, near_tiles_q=self._near_tiles_q,
+            k_super=self._k_super,
+        )
+        return {"near_overflow": int(prep["near_overflow"]),
+                "clusters": gg, "k_near": k}
+
     def _check(self, state: State):
         if state.pos.shape[0] != self.config.n:
             raise ValueError(

@@ -226,3 +226,35 @@ def test_tree2_pairs_measured_caps_match_strip():
     )
     ts = tiny.prime(tiny.shard_state(state))
     assert int(tiny.diagnose(ts)["tile_overflow"]) > 0
+
+
+def test_tree2_far3_pairs_measured_caps():
+    """The production large-N configuration — far_levels=3 + pairs near
+    phase + measured k_super — matches the strip path and reports zero
+    overflow (this combination previously had no coverage)."""
+    d = 2
+    n = d * tree.SUPER * LEAF  # g_l=64 per device: far_levels=3 eligible
+    state = _scene(n, seed=9)
+    mesh = ring.make_mesh(d)
+    gg = n // LEAF
+    m = tree.measure_near(
+        jnp.asarray(state.pos), jnp.asarray(state.mass), theta=0.5, gg=gg,
+        n_shards=d,
+    )
+    kw = dict(theta=0.5, softening="plummer", eps=1e-3, g=1.0,
+              backend="xla", multipole_order=2, far_levels=3,
+              k_near=m["k_near"], k_super=m["k_super"])
+    acc = {}
+    for nm, extra in (
+        ("strip", {}),
+        ("pairs", dict(near_tiles=m["near_tiles_shard"],
+                       near_tiles_q=m["near_tiles_q_shard"])),
+    ):
+        sim = tree2.ShardedTreeSimulation(mesh, n, near_mode=nm, **kw, **extra)
+        ts = sim.prime(sim.shard_state(state))
+        diag = sim.diagnose(ts)
+        assert int(diag["near_overflow"]) == 0
+        assert int(diag["tile_overflow"]) == 0
+        acc[nm] = np.asarray(sim.user_order(ts).acc)
+    np.testing.assert_allclose(acc["pairs"], acc["strip"],
+                               rtol=1e-9, atol=1e-12)
