@@ -92,6 +92,23 @@ def _group_stats(pos_g, mass_g):
     return com, m_tot, r_src, r_tgt
 
 
+def _smallest_k(masked, cand, k: int, null_id):
+    """Indices of the k smallest entries per row of `masked` (jnp.inf =
+    invalid -> null_id). Uses top_k for small k and a full row sort for
+    large k: TPU top_k at k in the thousands (dense near lists measure
+    k ~ G on Plummer scenes) faults the runtime, while a full sort is
+    well-behaved and asymptotically no worse once k ~ columns."""
+    if k <= 256:
+        neg_d, j = jax.lax.top_k(-masked, k)
+        idx = jnp.where(neg_d > -jnp.inf, jnp.take_along_axis(cand, j, 1),
+                        null_id)
+        return idx.astype(jnp.int32)
+    d_sorted, c_sorted = jax.lax.sort_key_val(masked, cand, dimension=1)
+    d_sorted = d_sorted[:, :k]
+    idx = jnp.where(d_sorted < jnp.inf, c_sorted[:, :k], null_id)
+    return idx.astype(jnp.int32)
+
+
 def _near_lists(com, m_tot, r_src, r_tgt, theta: float, k_near: int):
     """(G, K) indices of the nearest clusters failing the opening test.
 
@@ -111,9 +128,9 @@ def _near_lists(com, m_tot, r_src, r_tgt, theta: float, k_near: int):
     near = jnp.logical_and(near, m_tot[None, :] > 0)
     overflow = jnp.sum(jnp.sum(near, axis=1) > k_near)
     masked = jnp.where(near, dist, jnp.inf)
-    neg_d, idx = jax.lax.top_k(-masked, k_near)  # k smallest distances
-    valid = neg_d > -jnp.inf
-    return jnp.where(valid, idx, g).astype(jnp.int32), overflow
+    cand = jnp.broadcast_to(jnp.arange(g, dtype=jnp.int32)[None, :],
+                            masked.shape)
+    return _smallest_k(masked, cand, k_near, g), overflow
 
 
 #: clusters per supercluster in the two-level near-list build
@@ -238,8 +255,9 @@ def _near_lists_hier(com, m_tot, r_src, r_tgt, theta: float, k_near: int,
         # near set is still inside the pool, so take the whole pool and
         # pad the list with null ids up to k_near.
         k_eff = min(k_near, masked.shape[1])
-        neg_d, j = jax.lax.top_k(-masked, k_eff)  # (SUPER, k_eff)
-        idx = jnp.where(neg_d > -jnp.inf, cand_b[j], g)
+        cand_rows = jnp.broadcast_to(cand_b[None, :].astype(jnp.int32),
+                                     masked.shape)
+        idx = _smallest_k(masked, cand_rows, k_eff, g)
         if k_eff < k_near:
             idx = jnp.concatenate(
                 [idx, jnp.full((idx.shape[0], k_near - k_eff), g, idx.dtype)],
@@ -781,11 +799,12 @@ def near_pair_segments_consistent(idx_d, n_src_d: int, pj_d: int, cap_d: int,
     dropped = jnp.sum(jnp.where(fit, 0, k_i)).astype(jnp.int32)
     idx_d = jnp.where(fit[:, None], idx_d, n_src_d)
     idx_q = jnp.where(fit[:, None], idx_q, n_src_q)
-    flat_d, ttgt_d, _, d1 = near_pair_segments(idx_d, n_src_d, pj_d, cap_d)
-    flat_q, ttgt_q, _, d2 = near_pair_segments(idx_q, n_src_q, pj_q, cap_q)
+    flat_d, ttgt_d, nt_d, d1 = near_pair_segments(idx_d, n_src_d, pj_d, cap_d)
+    flat_q, ttgt_q, nt_q, d2 = near_pair_segments(idx_q, n_src_q, pj_q, cap_q)
     # d1/d2 are zero by construction (masking only shrinks prefix sums);
     # counted anyway as belt and braces
-    return flat_d, ttgt_d, flat_q, ttgt_q, dropped + d1 + d2
+    return (flat_d, ttgt_d, nt_d, flat_q, ttgt_q, nt_q,
+            dropped + d1 + d2)
 
 
 def _pairs_prologue(vfirst_ref, accin_ref, out_ref, tile):
@@ -893,32 +912,55 @@ NEAR_QUAD_CHUNK = 32768
 
 
 def _near_pairs_call(kernel, tcols_ext, strips_blocks, flat_src, tile_tgt,
-                     *, block, rows, interpret, chunk):
+                     *, block, rows, interpret, chunk, n_tiles=None):
     """Run a pair kernel over the tile list in gather-bounded chunks,
     accumulating into one aliased (G+1 blocks) output buffer.
 
     strips_blocks: (rows, n_src+1, width) source table gathered per chunk;
-    tcols_ext: ((G+1)*block, 8) targets with the dummy block appended."""
+    tcols_ext: ((G+1)*block, 8) targets with the dummy block appended.
+
+    The chunks iterate in a device-side lax.scan with ONE pallas launch
+    site — an unrolled python loop emitted one launch per chunk, and a
+    generously-measured cap (near-dense scenes measure ~0.3*G^2/pj tiles)
+    produced hundreds of launches per pass / tens of thousands per rollout
+    scan, which crashed the TPU runtime outright. n_tiles (traced) lets
+    the scan SKIP chunks past the live tile count, so a cap overshoot
+    costs nothing but memory."""
     cap_tiles = tile_tgt.shape[0]
     pj = flat_src.shape[0] // cap_tiles
     width = strips_blocks.shape[2]
-    acc = jnp.zeros((tcols_ext.shape[0], 8), tcols_ext.dtype)
-    for c0 in range(0, cap_tiles, chunk):
-        c1 = min(c0 + chunk, cap_tiles)
-        nt = c1 - c0
-        gathered = jnp.take(
-            strips_blocks, flat_src[c0 * pj : c1 * pj], axis=1
-        ).reshape(rows, nt * pj * width)
-        tgt_c = tile_tgt[c0:c1]
+    n_chunks = -(-cap_tiles // chunk)
+    pad = n_chunks * chunk - cap_tiles
+    if pad:
+        # pad with null-source tiles aimed at the dummy target block
+        g_dummy = (tcols_ext.shape[0] // block) - 1
+        n_src = strips_blocks.shape[1] - 1
+        flat_src = jnp.concatenate(
+            [flat_src, jnp.full((pad * pj,), n_src, flat_src.dtype)]
+        )
+        tile_tgt = jnp.concatenate(
+            [tile_tgt, jnp.full((pad,), g_dummy, tile_tgt.dtype)]
+        )
+    if n_tiles is None:
+        n_tiles = jnp.asarray(cap_tiles, jnp.int32)
+
+    acc0 = jnp.zeros((tcols_ext.shape[0], 8), tcols_ext.dtype)
+
+    def run_chunk(acc, c0):
+        fl = jax.lax.dynamic_slice_in_dim(flat_src, c0 * pj, chunk * pj, 0)
+        tgt_c = jax.lax.dynamic_slice_in_dim(tile_tgt, c0, chunk, 0)
+        gathered = jnp.take(strips_blocks, fl, axis=1).reshape(
+            rows, chunk * pj * width
+        )
         vfirst = jnp.concatenate([
             jnp.ones((1,), jnp.int32),
             (tgt_c[1:] != tgt_c[:-1]).astype(jnp.int32),
         ])
-        acc = pl.pallas_call(
+        return pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
-                grid=(nt,),
+                grid=(chunk,),
                 in_specs=[
                     pl.BlockSpec((block, 8), lambda t, tgt, vf: (tgt[t], 0),
                                  memory_space=pltpu.VMEM),
@@ -936,6 +978,15 @@ def _near_pairs_call(kernel, tcols_ext, strips_blocks, flat_src, tile_tgt,
             input_output_aliases={4: 0},
             interpret=interpret,
         )(tgt_c, vfirst, tcols_ext, gathered, acc)
+
+    def body(acc, c0):
+        acc = jax.lax.cond(
+            c0 < n_tiles, run_chunk, lambda a, _: a, acc, c0
+        )
+        return acc, None
+
+    starts = jnp.arange(0, n_chunks * chunk, chunk, dtype=jnp.int32)
+    acc, _ = jax.lax.scan(body, acc0, starts)
     return acc
 
 
@@ -946,7 +997,7 @@ def _append_dummy_block(tcols, block):
 
 
 def _near_pairs_direct_pallas(pos_g, srows, flat_src, tile_tgt, *,
-                              softening, eps, interpret):
+                              softening, eps, interpret, n_tiles=None):
     """Pair-list direct(-minus-monopole) correction. srows from
     _pack_augmented (null cluster included). Returns (G, leaf, 3)."""
     gg, leaf = pos_g.shape[:2]
@@ -957,13 +1008,13 @@ def _near_pairs_direct_pallas(pos_g, srows, flat_src, tile_tgt, *,
         functools.partial(_kernel_pairs, softening=softening, eps=float(eps)),
         tcols_ext, srows3, flat_src, tile_tgt,
         block=block, rows=8, interpret=bool(interpret),
-        chunk=NEAR_PAIRS_CHUNK,
+        chunk=NEAR_PAIRS_CHUNK, n_tiles=n_tiles,
     )
     return acc[: gg * block].reshape(gg, block, 8)[:, :leaf, :3]
 
 
 def _near_pairs_quad_pallas(pos_g, summaries_neg, flat_src, tile_tgt, *,
-                            eps, interpret):
+                            eps, interpret, n_tiles=None):
     """Pair-list negated-multipole subtraction. summaries_neg: (16, G+1).
     Returns (G * leaf, 3)."""
     gg, leaf = pos_g.shape[:2]
@@ -974,7 +1025,7 @@ def _near_pairs_quad_pallas(pos_g, summaries_neg, flat_src, tile_tgt, *,
         functools.partial(_kernel_quad_pairs, eps=float(eps)),
         tcols_ext, strips, flat_src, tile_tgt,
         block=block, rows=16, interpret=bool(interpret),
-        chunk=NEAR_QUAD_CHUNK,
+        chunk=NEAR_QUAD_CHUNK, n_tiles=n_tiles,
     )
     return acc[: gg * block].reshape(gg, block, 8)[:, :leaf, :3].reshape(
         gg * leaf, 3
@@ -1146,11 +1197,14 @@ def tree_prep(pos, mass, *, theta: float, k_near: int, gg: int,
             near_tiles = gg * max(-(-k_near // pj), 1)
         if near_tiles_q is None:
             near_tiles_q = gg * max(-(-k_near // NEAR_QUAD_PJ), 1)
-        flat, ttgt, flatq, ttgtq, drop = near_pair_segments_consistent(
-            idx, gg, pj, near_tiles, idx, gg, NEAR_QUAD_PJ, near_tiles_q
+        flat, ttgt, ntd, flatq, ttgtq, ntq, drop = (
+            near_pair_segments_consistent(
+                idx, gg, pj, near_tiles, idx, gg, NEAR_QUAD_PJ, near_tiles_q
+            )
         )
-        prep.update(near_flat=flat, near_tile_tgt=ttgt,
-                    nearq_flat=flatq, nearq_tile_tgt=ttgtq)
+        prep.update(near_flat=flat, near_tile_tgt=ttgt, near_ntiles=ntd,
+                    nearq_flat=flatq, nearq_tile_tgt=ttgtq,
+                    nearq_ntiles=ntq)
         overflow = overflow + drop
     elif near_mode != "strip":
         raise ValueError(f"unknown near_mode {near_mode!r}")
@@ -1163,8 +1217,8 @@ def tree_prep(pos, mass, *, theta: float, k_near: int, gg: int,
 #: statistic of the current positions and is recomputed by
 #: `acc_tree_cached` each call.
 STRUCTURE_KEYS = ("perm", "inv", "clusters", "idx", "idx2",
-                  "near_flat", "near_tile_tgt", "nearq_flat",
-                  "nearq_tile_tgt")
+                  "near_flat", "near_tile_tgt", "near_ntiles",
+                  "nearq_flat", "nearq_tile_tgt", "nearq_ntiles")
 
 
 def tree_structure(pos, mass, *, theta: float, k_near: int, gg: int,
@@ -1295,12 +1349,13 @@ def tree_eval(prep: dict, c0, n_clusters: int, *, softening: str,
             prep["m_tot"], prep["near_flat"], prep["near_tile_tgt"],
             softening=softening, eps=eps, g=g, backend=backend,
             interpret=interpret, monopole_pseudo=monopole_pseudo,
+            n_tiles=prep.get("near_ntiles"),
         )
         if multipole_order == 2:
             corr = corr + near_pairs_multipole_subtraction(
                 prep["pos_g"], summaries, prep["nearq_flat"],
                 prep["nearq_tile_tgt"], eps=eps, backend=backend,
-                interpret=interpret,
+                interpret=interpret, n_tiles=prep.get("nearq_ntiles"),
             )
     elif backend == "pallas":
         pad_mult = NEAR_TILE_J // block
@@ -1405,7 +1460,8 @@ def near_multipole_subtraction(pos_g_t, summaries, idx, *, eps, backend,
 
 def near_pairs_correction(pos_g_t, pool_pos_g, pool_mass_g, pool_com,
                           pool_m_tot, flat_src, tile_tgt, *, softening, eps,
-                          g, backend, interpret, monopole_pseudo: bool):
+                          g, backend, interpret, monopole_pseudo: bool,
+                          n_tiles=None):
     """Pair-tile analogue of `near_direct_correction` (same source-pool
     contract; flat_src/tile_tgt from near_pair_segments over pool slots).
     Returns (G_t * leaf, 3)."""
@@ -1422,7 +1478,7 @@ def near_pairs_correction(pos_g_t, pool_pos_g, pool_mass_g, pool_com,
         )
         return _near_pairs_direct_pallas(
             pos_g_t, srows, flat_src, tile_tgt, softening=softening,
-            eps=float(eps), interpret=bool(interpret),
+            eps=float(eps), interpret=bool(interpret), n_tiles=n_tiles,
         ).reshape(n_t * leaf, 3)
     aug_pos = jnp.concatenate([pool_pos_g, pool_com[:, None, :]], axis=1)
     pseudo_gm = (-pool_m_tot[:, None] * g_arr if monopole_pseudo
@@ -1435,7 +1491,8 @@ def near_pairs_correction(pos_g_t, pool_pos_g, pool_mass_g, pool_com,
 
 
 def near_pairs_multipole_subtraction(pos_g_t, summaries, flat_src, tile_tgt,
-                                     *, eps, backend, interpret):
+                                     *, eps, backend, interpret,
+                                     n_tiles=None):
     """Pair-tile analogue of `near_multipole_subtraction` (flat_src slots
     into `summaries` columns; invalid = the trailing null column).
     Returns (G_t * leaf, 3)."""
@@ -1446,7 +1503,7 @@ def near_pairs_multipole_subtraction(pos_g_t, summaries, flat_src, tile_tgt,
     if backend == "pallas":
         return _near_pairs_quad_pallas(
             pos_g_t, neg, flat_src, tile_tgt, eps=float(eps),
-            interpret=bool(interpret),
+            interpret=bool(interpret), n_tiles=n_tiles,
         ).reshape(n_t * leaf, 3)
     return _near_pairs_quad_xla(
         pos_g_t, neg, flat_src, tile_tgt, eps=eps

@@ -276,7 +276,7 @@ def _tree2_acc(pos_l, mass_l, *, axis: str, theta: float, k_near: int,
         p = pool_pos_g.shape[0]
         pj = tree_ops.NEAR_TILE_J // BLOCK
         idx_q = jnp.where(idx_pool >= p, gg, idx_mine)
-        flat, ttgt, flatq, ttgtq, drop = (
+        flat, ttgt, ntd, flatq, ttgtq, ntq, drop = (
             tree_ops.near_pair_segments_consistent(
                 idx_pool, p, pj, near_tiles,
                 idx_q, gg, tree_ops.NEAR_QUAD_PJ, near_tiles_q,
@@ -287,7 +287,7 @@ def _tree2_acc(pos_l, mass_l, *, axis: str, theta: float, k_near: int,
             pos_g, pool_pos_g, pool_mass_g, pool_com, pool_m,
             flat, ttgt, softening=softening, eps=eps, g=g,
             backend=backend, interpret=interpret,
-            monopole_pseudo=monopole_pseudo,
+            monopole_pseudo=monopole_pseudo, n_tiles=ntd,
         ).reshape(m, 3)
         if multipole_order == 2:
             summ_null = jnp.concatenate(
@@ -295,7 +295,7 @@ def _tree2_acc(pos_l, mass_l, *, axis: str, theta: float, k_near: int,
             )
             corr = corr + tree_ops.near_pairs_multipole_subtraction(
                 pos_g, summ_null, flatq, ttgtq, eps=eps,
-                backend=backend, interpret=interpret,
+                backend=backend, interpret=interpret, n_tiles=ntq,
             ).reshape(m, 3)
     else:
         corr = tree_ops.near_direct_correction(
