@@ -274,3 +274,21 @@ def test_auto_modes_end_to_end():
     assert sim._near_tiles is not None
     state = sim.run(state, jnp.float32(1e-3), 3)
     assert bool(jnp.all(jnp.isfinite(state.pos)))
+
+
+def test_simulation_health_uses_calibrated_partition():
+    """sim.health() reports overflow with the sim's OWN calibrated
+    partition/caps (a generic equal/LEAF rebuild mis-reported overflow
+    for adaptive or calibrated sims)."""
+    from spacetpu import make_simulation
+
+    scene = presets.plummer_sphere(3_000, seed=11)
+    sim = make_simulation(3_000, algorithm="tree", backend="xla", g=1.0,
+                          theta=0.5, near_mode="pairs", k_near="auto")
+    state = sim.prime(scene.state(dtype=jnp.float32))
+    h = sim.health(state)
+    assert h["near_overflow"] == 0
+    assert h["k_near"] == sim._k_near
+    # non-tree sims report nothing
+    dsim = make_simulation(100, algorithm="direct", backend="xla")
+    assert dsim.health(scene.state(dtype=jnp.float32)) == {}
