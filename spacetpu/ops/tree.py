@@ -460,29 +460,32 @@ def _super_multipoles(summaries):
 def _superfar_refine_table(summaries, super_summaries, idx2):
     """Gathered per-supercluster refinement strips for the 3-level far
     field: for target super A, columns = the cluster summaries of A's K2
-    near supers followed by those supers' NEGATED super summaries (so one
-    evaluation computes  sum_B [clusters(B) - super(B)], which added to
-    the dense super far field replaces near supers by their clusters).
+    near supers. Together with `_superfar_dense_masked` (which EXCLUDES
+    those supers from the dense pass) this replaces near supers by their
+    member clusters without ever summing a near super's own multipole.
 
-    Returns (16, G2 * S_pad) with S_pad = K2 * (SUPER + 1) rounded up to a
-    multiple of 128 (zero columns are exact no-ops in the quad kernel)."""
+    The original scheme instead appended the near supers' NEGATED super
+    summaries here and ran the dense pass over ALL supers — relying on
+    f32 cancellation of the two copies. On heavy-tail scenes a sparse
+    super's COM can land next to dense-core bodies with |Q|/d^4 ~ 1e10,
+    and the cancellation residue destroyed the force field (measured
+    plummer 1M: median relative force error 5e3 vs far2's 4e-5).
+
+    Returns (16, G2 * S_pad) with S_pad = K2 * SUPER rounded up to a
+    multiple of the strip tile (zero columns are exact no-ops in the quad
+    kernel)."""
     g = summaries.shape[1]
     g2, k2 = idx2.shape
-    # combined table: clusters | null col | negated supers | null super col
     table = jnp.concatenate(
-        [summaries, jnp.zeros((16, 1), summaries.dtype),
-         super_summaries.at[3:10].multiply(-1.0),
-         jnp.zeros((16, 1), summaries.dtype)],
-        axis=1,
+        [summaries, jnp.zeros((16, 1), summaries.dtype)], axis=1
     )
     null_cluster = g
-    null_super = g + 1 + g2
-    members = jnp.minimum(
+    cols = jnp.minimum(
         idx2[:, :, None] * SUPER + jnp.arange(SUPER)[None, None, :],
         null_cluster,
     ).reshape(g2, k2 * SUPER)
-    supers = jnp.where(idx2 < g2, g + 1 + idx2, null_super)  # (G2, K2)
-    cols = jnp.concatenate([members, supers], axis=1)  # (G2, K2*(SUPER+1))
+    del super_summaries  # near supers are MASKED out of the dense pass
+    # (not cancelled here) — see _superfar_dense_masked
     s = cols.shape[1]
     # pad to the pallas strip tile (the quad kernel's live temporaries are
     # (BLOCK, tile) sized — wider tiles blow the 16 MB scoped-VMEM limit)
@@ -498,6 +501,46 @@ def _superfar_refine_table(summaries, super_summaries, idx2):
 #: lane width of the superfar refinement strip tiles (the quad kernel
 #: holds ~9 (BLOCK, tile) temporaries live; 512 keeps that ~4.7 MB)
 _SUPERFAR_TILE_J = 512
+
+
+def _superfar_dense_masked(targets, super_summaries, idx2_t, *, eps,
+                           backend, interpret):
+    """Dense supercluster far field with each target super's near supers
+    masked out (gm and Q zeroed per target super — exact no-ops in the
+    quad kernel). Their contribution comes solely from the refinement
+    strips, so no giant near-super multipole term is ever summed and then
+    cancelled in f32 (see _superfar_refine_table).
+
+    targets: (n2 * SUPER * leaf, 3) slot-order bodies of the n2 target
+    supers; idx2_t: (n2, K2) near-super ids (null = G2). Evaluates one
+    target super per lax.map step against its own masked summary table
+    (tables are (n2, 16, G2) — 60 MB at the 16M-body scale)."""
+    from spacetpu.ops import pallas_direct
+
+    n2, _ = idx2_t.shape
+    g2 = super_summaries.shape[1]
+    rows = targets.shape[0] // n2
+    hit = jnp.zeros((n2, g2 + 1), super_summaries.dtype)
+    hit = hit.at[
+        jnp.arange(n2)[:, None], jnp.minimum(idx2_t, g2)
+    ].set(1.0)
+    keep = 1.0 - hit[:, :g2]  # (n2, G2)
+    tbl = jnp.concatenate([
+        jnp.broadcast_to(super_summaries[None, :3], (n2, 3, g2)),
+        super_summaries[None, 3:10] * keep[:, None, :],
+        jnp.broadcast_to(super_summaries[None, 10:], (n2, 6, g2)),
+    ], axis=1)
+
+    def one(args):
+        tgt, t = args
+        if backend == "pallas":
+            return pallas_direct.acc_cross_quad(
+                tgt, t, eps=eps, interpret=interpret
+            )
+        return pallas_direct.acc_cross_quad_xla(tgt, t, eps=eps)
+
+    out = jax.lax.map(one, (targets.reshape(n2, rows, 3), tbl))
+    return out.reshape(n2 * rows, 3)
 
 
 def _superfar_refine_pallas(tcols, strips, *, eps, interpret,
@@ -1303,18 +1346,17 @@ def tree_eval(prep: dict, c0, n_clusters: int, *, softening: str,
         strips = jax.lax.dynamic_slice_in_dim(
             strips, s2 * s_pad, n2 * s_pad, 1
         )
+        idx2_t = jax.lax.dynamic_slice_in_dim(prep["idx2"], s2, n2, 0)
+        acc = _superfar_dense_masked(
+            targets, super_summaries, idx2_t, eps=eps, backend=backend,
+            interpret=interpret,
+        )
         if backend == "pallas":
-            acc = pallas_direct.acc_cross_quad(
-                targets, super_summaries, eps=eps, interpret=interpret,
-            )
             acc = acc + _superfar_refine_pallas(
                 _pack_targets(pos_g), strips, eps=float(eps),
                 interpret=bool(interpret), block=leaf + 1,
             )
         else:
-            acc = pallas_direct.acc_cross_quad_xla(
-                targets, super_summaries, eps=eps
-            )
             acc = acc + _superfar_refine_xla(pos_g, strips, eps=eps)
     elif multipole_order == 2:
         from spacetpu.ops import pallas_direct

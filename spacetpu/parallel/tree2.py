@@ -220,20 +220,22 @@ def _tree2_acc(pos_l, mass_l, *, axis: str, theta: float, k_near: int,
         super_summ = tree_ops._super_multipoles(summ_all)
         strips = tree_ops._superfar_refine_table(summ_all, super_summ, idx2)
         s_pad = strips.shape[1] // (gg // tree_ops.SUPER)
+        s2 = base // tree_ops.SUPER
+        n2 = g_l // tree_ops.SUPER
         strips_mine = jax.lax.dynamic_slice_in_dim(
-            strips, (base // tree_ops.SUPER) * s_pad,
-            (g_l // tree_ops.SUPER) * s_pad, 1,
+            strips, s2 * s_pad, n2 * s_pad, 1,
+        )
+        idx2_mine = jax.lax.dynamic_slice_in_dim(idx2, s2, n2, 0)
+        acc = tree_ops._superfar_dense_masked(
+            pos_l, super_summ, idx2_mine, eps=eps, backend=backend,
+            interpret=interpret,
         )
         if backend == "pallas":
-            acc = pallas_direct.acc_cross_quad(
-                pos_l, super_summ, eps=eps, interpret=interpret
-            )
             acc = acc.reshape(m, 3) + tree_ops._superfar_refine_pallas(
                 tree_ops._pack_targets(pos_g), strips_mine,
                 eps=float(eps), interpret=bool(interpret),
             )
         else:
-            acc = pallas_direct.acc_cross_quad_xla(pos_l, super_summ, eps=eps)
             acc = acc + tree_ops._superfar_refine_xla(
                 pos_g, strips_mine, eps=eps
             )
