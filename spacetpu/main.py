@@ -75,6 +75,7 @@ def _cfg_tree_kwargs(cfg: RunConfig) -> dict:
         k_near=_cfg_k_near(cfg), near_mode=cfg.near_mode,
         cluster_mode=cfg.cluster_mode, leaf=leaf,
         tree_refresh_every=cfg.tree_refresh_every,
+        run_chunk=cfg.run_chunk or None,
     )
 
 
@@ -121,11 +122,12 @@ def run_headless(cfg: RunConfig, scene: Scene, state: State):
         jax.profiler.start_trace(cfg.profile_dir)
     t0 = time.perf_counter()
     done = 0
-    chunk = max(1, min(cfg.steps, 100))
     while done < cfg.steps:
-        todo = min(chunk, cfg.steps - done)
+        # sim.run chunks its device scans internally (the scan x dense-k
+        # fence, Simulation.scan_chunk); the host loop here only stops at
+        # checkpoint boundaries.
+        todo = cfg.steps - done
         if cfg.checkpoint_every:
-            # stop exactly at the next checkpoint boundary
             boundary = ((done // cfg.checkpoint_every) + 1) * cfg.checkpoint_every
             todo = min(todo, boundary - done)
         state = sim.run(state, cfg.dt, todo)
@@ -176,10 +178,6 @@ def main(argv=None):
             num_processes=cfg.num_processes or None,
             process_id=cfg.process_id if cfg.process_id >= 0 else None,
         )
-    if cfg.tree_refresh_every > 1 and cfg.frontend != "none":
-        print("note: --tree-refresh-every takes effect in batch rollouts "
-              "(--frontend none) only; the interactive engine rebuilds the "
-              "tree every tick")
     scene = build_scene(cfg)
     state, scene = resolve_state(cfg, scene)
     # device enumeration log: the analogue of the reference's adapter

@@ -109,22 +109,31 @@ def _smallest_k(masked, cand, k: int, null_id):
     return idx.astype(jnp.int32)
 
 
-def _near_lists(com, m_tot, r_src, r_tgt, theta: float, k_near: int):
-    """(G, K) indices of the nearest clusters failing the opening test.
+def _near_lists(com, m_tot, r_src, r_tgt, theta: float, k_near: int,
+                t0=None, n_t: int | None = None):
+    """(G_t, K) indices of the nearest clusters failing the opening test.
 
     Invalid slots point to the null cluster (index G) whose bodies are all
     zero-mass. Sources with zero total mass are never near (their monopole
     and their direct forces are both exactly zero).
 
-    Dense O(G^2) build — exact, used for small G; `_near_lists_hier` is the
-    O(G*K2*SUPER) two-level build for large G. Returns (idx, overflow)
-    where overflow counts targets whose accepted set exceeded k_near (those
-    targets silently degrade to far-field accuracy for the dropped
-    clusters — the telemetry VERDICT r1 asked for)."""
+    t0/n_t (traced start, static count) restrict the TARGET rows to a
+    slice — the sharded tree builds lists only for its own clusters
+    (sources stay global). Default: all G targets.
+
+    Dense O(G_t*G) build — exact, used for small G; `_near_lists_hier` is
+    the O(G_t*K2*SUPER) two-level build for large G. Returns
+    (idx, overflow) where overflow counts targets whose accepted set
+    exceeded k_near (those targets silently degrade to far-field accuracy
+    for the dropped clusters — the telemetry VERDICT r1 asked for)."""
     g = com.shape[0]
-    rel = com[:, None, :] - com[None, :, :]
-    dist = jnp.linalg.norm(rel, axis=-1)  # (G, G) target x source
-    near = r_src[None, :] >= theta * (dist - r_tgt[:, None])
+    com_t, r_tgt_t = com, r_tgt
+    if t0 is not None:
+        com_t = jax.lax.dynamic_slice_in_dim(com, t0, n_t, 0)
+        r_tgt_t = jax.lax.dynamic_slice_in_dim(r_tgt, t0, n_t, 0)
+    rel = com_t[:, None, :] - com[None, :, :]
+    dist = jnp.linalg.norm(rel, axis=-1)  # (G_t, G) target x source
+    near = r_src[None, :] >= theta * (dist - r_tgt_t[:, None])
     near = jnp.logical_and(near, m_tot[None, :] > 0)
     overflow = jnp.sum(jnp.sum(near, axis=1) > k_near)
     masked = jnp.where(near, dist, jnp.inf)
@@ -182,8 +191,11 @@ def _super_accept(com2, spread, rs_max, rt_max, theta: float):
     return possible, d2
 
 
-def _super_screen(com, m_tot, r_src, r_tgt, theta: float, k_super: int):
-    """Supercluster-level near lists: (G2, K2) super indices + overflow.
+def _super_screen(com, m_tot, r_src, r_tgt, theta: float, k_super: int,
+                  s0=None, n2: int | None = None):
+    """Supercluster-level near lists: (G2_t, K2) super indices + overflow.
+    s0/n2 (traced start, static count) restrict the TARGET super rows
+    (sources stay global); default all G2.
 
     The acceptance test is conservative on BOTH levels it serves:
     - as a screen for the cluster near-list refinement (no false
@@ -199,36 +211,51 @@ def _super_screen(com, m_tot, r_src, r_tgt, theta: float, k_super: int):
     g2 = -(-com.shape[0] // SUPER)
     com2, spread, rs_max, rt_max = _super_stats(com, m_tot, r_src, r_tgt)
     possible, d2 = _super_accept(com2, spread, rs_max, rt_max, theta)
+    if s0 is not None:
+        possible = jax.lax.dynamic_slice_in_dim(possible, s0, n2, 0)
+        d2 = jax.lax.dynamic_slice_in_dim(d2, s0, n2, 0)
     over2 = jnp.sum(jnp.sum(possible, axis=1) > k_super)
     masked2 = jnp.where(possible, d2, jnp.inf)
     neg_d2, idx2 = jax.lax.top_k(-masked2, min(k_super, g2))
-    idx2 = jnp.where(neg_d2 > -jnp.inf, idx2, g2)  # (G2, K2)
+    idx2 = jnp.where(neg_d2 > -jnp.inf, idx2, g2)  # (G2_t, K2)
     return idx2, over2
 
 
 def _near_lists_hier(com, m_tot, r_src, r_tgt, theta: float, k_near: int,
-                     k_super: int | None = None, idx2=None):
+                     k_super: int | None = None, idx2=None,
+                     t0=None, n_t: int | None = None):
     """Two-level near-list build: O(G2^2) supercluster screen + exact
     refinement over K2*SUPER candidates per target — replaces the (G, G)
     distance matrix (986 MB at N=4M) with O(G * K2 * SUPER) work.
 
-    idx2: optionally a precomputed (G2, K2) supercluster near list (the
-    3-level far field shares it so its refinement set provably contains
-    every near cluster). Returns (idx, overflow) like _near_lists;
-    overflow also counts supercluster-level truncations (scaled by SUPER
-    so one unit ~ one potentially-lost cluster)."""
+    idx2: optionally a precomputed supercluster near list (the 3-level far
+    field shares it so its refinement set provably contains every near
+    cluster). t0/n_t (traced start, static count; t0 SUPER-aligned)
+    restrict the TARGET clusters to a slice, the sharded tree's local
+    block — idx2, when given alongside, must already be the matching
+    target-super rows (n_t/SUPER, K2). Returns (idx, overflow) like
+    _near_lists; overflow also counts supercluster-level truncations
+    (scaled by SUPER so one unit ~ one potentially-lost cluster)."""
     g = com.shape[0]
     g2 = -(-g // SUPER)
     if k_super is None:
         k_super = default_k_super(theta, g2)
+    full_range = t0 is None
+    if full_range:
+        t0, n_t = 0, g2 * SUPER
+    elif n_t % SUPER:
+        raise ValueError(f"target slice n_t={n_t} not SUPER-aligned")
+    n2 = n_t // SUPER
+    s0 = t0 // SUPER
     over2 = jnp.zeros((), jnp.int32)
     if idx2 is None:
-        idx2, over2 = _super_screen(com, m_tot, r_src, r_tgt, theta, k_super)
+        idx2, over2 = _super_screen(com, m_tot, r_src, r_tgt, theta,
+                                    k_super, s0=s0, n2=n2)
 
     # Candidate cluster ids per target supercluster: members of its K2
     # near superclusters; invalid supers map to the null cluster id G.
     members = idx2[:, :, None] * SUPER + jnp.arange(SUPER)[None, None, :]
-    cand = jnp.minimum(members.reshape(g2, -1), g)  # (G2, K2*SUPER)
+    cand = jnp.minimum(members.reshape(n2, -1), g)  # (n2, K2*SUPER)
 
     # Pad cluster summaries with the null row (far-away is unnecessary:
     # zero mass already excludes it from the near test).
@@ -266,14 +293,18 @@ def _near_lists_hier(com, m_tot, r_src, r_tgt, theta: float, k_near: int,
         return idx.astype(jnp.int32), over
 
     pad = g2 * SUPER - g
-    com_t = jnp.concatenate(
-        [com, jnp.broadcast_to(com[-1], (pad, 3))]
-    ).reshape(g2, SUPER, 3)
-    rt_t = jnp.concatenate(
-        [r_tgt, jnp.zeros((pad,), r_tgt.dtype)]
-    ).reshape(g2, SUPER)
+    com_p, rt_p = com, r_tgt
+    if pad:
+        com_p = jnp.concatenate([com, jnp.broadcast_to(com[-1], (pad, 3))])
+        rt_p = jnp.concatenate([r_tgt, jnp.zeros((pad,), r_tgt.dtype)])
+    com_t = jax.lax.dynamic_slice_in_dim(com_p, t0, n_t, 0).reshape(
+        n2, SUPER, 3
+    )
+    rt_t = jax.lax.dynamic_slice_in_dim(rt_p, t0, n_t, 0).reshape(n2, SUPER)
     idx, over = jax.lax.map(refine, (com_t, rt_t, cand))
-    idx = idx.reshape(g2 * SUPER, k_near)[:g]
+    idx = idx.reshape(n_t, k_near)
+    if full_range:
+        idx = idx[:g]
     return idx, jnp.sum(over) + over2 * SUPER
 
 
@@ -372,13 +403,17 @@ def measure_k_near(pos, mass, *, theta: float, gg: int, headroom: float = 1.25,
 
 
 def near_lists(com, m_tot, r_src, r_tgt, theta: float, k_near: int,
-               k_super: int | None = None):
-    """(G, K) near-cluster lists + on-device overflow count."""
+               k_super: int | None = None, t0=None, n_t: int | None = None):
+    """(G_t, K) near-cluster lists + on-device overflow count. t0/n_t
+    restrict the target rows (see _near_lists); the hierarchical build
+    engages only for SUPER-aligned slices."""
     k_near = min(k_near, com.shape[0])
-    if com.shape[0] > HIER_NEAR_CUTOFF:
+    aligned = t0 is None or (n_t % SUPER == 0)
+    if com.shape[0] > HIER_NEAR_CUTOFF and aligned:
         return _near_lists_hier(com, m_tot, r_src, r_tgt, theta, k_near,
-                                k_super=k_super)
-    return _near_lists(com, m_tot, r_src, r_tgt, theta, k_near)
+                                k_super=k_super, t0=t0, n_t=n_t)
+    return _near_lists(com, m_tot, r_src, r_tgt, theta, k_near,
+                       t0=t0, n_t=n_t)
 
 
 def _pack_augmented(pos_g, mass_g, com, m_tot, g_const, *,

@@ -197,35 +197,51 @@ def _tree2_acc(pos_l, mass_l, *, axis: str, theta: float, k_near: int,
         )[:, :g_l]
         summ_all = _gather_cols(summ_l, axis)  # (16, G)
 
-    # near lists for ALL targets (redundant per device but O(G*K) memory;
-    # deterministic, so every device agrees on everyone's lists)
+    # Near lists for the LOCAL target clusters only (round 2 built them
+    # for ALL G targets redundantly on every device — O(G·K) wasted work;
+    # the halo requests are derivable from the local lists alone, and
+    # owners answer requests without needing the requesters' lists).
     if far_levels == 3:
-        idx2, over2 = tree_ops._super_screen(
+        s2 = base // tree_ops.SUPER
+        n2 = g_l // tree_ops.SUPER
+        idx2_mine, over2 = tree_ops._super_screen(
             com_all, m_all, rs_all, rt_all, theta,
             k_super or tree_ops.default_k_super(theta, gg // tree_ops.SUPER),
+            s0=s2, n2=n2,
         )
-        idx_all, over_near = tree_ops._near_lists_hier(
-            com_all, m_all, rs_all, rt_all, theta, k_near, idx2=idx2,
+        idx_mine, over_near = tree_ops._near_lists_hier(
+            com_all, m_all, rs_all, rt_all, theta, k_near, idx2=idx2_mine,
+            t0=base, n_t=g_l,
         )
         over_near = over_near + over2 * tree_ops.SUPER
     else:
-        idx_all, over_near = tree_ops.near_lists(
-            com_all, m_all, rs_all, rt_all, theta, k_near,
-            k_super=k_super or None,
-        )
-    idx_mine = jax.lax.dynamic_slice_in_dim(idx_all, base, g_l, 0)
+        hier = (gg > tree_ops.HIER_NEAR_CUTOFF
+                and g_l % tree_ops.SUPER == 0
+                and gg % tree_ops.SUPER == 0)
+        if hier:
+            idx_mine, over_near = tree_ops._near_lists_hier(
+                com_all, m_all, rs_all, rt_all, theta, min(k_near, gg),
+                k_super=k_super or None, t0=base, n_t=g_l,
+            )
+        else:
+            idx_mine, over_near = tree_ops._near_lists(
+                com_all, m_all, rs_all, rt_all, theta, min(k_near, gg),
+                t0=base, n_t=g_l,
+            )
+
+    # Issue the halo exchange BEFORE the far field: its all_gather +
+    # all_to_all have no data dependency on the far pass, so XLA can
+    # overlap the collectives with the dense multipole compute.
+    idx_pool, pool_pos_g, pool_mass_g, over_halo = _halo_exchange(
+        idx_mine, pos_g, mass_g, axis=axis, g_l=g_l, halo_cap=halo_cap,
+    )
 
     # far field (targets = local bodies; sources = gathered summaries)
     if far_levels == 3:
         super_summ = tree_ops._super_multipoles(summ_all)
-        strips = tree_ops._superfar_refine_table(summ_all, super_summ, idx2)
-        s_pad = strips.shape[1] // (gg // tree_ops.SUPER)
-        s2 = base // tree_ops.SUPER
-        n2 = g_l // tree_ops.SUPER
-        strips_mine = jax.lax.dynamic_slice_in_dim(
-            strips, s2 * s_pad, n2 * s_pad, 1,
+        strips_mine = tree_ops._superfar_refine_table(
+            summ_all, super_summ, idx2_mine
         )
-        idx2_mine = jax.lax.dynamic_slice_in_dim(idx2, s2, n2, 0)
         acc = tree_ops._superfar_dense_masked(
             pos_l, super_summ, idx2_mine, eps=eps, backend=backend,
             interpret=interpret,
@@ -258,10 +274,7 @@ def _tree2_acc(pos_l, mass_l, *, axis: str, theta: float, k_near: int,
             pos_l, com_all, m_all, softening=softening, eps=eps, g=g
         )
 
-    # near correction through the halo pool
-    idx_pool, pool_pos_g, pool_mass_g, over_halo = _halo_exchange(
-        idx_mine, pos_g, mass_g, axis=axis, g_l=g_l, halo_cap=halo_cap,
-    )
+    # near correction through the halo pool (exchanged above)
     pool_com, pool_m, _, _ = tree_ops._group_stats(pool_pos_g, pool_mass_g)
     over_tiles = jnp.zeros((), jnp.int32)
     monopole_pseudo = multipole_order == 1
@@ -321,9 +334,10 @@ def _tree2_acc(pos_l, mass_l, *, axis: str, theta: float, k_near: int,
     acc = acc.reshape(m, 3) + corr.reshape(m, 3)
     if with_diag:
         # halo ids dropped by the cap degrade those clusters to far-field
-        # accuracy; psum so every device reports the global counts
+        # accuracy; psum so every device reports the global counts (each
+        # device now counts only its OWN target clusters' overflows)
         return acc, {
-            "near_overflow": jax.lax.psum(over_near, axis) // jax.lax.axis_size(axis),
+            "near_overflow": jax.lax.psum(over_near, axis),
             "halo_overflow": jax.lax.psum(over_halo, axis),
             "tile_overflow": jax.lax.psum(over_tiles, axis),
         }
@@ -374,6 +388,9 @@ class ShardedTreeSimulation:
     #: re-sort the state globally every this many steps (the SFC order
     #: degrades slowly; near lists are rebuilt every step regardless)
     resort_every: int = 16
+    #: max device-side scan length per run() call (None = auto, the
+    #: scan x dense-near-list TPU fence — see spacetpu.sim.SAFE_DENSE_SCAN)
+    run_chunk: Optional[int] = None
     interpret: Optional[bool] = None
 
     def __post_init__(self):
@@ -415,6 +432,11 @@ class ShardedTreeSimulation:
         if interpret is None:
             interpret = jax.devices()[0].platform != "tpu"
         self._interpret = bool(interpret)
+        # k_near=None auto-calibrates at prime() time (measure_near with
+        # n_shards=D), exactly like the single-chip Simulation — the
+        # geometric default overflows on any clustered mass distribution
+        # and the static caps below want the worst SHARD's measured totals.
+        self._needs_calibration = self.k_near is None
         k = self.k_near
         if k is None:
             k = tree_ops.default_k_near(self.theta, gg)
@@ -525,11 +547,62 @@ class ShardedTreeSimulation:
             })(ts)
 
         self.step = step
-        self.prime = prime
-        self.run = run
+        self._prime_jit = prime
+        self._run_jit = run
         self._diagnose = diagnose
 
     # --- host-side helpers -------------------------------------------------
+
+    def calibrate(self, ts_or_state):
+        """Measure the scene's near-list shape once (tree.measure_near with
+        n_shards=D) and rebuild the jitted closures with the measured caps:
+        k_near, k_super, and the worst shard's pair-tile capacities — the
+        multi-chip analogue of Simulation.calibrate. prime() runs this
+        automatically when k_near was not given; call it manually (with the
+        current TreeShardedState or an unsharded State) to re-calibrate
+        after the scene evolves."""
+        state = getattr(ts_or_state, "state", ts_or_state)
+        m = tree_ops.measure_near(
+            state.pos, state.mass, theta=self.theta,
+            gg=self._d * self._g_l, leaf=LEAF, cluster_mode="equal",
+            n_shards=self._d,
+        )
+        self.k_near = m["k_near"]
+        self.k_super = m["k_super"]
+        self.near_tiles = m["near_tiles_shard"]
+        self.near_tiles_q = m["near_tiles_q_shard"]
+        self.__post_init__()  # rebuild the closures with the measured caps
+
+    def prime(self, ts: TreeShardedState) -> TreeShardedState:
+        if self._needs_calibration:
+            self.calibrate(ts)
+        return self._prime_jit(ts)
+
+    def scan_chunk(self) -> Optional[int]:
+        """Max device-scan length per run() call (None = unlimited); the
+        same fence policy as Simulation.scan_chunk."""
+        from spacetpu import sim as sim_mod
+
+        if self.run_chunk:
+            return self.run_chunk
+        if self._backend != "pallas":
+            return None
+        if self._k_near > sim_mod.DENSE_K_NEAR:
+            return sim_mod.SAFE_DENSE_SCAN
+        return sim_mod.DEFAULT_RUN_CHUNK
+
+    def run(self, ts: TreeShardedState, dt, steps: int) -> TreeShardedState:
+        """Rollout in device scans of at most scan_chunk() steps (state
+        donated through every chunk)."""
+        chunk = self.scan_chunk()
+        if chunk is None or chunk >= steps:
+            return self._run_jit(ts, dt, steps)
+        done = 0
+        while done < steps:
+            todo = min(chunk, steps - done)
+            ts = self._run_jit(ts, dt, todo)
+            done += todo
+        return ts
 
     def shard_state(self, state: State) -> TreeShardedState:
         """Place a State on the mesh (body axis sharded) with an identity

@@ -33,6 +33,22 @@ from spacetpu.state import State
 ALGORITHMS = ("auto", "direct", "tree")
 BACKENDS = ("auto", "xla", "pallas")
 
+#: Host-side rollout chunking (see Simulation.run). The axon TPU runtime
+#: faults when a lax.scan whose body is the tree step with DENSE near tile
+#: lists reaches length ~25 (BENCH_NOTES "Known issue": not wall time, not
+#: launch count, not top_k — specifically outer-scan x dense-k). run()
+#: therefore splits long rollouts into shorter device scans: a
+#: conservatively safe length when the calibrated near lists are dense,
+#: and a default chunk otherwise (chunking costs one dispatch per chunk —
+#: sub-ms against multi-second tree scans).
+SAFE_DENSE_SCAN = 16
+#: measured k_near above this counts as "dense" (crash observed at
+#: k=3922 and k~2000; k=512 and k=496 are clean through run(150))
+DENSE_K_NEAR = 512
+#: default host chunk for TPU rollouts (matches the pre-round-3
+#: run_headless behavior; long-proven through the 10k-step endurance run)
+DEFAULT_RUN_CHUNK = 100
+
 
 def _platform() -> str:
     return jax.devices()[0].platform
@@ -80,6 +96,10 @@ class SimConfig:
     # 948 -> 405 ms/step, plummer_sphere(300k) 618 -> 519) and its HBM
     # stays O(actual pairs) where dense strip gathers OOM.
     near_mode: str = "auto"
+    # max device-side scan length per run() call (None = auto: a safe
+    # length when the calibrated near lists are dense — the escape hatch
+    # for the scan x dense-k TPU runtime fault; see SAFE_DENSE_SCAN).
+    run_chunk: int | None = None
 
     def resolved_leaf(self) -> int:
         from spacetpu.ops import tree as tree_ops
@@ -154,12 +174,51 @@ class Simulation:
         self._stepper = integrators.get_stepper(config.integrator)
         self.step = jax.jit(self._step, donate_argnums=(0,))
         self._prime_jit = jax.jit(self._prime, donate_argnums=(0,))
-        self.run = jax.jit(self._run, static_argnames=("steps",), donate_argnums=(0,))
+        self._run_jit = jax.jit(
+            self._run, static_argnames=("steps",), donate_argnums=(0,)
+        )
+        #: interactive-engine structure cache (tree_refresh_every > 1):
+        #: build once every r ticks, step against it in between.
+        self.build_structure = jax.jit(self._build_structure)
+        self.step_cached = jax.jit(self._step_cached, donate_argnums=(0,))
 
     def prime(self, state: State) -> State:
         if self._needs_calibration:
             self.calibrate(state)
         return self._prime_jit(state)
+
+    def scan_chunk(self) -> int | None:
+        """Max device-scan length per run() call (None = unlimited).
+
+        The explicit config.run_chunk wins; otherwise TPU rollouts chunk at
+        DEFAULT_RUN_CHUNK, dropping to SAFE_DENSE_SCAN for tree sims whose
+        (calibrated) near-list cap is dense — the fence for the
+        scan x dense-near-list runtime fault (BENCH_NOTES "Known issue").
+        CPU/virtual-mesh runs are unaffected (the fault is TPU-specific and
+        tests want single-program scans)."""
+        if self.config.run_chunk:
+            return self.config.run_chunk
+        if self.config.resolved_backend() != "pallas":
+            return None
+        if self.config.resolved_algorithm() == "tree":
+            k = self._k_near or 0
+            if k > DENSE_K_NEAR:
+                return SAFE_DENSE_SCAN
+        return DEFAULT_RUN_CHUNK
+
+    def run(self, state: State, dt, steps: int) -> State:
+        """Rollout `steps` ticks. Device-side lax.scan in chunks of
+        scan_chunk() (a single program when None); state is donated
+        through every chunk, so peak memory matches step()."""
+        chunk = self.scan_chunk()
+        if chunk is None or chunk >= steps:
+            return self._run_jit(state, dt, steps)
+        done = 0
+        while done < steps:
+            todo = min(chunk, steps - done)
+            state = self._run_jit(state, dt, todo)
+            done += todo
+        return state
 
     def calibrate(self, state: State):
         """k_near="auto": measure the scene's near-list shape and rebuild
@@ -232,21 +291,17 @@ class Simulation:
         cfg = self.config
         if cfg.resolved_algorithm() != "tree":
             return {}
-        order = cfg.resolved_multipole_order()
-        leaf = cfg.resolved_leaf()
-        cmode = self._cluster_mode or cfg.resolved_cluster_mode()
-        gg = self._gg or tree_ops._gg_for(cfg.n, "auto", order, leaf, cmode)
-        far = tree_ops.resolve_far_levels("auto", gg, order)
-        k = self._k_near or tree_ops.default_k_near(cfg.theta, gg)
+        p = self._tree_params()
         prep = tree_ops.tree_prep(
             jnp.asarray(state.pos), jnp.asarray(state.mass),
-            theta=cfg.theta, k_near=k, gg=gg, far_levels=far, leaf=leaf,
-            cluster_mode=cmode, near_mode=cfg.resolved_near_mode(),
+            theta=cfg.theta, k_near=p["k_near"], gg=p["gg"],
+            far_levels=p["far_levels"], leaf=p["leaf"],
+            cluster_mode=p["cmode"], near_mode=p["nmode"],
             near_tiles=self._near_tiles, near_tiles_q=self._near_tiles_q,
             k_super=self._k_super,
         )
         return {"near_overflow": int(prep["near_overflow"]),
-                "clusters": gg, "k_near": k}
+                "clusters": p["gg"], "k_near": p["k_near"]}
 
     def _check(self, state: State):
         if state.pos.shape[0] != self.config.n:
@@ -276,52 +331,77 @@ class Simulation:
         state, _ = jax.lax.scan(body, state, None, length=steps)
         return state
 
+    def _tree_params(self) -> dict:
+        """Resolved/calibrated tree parameters shared by the cached-
+        structure paths and health()."""
+        from spacetpu.ops import tree as tree_ops
+
+        cfg = self.config
+        order = cfg.resolved_multipole_order()
+        leaf = cfg.resolved_leaf()
+        cmode = self._cluster_mode or cfg.resolved_cluster_mode()
+        gg = self._gg or tree_ops._gg_for(cfg.n, "auto", order, leaf, cmode)
+        far_levels = tree_ops.resolve_far_levels("auto", gg, order)
+        k_near = self._k_near or tree_ops.default_k_near(cfg.theta, gg)
+        return dict(
+            eps=cfg.resolved_eps(), backend=cfg.resolved_backend(),
+            order=order, leaf=leaf, cmode=cmode, gg=gg,
+            far_levels=far_levels, k_near=k_near,
+            nmode=cfg.resolved_near_mode(),
+        )
+
+    def _build_structure(self, state: State):
+        """The cacheable part of tree construction (tree_structure) with
+        this Simulation's calibrated caps."""
+        from spacetpu.ops import tree as tree_ops
+
+        p = self._tree_params()
+        return tree_ops.tree_structure(
+            state.pos, state.mass, theta=self.config.theta,
+            k_near=p["k_near"], gg=p["gg"], far_levels=p["far_levels"],
+            leaf=p["leaf"], cluster_mode=p["cmode"], near_mode=p["nmode"],
+            near_tiles=self._near_tiles, near_tiles_q=self._near_tiles_q,
+            k_super=self._k_super,
+        )
+
+    def _cached_acc_fn(self, structure):
+        import functools as _ft
+
+        from spacetpu.ops import tree as tree_ops
+
+        p = self._tree_params()
+        return _ft.partial(
+            tree_ops.acc_tree_cached, structure=structure,
+            softening=self.config.softening, eps=p["eps"], g=self.config.g,
+            backend=p["backend"], multipole_order=p["order"],
+            far_levels=p["far_levels"], near_mode=p["nmode"],
+        )
+
+    def _step_cached(self, state: State, structure, dt) -> State:
+        """One tick against a cached tree structure (the interactive
+        engine's tree_refresh_every path; see run_sim_loop)."""
+        self._check(state)
+        return self._stepper(state, dt, self._cached_acc_fn(structure))
+
     def _run_tree_cached(self, state: State, dt, steps: int) -> State:
         """Rollout with the tree's sort + near lists refreshed every
         tree_refresh_every steps (bodies move a small fraction of a cluster
         radius per step, so the cached structure stays valid; cluster
         statistics always track the current positions)."""
-        import functools as _ft
-
-        from spacetpu.ops import tree as tree_ops
-
-        cfg = self.config
-        eps = cfg.resolved_eps()
-        backend = cfg.resolved_backend()
-        order = cfg.resolved_multipole_order()
-        leaf = cfg.resolved_leaf()
-        cmode = self._cluster_mode or cfg.resolved_cluster_mode()
-        nmode = cfg.resolved_near_mode()
-        gg = self._gg or tree_ops._gg_for(cfg.n, "auto", order, leaf, cmode)
-        far_levels = tree_ops.resolve_far_levels("auto", gg, order)
-        k_near = self._k_near or tree_ops.default_k_near(cfg.theta, gg)
-        r = cfg.tree_refresh_every
-
-        def build(pos, mass):
-            return tree_ops.tree_structure(
-                pos, mass, theta=cfg.theta, k_near=k_near, gg=gg,
-                far_levels=far_levels, leaf=leaf, cluster_mode=cmode,
-                near_mode=nmode, near_tiles=self._near_tiles,
-                near_tiles_q=self._near_tiles_q, k_super=self._k_super,
-            )
+        r = self.config.tree_refresh_every
 
         def body(carry, k):
             s, structure = carry
             # k=0 reuses structure0 (built below); rebuild every r steps after
             structure = jax.lax.cond(
                 jnp.logical_and(k % r == 0, k > 0),
-                lambda: build(s.pos, s.mass),
+                lambda: self._build_structure(s),
                 lambda: structure,
             )
-            acc_fn = _ft.partial(
-                tree_ops.acc_tree_cached, structure=structure,
-                softening=cfg.softening, eps=eps, g=cfg.g, backend=backend,
-                multipole_order=order, far_levels=far_levels,
-                near_mode=nmode,
-            )
+            acc_fn = self._cached_acc_fn(structure)
             return (self._stepper(s, dt, acc_fn), structure), None
 
-        structure0 = build(state.pos, state.mass)
+        structure0 = self._build_structure(state)
         (state, _), _ = jax.lax.scan(
             body, (state, structure0), jnp.arange(steps)
         )
@@ -401,6 +481,7 @@ def make_simulation(
     leaf="auto",
     cluster_mode: str = "auto",
     near_mode: str = "auto",
+    run_chunk: int | None = None,
 ) -> Simulation:
     return Simulation(
         SimConfig(
@@ -419,6 +500,7 @@ def make_simulation(
             leaf=leaf,
             cluster_mode=cluster_mode,
             near_mode=near_mode,
+            run_chunk=run_chunk,
         )
     )
 

