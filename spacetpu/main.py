@@ -203,6 +203,10 @@ def main(argv=None):
     with engine:
         if cfg.frontend == "offline":
             OfflineViewer(source, cfg.out_dir).run(cfg.frames, gif=cfg.gif)
+        elif cfg.frontend == "window":
+            from spacetpu.render.window import WindowViewer
+
+            WindowViewer(source).run(max_frames=cfg.frames)
         else:
             TerminalViewer(source, graphics=cfg.term_graphics).run(max_frames=cfg.frames)
     if cfg.checkpoint and engine.final_state is not None:

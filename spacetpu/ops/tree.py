@@ -216,8 +216,12 @@ def _super_screen(com, m_tot, r_src, r_tgt, theta: float, k_super: int,
         d2 = jax.lax.dynamic_slice_in_dim(d2, s0, n2, 0)
     over2 = jnp.sum(jnp.sum(possible, axis=1) > k_super)
     masked2 = jnp.where(possible, d2, jnp.inf)
-    neg_d2, idx2 = jax.lax.top_k(-masked2, min(k_super, g2))
-    idx2 = jnp.where(neg_d2 > -jnp.inf, idx2, g2)  # (G2_t, K2)
+    # _smallest_k switches from top_k to a full sort at large k: measured
+    # k_super reaches the hundreds on dense scenes (adaptive leaf<=127
+    # measures k_super ~ G2), where TPU top_k is the runtime-fault suspect
+    cand2 = jnp.broadcast_to(jnp.arange(g2, dtype=jnp.int32)[None, :],
+                             masked2.shape)
+    idx2 = _smallest_k(masked2, cand2, min(k_super, g2), g2)  # (G2_t, K2)
     return idx2, over2
 
 

@@ -38,7 +38,7 @@ class RunConfig:
     auto_frame: bool = True  # frame the camera to the scene at startup
     dtype: str = "float32"
     compensated: bool = True  # Kahan-compensated f32 integration
-    frontend: str = "terminal"  # terminal | offline | none
+    frontend: str = "terminal"  # terminal | window | offline | none
     term_graphics: str = "auto"  # auto | kitty | iterm2 | sixel | ansi
     blend: str = "auto"  # auto | ordered | additive (body compositing)
     # multi-host: join a jax.distributed runtime before touching devices
@@ -129,7 +129,7 @@ def build_parser() -> argparse.ArgumentParser:
                    action="store_false", default=d.compensated,
                    help="disable Kahan-compensated integration")
     p.add_argument("--frontend", default=d.frontend,
-                   choices=["terminal", "offline", "none"])
+                   choices=["terminal", "window", "offline", "none"])
     p.add_argument("--coordinator", default=d.coordinator,
                    help="multi-host: coordinator host:port (all processes "
                         "run the same command; see parallel/multihost.py)")

@@ -395,3 +395,45 @@ def test_engine_cached_tree_structure():
     err = np.max(np.abs(np.asarray(sp.pos) - np.asarray(sq.pos)))
     scale = np.max(np.abs(np.asarray(sp.pos)))
     assert err <= 1e-3 * scale
+
+
+def test_window_viewer_headless():
+    """The native SDL window frontend (render/window.py) runs under the
+    dummy video driver: frames render, edge keys (KEYDOWN) and held keys
+    (get_pressed) reach the camera/engine, resize re-targets the render.
+    The real-display path differs only in the final blit."""
+    import os
+
+    os.environ["SDL_VIDEODRIVER"] = "dummy"
+    pygame = pytest.importorskip("pygame")
+    from spacetpu.render.window import WindowViewer
+
+    sim, state, scene = _sim_and_state(32)
+    eng = SimEngine(sim, state, delta=1e-3)
+    src = FrameSource(eng, scene, width=64, height=48)
+    with eng:
+        viewer = WindowViewer(src, fps=1000.0)
+        try:
+            dt0 = eng.exchange.delta()
+            # edge key: l -> dt *= 0.9 (ui.rs:128-133)
+            pygame.event.post(pygame.event.Event(
+                pygame.KEYDOWN, key=pygame.key.key_code("l")))
+            n = viewer.run(max_frames=2)
+            assert n == 2
+            assert eng.exchange.delta() == pytest.approx(dt0 * 0.9)
+            # resize event re-targets the framebuffer
+            pygame.display.init()  # run() quits the display on exit
+            viewer._screen = pygame.display.set_mode((64, 48),
+                                                     pygame.RESIZABLE)
+            pygame.event.post(pygame.event.Event(
+                pygame.VIDEORESIZE, w=100, h=80))
+            viewer.run(max_frames=1)
+            assert (src.width, src.height) == (100, 80)
+            frame = src.frame()
+            assert frame.shape == (80, 100, 3)
+        finally:
+            pygame.display.quit()
+
+
+# needed by test_window_viewer_headless / test_frame_source tests
+from spacetpu.render.viewer import FrameSource  # noqa: E402
