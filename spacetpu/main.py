@@ -122,6 +122,18 @@ def run_headless(cfg: RunConfig, scene: Scene, state: State):
         jax.profiler.start_trace(cfg.profile_dir)
     t0 = time.perf_counter()
     done = 0
+    last_report = [time.perf_counter()]
+    base = [0]
+
+    def report(at):
+        now = time.perf_counter()
+        if now - last_report[0] >= 30.0:
+            total = base[0] + at
+            rate = total / max(now - t0, 1e-9)
+            print(f"  ... {total}/{cfg.steps} steps "
+                  f"({rate:.2f} steps/s incl. compile)", flush=True)
+            last_report[0] = now
+
     while done < cfg.steps:
         # sim.run chunks its device scans internally (the scan x dense-k
         # fence, Simulation.scan_chunk); the host loop here only stops at
@@ -130,7 +142,8 @@ def run_headless(cfg: RunConfig, scene: Scene, state: State):
         if cfg.checkpoint_every:
             boundary = ((done // cfg.checkpoint_every) + 1) * cfg.checkpoint_every
             todo = min(todo, boundary - done)
-        state = sim.run(state, cfg.dt, todo)
+        base[0] = done
+        state = sim.run(state, cfg.dt, todo, progress=report)
         done += todo
         if cfg.checkpoint_every and done % cfg.checkpoint_every == 0:
             checkpoint.save(f"{cfg.checkpoint or 'state'}_{done}.npz", state,

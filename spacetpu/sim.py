@@ -89,6 +89,10 @@ class SimConfig:
     # see ops/cluster.py). "auto" currently resolves to "equal".
     leaf: object = "auto"
     cluster_mode: str = "auto"
+    # tree far-field levels: 2 (dense cluster multipoles) | 3
+    # (supercluster multipoles + refinement, auto above FAR3_CUTOFF
+    # clusters) | "auto". Exposed mainly for A/B accuracy/perf bisects.
+    far_levels: object = "auto"
     # near-phase evaluation: "strip" (static per-cluster cap) or "pairs"
     # (flattened tile list — cost tracks the actual near-pair count;
     # calibrated capacities when k_near="auto"). "auto" -> "pairs": always
@@ -206,17 +210,30 @@ class Simulation:
                 return SAFE_DENSE_SCAN
         return DEFAULT_RUN_CHUNK
 
-    def run(self, state: State, dt, steps: int) -> State:
+    def run(self, state: State, dt, steps: int, *,
+            progress: Callable | None = None) -> State:
         """Rollout `steps` ticks. Device-side lax.scan in chunks of
         scan_chunk() (a single program when None); state is donated
-        through every chunk, so peak memory matches step()."""
+        through every chunk, so peak memory matches step(). `progress`
+        (optional) is called with the completed step count after each
+        chunk — the chunk boundary includes a host fence, so the callback
+        reflects real device progress, not queued dispatches."""
         chunk = self.scan_chunk()
         if chunk is None or chunk >= steps:
-            return self._run_jit(state, dt, steps)
+            state = self._run_jit(state, dt, steps)
+            if progress is not None:
+                jax.block_until_ready(state.pos)
+                progress(steps)
+            return state
         done = 0
         while done < steps:
             todo = min(chunk, steps - done)
             state = self._run_jit(state, dt, todo)
+            if progress is not None:
+                # fence so the report tracks completed device work (this
+                # backend's block_until_ready is async; read one scalar)
+                float(jnp.sum(state.pos[0]))
+                progress(done + todo)
             done += todo
         return state
 
@@ -235,7 +252,7 @@ class Simulation:
         order = cfg.resolved_multipole_order()
         leaf = cfg.resolved_leaf()
         cmode = cfg.resolved_cluster_mode()
-        gg = tree_ops._gg_for(cfg.n, "auto", order, leaf, cmode)
+        gg = tree_ops._gg_for(cfg.n, cfg.far_levels, order, leaf, cmode)
         m = tree_ops.measure_near(
             state.pos, state.mass, theta=cfg.theta, gg=gg, leaf=leaf,
             cluster_mode=cmode,
@@ -254,7 +271,8 @@ class Simulation:
             trigger = min(4.0 * tree_ops.default_k_near(cfg.theta, gg),
                           gg / 2)
             if mean_near > trigger:
-                gg_a = tree_ops._gg_for(cfg.n, "auto", order, leaf, "adaptive")
+                gg_a = tree_ops._gg_for(cfg.n, cfg.far_levels, order, leaf,
+                                        "adaptive")
                 m_a = tree_ops.measure_near(
                     state.pos, state.mass, theta=cfg.theta, gg=gg_a,
                     leaf=leaf, cluster_mode="adaptive",
@@ -340,8 +358,9 @@ class Simulation:
         order = cfg.resolved_multipole_order()
         leaf = cfg.resolved_leaf()
         cmode = self._cluster_mode or cfg.resolved_cluster_mode()
-        gg = self._gg or tree_ops._gg_for(cfg.n, "auto", order, leaf, cmode)
-        far_levels = tree_ops.resolve_far_levels("auto", gg, order)
+        gg = self._gg or tree_ops._gg_for(cfg.n, cfg.far_levels, order, leaf,
+                                          cmode)
+        far_levels = tree_ops.resolve_far_levels(cfg.far_levels, gg, order)
         k_near = self._k_near or tree_ops.default_k_near(cfg.theta, gg)
         return dict(
             eps=cfg.resolved_eps(), backend=cfg.resolved_backend(),
@@ -447,6 +466,7 @@ def _build_acc_fn(config: SimConfig, k_near: int | None = None, *,
         return functools.partial(
             tree_ops.acc_tree,
             theta=config.theta,
+            far_levels=config.far_levels,
             softening=config.softening,
             eps=eps,
             g=config.g,
@@ -481,6 +501,7 @@ def make_simulation(
     leaf="auto",
     cluster_mode: str = "auto",
     near_mode: str = "auto",
+    far_levels="auto",
     run_chunk: int | None = None,
 ) -> Simulation:
     return Simulation(
@@ -500,6 +521,7 @@ def make_simulation(
             leaf=leaf,
             cluster_mode=cluster_mode,
             near_mode=near_mode,
+            far_levels=far_levels,
             run_chunk=run_chunk,
         )
     )
