@@ -91,7 +91,8 @@ def _kernel(cols_ref, rows_ref, out_ref, *, softening: str, eps: float):
     out_ref[:, :] += tile
 
 
-def _kernel_quad(cols_ref, rows_ref, out_ref, *, eps: float):
+def _kernel_quad(cols_ref, rows_ref, out_ref, *, eps: float,
+                 init_pid: int = 1):
     """Monopole + quadrupole source evaluation (plummer softening).
 
     Sources are cluster summaries packed as (16, TJ) rows:
@@ -100,6 +101,12 @@ def _kernel_quad(cols_ref, rows_ref, out_ref, *, eps: float):
     With rel = COM - target, d2 = |rel|^2 + eps^2:
       a += gM * rel * d2^-3/2
          - (gQ rel) * d2^-5/2 + 2.5 * (rel.gQ.rel) * rel * d2^-7/2
+
+    init_pid names the grid dimension that sweeps source tiles into the
+    SAME output block (the accumulation dim): the block is zeroed at its
+    first visit, i.e. when program_id(init_pid)==0. It must be the grid's
+    innermost accumulation axis — passing the wrong dim leaves output
+    blocks uninitialized (reading stale VMEM) or re-zeroes mid-sweep.
     """
     xi = cols_ref[:, 0:1]
     yi = cols_ref[:, 1:2]
@@ -150,7 +157,7 @@ def _kernel_quad(cols_ref, rows_ref, out_ref, *, eps: float):
     zero = jnp.zeros_like(ax)
     tile = jnp.concatenate([ax, ay, az, zero, zero, zero, zero, zero], axis=1)
 
-    @pl.when(pl.program_id(1) == 0)
+    @pl.when(pl.program_id(init_pid) == 0)
     def _():
         out_ref[:, :] = jnp.zeros_like(out_ref)
 

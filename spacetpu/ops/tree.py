@@ -598,7 +598,12 @@ def _superfar_refine_pallas(tcols, strips, *, eps, interpret,
     s_pad = strips.shape[1] // g2
     s_blocks = s_pad // _SUPERFAR_TILE_J
     out = pl.pallas_call(
-        functools.partial(_kernel_quad, eps=float(eps)),
+        # init_pid=2: the accumulation dim of THIS grid is the strip-tile
+        # axis j, not dim 1 as in the 2D grids. With the default init_pid=1
+        # every cluster with in-super index i>0 accumulated into an
+        # uninitialized output block (and i==0 was re-zeroed per tile) —
+        # the far_levels=3 energy blowup / TPU kernel faults of r3_bisect.
+        functools.partial(_kernel_quad, eps=float(eps), init_pid=2),
         grid=(g2, SUPER, s_blocks),
         in_specs=[
             pl.BlockSpec((block, 8), lambda a2, i, j: (a2 * SUPER + i, 0),

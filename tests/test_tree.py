@@ -428,6 +428,36 @@ def test_far3_simulation_energy(monkeypatch):
     assert abs((e1 - e0) / e0) < 1e-5
 
 
+def test_superfar_refine_pallas_matches_xla(monkeypatch):
+    """The pallas refine kernel must agree with the XLA fallback when the
+    strips span MULTIPLE tiles (s_blocks > 1). Regression for the
+    far_levels=3 energy blowup (r3_bisect): `_kernel_quad`'s output
+    zero-init keyed on program_id(1), but the refine grid is 3D
+    (g2, SUPER, s_blocks) with the accumulation axis at dim 2 — in-super
+    clusters i>0 accumulated into uninitialized blocks and i==0 was
+    re-zeroed every strip tile. Production far3 paths always tile
+    (K2*SUPER > 512); earlier tests never did."""
+    monkeypatch.setattr(tree, "SUPER", 8)
+    rng = np.random.default_rng(21)
+    g2, block = 2, 8
+    gg, leaf = g2 * 8, block - 1
+    s_pad = 2 * tree._SUPERFAR_TILE_J  # 2 strip tiles per super
+    pos_g = jnp.asarray(rng.normal(size=(gg, leaf, 3)), jnp.float32)
+    strips = np.zeros((16, g2 * s_pad), np.float32)
+    live = s_pad // 2  # half the columns live, half null (exact no-ops)
+    for a2 in range(g2):
+        lo = a2 * s_pad
+        strips[0:3, lo:lo + live] = rng.normal(size=(3, live)) * 4.0
+        strips[3, lo:lo + live] = rng.uniform(0.5, 1.5, size=live)
+        strips[4:10, lo:lo + live] = rng.normal(size=(6, live)) * 0.1
+    strips = jnp.asarray(strips)
+    a_pl = np.asarray(tree._superfar_refine_pallas(
+        tree._pack_targets(pos_g), strips, eps=0.05, interpret=True,
+        block=block))
+    a_xla = np.asarray(tree._superfar_refine_xla(pos_g, strips, eps=0.05))
+    np.testing.assert_allclose(a_pl, a_xla, rtol=2e-5, atol=2e-5)
+
+
 def test_super_screen_cap_measured_vs_truncated():
     """The supercluster screen must never silently truncate: a too-small
     k_super under-covers the refinement pool (so near lists drop TRUE near
