@@ -45,6 +45,12 @@ SAFE_DENSE_SCAN = 16
 #: measured k_near above this counts as "dense" (crash observed at
 #: k=3922 and k~2000; k=512 and k=496 are clean through run(150))
 DENSE_K_NEAR = 512
+#: near-pair tile count above which even SAFE_DENSE_SCAN faults (r3
+#: bisect2: plummer 1M equal/far3, k=3968, 2.39e6 tiles crashed inside
+#: 16-step scans while adaptive's 3.58e5 tiles ran 100 steps clean) —
+#: degrade to single-step dispatches, which the round-2 isolation matrix
+#: showed always succeed (25x step() at the same caps: ok).
+DENSE_TILES_SINGLE_STEP = 1_000_000
 #: default host chunk for TPU rollouts (matches the pre-round-3
 #: run_headless behavior; long-proven through the 10k-step endurance run)
 DEFAULT_RUN_CHUNK = 100
@@ -207,6 +213,17 @@ class Simulation:
         if self.config.resolved_algorithm() == "tree":
             k = self._k_near or 0
             if k > DENSE_K_NEAR:
+                # near work estimate: pairs mode has the calibrated tile
+                # count; strip mode does gg*k cluster pairs (~pj tile
+                # equivalents each, pj = pairs-tile columns per block)
+                tiles = self._near_tiles
+                if tiles is None:
+                    from spacetpu.ops import tree as tree_ops
+                    leaf = self.config.resolved_leaf()
+                    pj = max(tree_ops.NEAR_TILE_J // (leaf + 1), 1)
+                    tiles = (self._gg or self.config.n // leaf) * k // pj
+                if tiles > DENSE_TILES_SINGLE_STEP:
+                    return 1
                 return SAFE_DENSE_SCAN
         return DEFAULT_RUN_CHUNK
 
@@ -228,7 +245,11 @@ class Simulation:
         done = 0
         while done < steps:
             todo = min(chunk, steps - done)
-            state = self._run_jit(state, dt, todo)
+            # chunk==1 means even short scans fault at these caps
+            # (DENSE_TILES_SINGLE_STEP): dispatch the plain step program,
+            # the one form the isolation matrix proved always safe.
+            state = (self.step(state, dt) if todo == 1
+                     else self._run_jit(state, dt, todo))
             if progress is not None:
                 # fence so the report tracks completed device work (this
                 # backend's block_until_ready is async; read one scalar)

@@ -347,6 +347,11 @@ def test_scan_chunk_policy():
     s = make_simulation(100_000, algorithm="tree", backend="pallas",
                         k_near=128)
     assert s.scan_chunk() == sim_mod.DEFAULT_RUN_CHUNK
+    # extreme near work (dense k at 1M-scale: est. tiles > 1e6): even
+    # short scans fault (r3_bisect2 equal/far3) -> single-step dispatches
+    s = make_simulation(1_000_000, algorithm="tree", backend="pallas",
+                        k_near=4096)
+    assert s.scan_chunk() == 1
 
 
 def test_engine_cached_tree_structure():
