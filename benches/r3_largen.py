@@ -56,7 +56,7 @@ for n in (1_000_000, 4_000_000, 8_000_000):
               f"measure_t={time.perf_counter() - t0:.1f}s", flush=True)
     for cmode in ("auto", "adaptive"):
         sim = make_simulation(
-            n, algorithm="tree", theta=0.5, k_near="auto",
+            scene.n, algorithm="tree", theta=0.5, k_near="auto",
             cluster_mode=cmode, near_mode="pairs",
         )
         dt, _ = step_time(sim, scene.state(dtype=jnp.float32))

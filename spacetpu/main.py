@@ -71,9 +71,10 @@ def _cfg_k_near(cfg: RunConfig):
 def _cfg_tree_kwargs(cfg: RunConfig) -> dict:
     """Tree-tuning flags shared by every Simulation construction site."""
     leaf = cfg.leaf if cfg.leaf == "auto" else int(cfg.leaf)
+    far = cfg.far_levels if cfg.far_levels == "auto" else int(cfg.far_levels)
     return dict(
         k_near=_cfg_k_near(cfg), near_mode=cfg.near_mode,
-        cluster_mode=cfg.cluster_mode, leaf=leaf,
+        cluster_mode=cfg.cluster_mode, leaf=leaf, far_levels=far,
         tree_refresh_every=cfg.tree_refresh_every,
         run_chunk=cfg.run_chunk or None,
     )

@@ -32,6 +32,7 @@ class RunConfig:
     near_mode: str = "auto"  # auto | pairs | strip: tree near-phase kernel
     cluster_mode: str = "auto"  # auto | equal | adaptive: tree partition
     leaf: str = "auto"  # auto | <int>: bodies per tree leaf cluster
+    far_levels: str = "auto"  # auto | 2 | 3: tree far-field levels
     tree_refresh_every: int = 1  # steps between tree structure rebuilds
     run_chunk: int = 0  # max device-scan length per run() call (0 = auto)
     dt: float = constants.DELTA
@@ -109,6 +110,11 @@ def build_parser() -> argparse.ArgumentParser:
                         " (measure the scene and pick)")
     p.add_argument("--leaf", default=d.leaf,
                    help="bodies per tree leaf cluster ('auto' = 255)")
+    p.add_argument("--far-levels", dest="far_levels", default=d.far_levels,
+                   choices=["auto", "2", "3"],
+                   help="tree far-field levels: 2 (dense cluster"
+                        " multipoles) or 3 (+supercluster refinement; auto"
+                        " above 4096 clusters)")
     p.add_argument("--tree-refresh-every", dest="tree_refresh_every",
                    type=int, default=d.tree_refresh_every,
                    help="steps between tree sort/near-list rebuilds inside"
