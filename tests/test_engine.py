@@ -316,13 +316,19 @@ def test_run_host_chunking_matches_single_scan():
               eps=1e-2, g=1.0)
     sim_a = make_simulation(96, **kw)
     sim_b = make_simulation(96, run_chunk=3, **kw)
+    sim_c = make_simulation(96, run_chunk=1, **kw)  # step()-dispatch tier
     assert sim_b.scan_chunk() == 3
+    assert sim_c.scan_chunk() == 1
     sa = sim_a.prime(scene.state(dtype=jnp.float32))
     sb = sim_b.prime(scene.state(dtype=jnp.float32))
+    sc = sim_c.prime(scene.state(dtype=jnp.float32))
     sa = sim_a.run(sa, 1e-3, 7)
     sb = sim_b.run(sb, 1e-3, 7)  # 3 + 3 + 1
+    sc = sim_c.run(sc, 1e-3, 7)  # 7x step() (DENSE_TILES_SINGLE_STEP form)
     np.testing.assert_array_equal(np.asarray(sa.pos), np.asarray(sb.pos))
     np.testing.assert_array_equal(np.asarray(sa.vel), np.asarray(sb.vel))
+    np.testing.assert_array_equal(np.asarray(sa.pos), np.asarray(sc.pos))
+    np.testing.assert_array_equal(np.asarray(sa.vel), np.asarray(sc.vel))
 
 
 def test_scan_chunk_policy():
