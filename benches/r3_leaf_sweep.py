@@ -35,7 +35,7 @@ for preset_name, scene in (
         print(f"=== {tag} ===", flush=True)
         try:
             sim = make_simulation(
-                N, algorithm="tree", theta=0.5, k_near="auto",
+                scene.n, algorithm="tree", theta=0.5, k_near="auto",
                 cluster_mode="adaptive", near_mode="pairs", leaf=leaf,
                 softening="plummer", eps=1e-2, g=1.0,
             )

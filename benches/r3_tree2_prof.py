@@ -1,0 +1,123 @@
+"""Decompose tree2's D=1 calibrated step (the 5562 ms regression hunt).
+
+Reproduces prof_tree2_tpu.py's exact configuration (auto-calibrated caps)
+and times cumulative prefixes of _tree2_acc's pipeline, plus the
+single-chip acc_tree at the same measured caps for the tax ratio.
+Run detached: nohup python benches/r3_tree2_prof.py > log 2>&1 &
+"""
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+
+def fence(x):
+    return float(jnp.sum(jnp.asarray(x, jnp.float32).ravel()[:16]))
+
+
+def timeit(name, fn, *args, reps=3):
+    out = fn(*args)
+    fence(jax.tree_util.tree_leaves(out)[0])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    fence(jax.tree_util.tree_leaves(out)[0])
+    print(f"{name:40s} {(time.perf_counter() - t0) / reps * 1e3:8.1f} ms",
+          flush=True)
+
+
+from spacetpu.ops import tree
+from spacetpu.parallel import ring, tree2
+from spacetpu.state import make_state
+
+D = 1
+N = tree2.required_n(1_000_000, D, far_levels=2)
+rng = np.random.default_rng(0)
+u = rng.normal(size=(N, 3))
+u /= np.linalg.norm(u, axis=-1, keepdims=True)
+r = rng.uniform(0, 1, size=(N, 1)) ** (1 / 3)
+state = make_state((u * r).astype(np.float32), np.zeros((N, 3), np.float32),
+                   (rng.uniform(0.5, 1.5, N) / N).astype(np.float32))
+mesh = ring.make_mesh(D)
+sim = tree2.ShardedTreeSimulation(
+    mesh, N, theta=0.5, softening="plummer", eps=1e-3, g=1.0,
+    backend="pallas", multipole_order=2, resort_every=8,
+)
+ts = sim.prime(sim.shard_state(state))
+print(f"caps: k={sim._k_near} k_super={sim.k_super} tiles={sim._near_tiles} "
+      f"tiles_q={sim._near_tiles_q} halo_cap={sim._halo_cap} "
+      f"far={sim._far_levels} g_l={sim._g_l}", flush=True)
+pos_l = ts.state.pos
+mass_l = ts.state.mass
+g_l = sim._g_l
+smap = functools.partial(jax.shard_map, mesh=mesh, check_vma=False)
+sp = (P(ring.AXIS), P(ring.AXIS))
+
+kw = dict(axis=ring.AXIS, theta=0.5, k_near=sim._k_near,
+          softening="plummer", eps=1e-3, g=1.0, backend="pallas",
+          interpret=False, multipole_order=2, far_levels=sim._far_levels,
+          halo_cap=sim._halo_cap, near_mode=sim._near_mode,
+          near_tiles=sim._near_tiles, near_tiles_q=sim._near_tiles_q,
+          k_super=int(sim.k_super or 0))
+
+f_full = jax.jit(smap(lambda p, m: tree2._tree2_acc(p, m, **kw),
+                      in_specs=sp, out_specs=P(ring.AXIS)))
+timeit("tree2 acc (full, calibrated)", f_full, pos_l, mass_l)
+
+# stage 1: stats + hier near lists for local targets
+def s1(p, m):
+    pos_g = p.reshape(g_l, tree.LEAF, 3)
+    mass_g = m.reshape(g_l, tree.LEAF)
+    com, m_tot, r_src, r_tgt = tree._group_stats(pos_g, mass_g)
+    com_all = jax.lax.all_gather(com, ring.AXIS, tiled=True)
+    m_all = jax.lax.all_gather(m_tot, ring.AXIS, tiled=True)
+    rs = jax.lax.all_gather(r_src, ring.AXIS, tiled=True)
+    rt = jax.lax.all_gather(r_tgt, ring.AXIS, tiled=True)
+    idx, over = tree._near_lists_hier(
+        com_all, m_all, rs, rt, 0.5, sim._k_near,
+        k_super=int(sim.k_super), t0=0, n_t=g_l)
+    return idx
+
+f1 = jax.jit(smap(s1, in_specs=sp, out_specs=P(ring.AXIS)))
+timeit("stats + hier near lists", f1, pos_l, mass_l)
+
+# stage 2: + halo exchange
+def s2(p, m):
+    pos_g = p.reshape(g_l, tree.LEAF, 3)
+    mass_g = m.reshape(g_l, tree.LEAF)
+    idx = s1(p, m)
+    out = tree2._halo_exchange(idx, pos_g, mass_g, axis=ring.AXIS,
+                               g_l=g_l, halo_cap=sim._halo_cap)
+    return out[1]
+
+f2 = jax.jit(smap(s2, in_specs=sp, out_specs=P(ring.AXIS)))
+timeit("+ halo exchange", f2, pos_l, mass_l)
+
+# far field alone (quad cross N x G)
+def s3(p, m):
+    from spacetpu.ops import pallas_direct
+    pos_g = p.reshape(g_l, tree.LEAF, 3)
+    mass_g = m.reshape(g_l, tree.LEAF)
+    com, m_tot, r_src, r_tgt = tree._group_stats(pos_g, mass_g)
+    summ = tree._cluster_summaries(pos_g, mass_g, com, m_tot,
+                                   jnp.float32(1.0))[:, :g_l]
+    summ_all = tree2._gather_cols(summ, ring.AXIS)
+    return pallas_direct.acc_cross_quad(p, summ_all, eps=1e-3,
+                                        interpret=False)
+
+f3 = jax.jit(smap(s3, in_specs=sp, out_specs=P(ring.AXIS)))
+timeit("far field (quad cross)", f3, pos_l, mass_l)
+
+# single-chip reference at the same measured caps (pairs mode)
+f_ref = jax.jit(lambda p, m: tree.acc_tree(
+    p, m, theta=0.5, softening="plummer", eps=1e-3, g=1.0,
+    backend="pallas", multipole_order=2, far_levels=2,
+    k_near=sim._k_near, near_mode="pairs",
+    near_tiles=sim._near_tiles, near_tiles_q=sim._near_tiles_q,
+    k_super=int(sim.k_super)))
+timeit("single-chip acc_tree (same caps)", f_ref, pos_l, mass_l)
+print("PROF DONE", flush=True)
