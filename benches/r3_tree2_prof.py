@@ -35,7 +35,10 @@ from spacetpu.parallel import ring, tree2
 from spacetpu.state import make_state
 
 D = 1
-N = tree2.required_n(1_000_000, D, far_levels=2)
+# far_levels=3 alignment (N=1011840, g_l=3968) — matches prof_tree2_tpu
+# and keeps g_l SUPER-aligned so the hier near-list stage is exercisable
+# standalone (the sim falls back to flat lists when unaligned)
+N = tree2.required_n(1_000_000, D, far_levels=3)
 rng = np.random.default_rng(0)
 u = rng.normal(size=(N, 3))
 u /= np.linalg.norm(u, axis=-1, keepdims=True)
