@@ -384,8 +384,23 @@ def measure_near(pos, mass, *, theta: float, gg: int, leaf: int = LEAF,
     g2 = -(-gg // SUPER)
     com2, spread, rs_max, rt_max = _super_stats(com, m_tot, r_src, r_tgt)
     possible, _ = _super_accept(com2, spread, rs_max, rt_max, theta)
-    cnt2 = int(jnp.max(jnp.sum(possible, axis=1)))
+    cnt2_rows = _np.asarray(jnp.sum(possible, axis=1))
+    cnt2 = int(cnt2_rows.max())
     out["k_super"] = max(4, min(g2, int(cnt2 * headroom) + 4))
+    # 3-level pair-tile refine capacities (superfar_pair_segments), sized
+    # by the ACTUAL per-super near counts — the k_super cap bounds each row
+    per_row = _np.minimum(cnt2_rows, out["k_super"])
+    st_i = _np.maximum(-(-per_row // _refine_spt()), 1)
+    # headroom-scaled but never beyond the k_super worst case (which the
+    # geometric default sizing already covers)
+    st_def = max(-(-out["k_super"] // _refine_spt()), 1)
+    out["refine_src_tiles"] = max(
+        min(int(st_i.sum() * headroom) + 8, g2 * st_def), g2
+    )
+    out["refine_tiles"] = max(
+        min(int(st_i.sum() * SUPER * headroom) + 8, g2 * SUPER * st_def),
+        g2 * SUPER,
+    )
     if n_shards:
         if gg % n_shards:
             raise ValueError(f"gg={gg} not divisible by n_shards={n_shards}")
@@ -894,6 +909,111 @@ def near_pair_segments_consistent(idx_d, n_src_d: int, pj_d: int, cap_d: int,
             dropped + d1 + d2)
 
 
+def _refine_spt() -> int:
+    """Near supers packed per refine source tile (their SUPER member-
+    cluster ids each; SUPER must divide NEAR_QUAD_PJ). Computed from the
+    current SUPER so tests that shrink SUPER keep working."""
+    if NEAR_QUAD_PJ % SUPER:
+        raise ValueError(
+            f"SUPER={SUPER} must divide NEAR_QUAD_PJ={NEAR_QUAD_PJ}"
+        )
+    return NEAR_QUAD_PJ // SUPER
+
+
+def superfar_pair_segments(idx2, gg: int, cap_src_tiles: int,
+                           cap_tiles: int):
+    """Flatten the (G2, K2) near-super lists into pair tiles for the
+    3-level far-field refinement.
+
+    The strip-table refine (`_superfar_refine_table`) sizes every target
+    super's strip by the WORST super's near count K2 — on uniform scenes
+    at N >= 4M the measured K2 approaches G2 and the refine degenerates to
+    a dense N x G pass (the measured N=8M superlinearity: mean per-super
+    near count 152 vs max 491 on fixed_cloud). Pair tiles are sized by the
+    ACTUAL counts instead, like the near phase's `near_pair_segments`.
+
+    Each source tile packs REFINE_SUP_PER_TILE near supers' member-cluster
+    ids (NEAR_QUAD_PJ columns); each pair tile aims one source tile at one
+    member cluster of the target super, so the SUPER member clusters share
+    the per-super source strips through the `tile_src` indirection of
+    `_near_pairs_call` instead of duplicating them 64x.
+
+    When the caps cannot hold every row's tiles, each row is TRUNCATED to
+    the budget rather than dropped: idx2 rows are distance-ascending, so
+    the entries cut are each row's FARTHEST near supers — those degrade
+    cleanly to super-multipole accuracy once the caller un-masks them in
+    the dense pass (null the cut entries: callers must mask the dense pass
+    with the returned `kept` entries ONLY). Every row always keeps >= 1
+    tile: a target super's nearest "near super" is itself, and evaluating
+    its own super multipole at interior bodies diverges — the caps must
+    cover at least one tile per super (enforced). `dropped` counts cut
+    entries (units ~ clusters, matching prep["near_overflow"]).
+
+    Returns (flat_src (cap_src_tiles*NEAR_QUAD_PJ,), tile_tgt (cap_tiles,),
+    tile_src (cap_tiles,), n_tiles, kept ((G2, K2) bool), dropped):
+    flat_src pads with the null cluster gg, tile_tgt pads with gg (the
+    dummy target block), tile_src pads with 0."""
+    g2, _ = idx2.shape
+    pj = NEAR_QUAD_PJ
+    spt = _refine_spt()
+    if cap_src_tiles < g2 or cap_tiles < g2 * SUPER:
+        raise ValueError(
+            f"refine caps must cover one tile per super: need >= {g2} "
+            f"source and {g2 * SUPER} pair tiles, got "
+            f"{cap_src_tiles}/{cap_tiles}"
+        )
+    valid = idx2 < g2
+    c = jnp.sum(valid, axis=1).astype(jnp.int32)  # near supers per target
+    st_full = jnp.maximum(-(-c // spt), 1)  # >=1: init every output block
+    # one tile per row is reserved; extras granted greedily in row order
+    # from the remaining budget (overflow is a counted rarity under
+    # measured caps — allocation fairness is not worth a second pass)
+    budget = min(cap_src_tiles, cap_tiles // SUPER) - g2
+    extra = st_full - 1
+    ecs = jnp.cumsum(extra).astype(jnp.int32)
+    grant = jnp.clip(budget - (ecs - extra), 0, extra)
+    st = (1 + grant).astype(jnp.int32)
+    c_keep = jnp.minimum(c, st * spt)
+    rank = jnp.cumsum(valid, axis=1).astype(jnp.int32) - 1
+    kept = valid & (rank < c_keep[:, None])
+    dropped = (jnp.sum(c - c_keep) * SUPER).astype(jnp.int32)
+    csum_s = jnp.cumsum(st).astype(jnp.int32)
+    src_offs = jnp.concatenate([jnp.zeros((1,), jnp.int32), csum_s[:-1]])
+
+    # flat_src: member-cluster ids rank-packed per super, null-padded
+    p0 = src_offs[:, None] * pj + rank * SUPER  # (g2, k2)
+    ok = kept & (p0 + SUPER <= cap_src_tiles * pj)
+    members = (
+        idx2[:, :, None] * SUPER
+        + jnp.arange(SUPER, dtype=jnp.int32)[None, None, :]
+    )
+    ptr = (
+        jnp.where(ok, p0, cap_src_tiles * pj)[:, :, None]
+        + jnp.arange(SUPER, dtype=jnp.int32)[None, None, :]
+    )
+    flat = jnp.full((cap_src_tiles * pj,), gg, jnp.int32)
+    flat = flat.at[ptr.reshape(-1)].set(
+        jnp.where(ok[:, :, None], members, gg).reshape(-1).astype(jnp.int32),
+        mode="drop",
+    )
+
+    # pair tiles: SUPER * st[a] per super, target-contiguous (the pair
+    # kernel's vfirst accumulation needs each target's tiles adjacent)
+    csum_t = jnp.cumsum(SUPER * st).astype(jnp.int32)
+    toffs = jnp.concatenate([jnp.zeros((1,), jnp.int32), csum_t[:-1]])
+    n_tiles = csum_t[-1]
+    t_range = jnp.arange(cap_tiles, dtype=jnp.int32)
+    a = jnp.searchsorted(toffs, t_range, side="right").astype(jnp.int32) - 1
+    w = t_range - toffs[a]
+    st_a = st[a]
+    i = w // st_a
+    t = w - i * st_a
+    live = t_range < n_tiles
+    tile_tgt = jnp.where(live, a * SUPER + i, gg).astype(jnp.int32)
+    tile_src = jnp.where(live, src_offs[a] + t, 0).astype(jnp.int32)
+    return flat, tile_tgt, tile_src, n_tiles, kept, dropped
+
+
 def _pairs_prologue(vfirst_ref, accin_ref, out_ref, tile):
     """Shared accumulation tail of the pair kernels: at a target's first
     tile in this call, seed from the running total (aliased accin — zeros
@@ -999,12 +1119,19 @@ NEAR_QUAD_CHUNK = 32768
 
 
 def _near_pairs_call(kernel, tcols_ext, strips_blocks, flat_src, tile_tgt,
-                     *, block, rows, interpret, chunk, n_tiles=None):
+                     *, block, rows, interpret, chunk, n_tiles=None,
+                     tile_src=None):
     """Run a pair kernel over the tile list in gather-bounded chunks,
     accumulating into one aliased (G+1 blocks) output buffer.
 
     strips_blocks: (rows, n_src+1, width) source table gathered per chunk;
     tcols_ext: ((G+1)*block, 8) targets with the dummy block appended.
+
+    tile_src (optional, (cap_tiles,)): indirection mapping each tile to a
+    SOURCE tile in flat_src — several tiles may share one source strip
+    without duplicating it (the 3-level refine evaluates one super's strip
+    against all SUPER member clusters; duplicating flat_src 64x would cost
+    GBs at N=8M). Without it tile t reads flat_src[t*pj:(t+1)*pj].
 
     The chunks iterate in a device-side lax.scan with ONE pallas launch
     site — an unrolled python loop emitted one launch per chunk, and a
@@ -1014,7 +1141,10 @@ def _near_pairs_call(kernel, tcols_ext, strips_blocks, flat_src, tile_tgt,
     the scan SKIP chunks past the live tile count, so a cap overshoot
     costs nothing but memory."""
     cap_tiles = tile_tgt.shape[0]
-    pj = flat_src.shape[0] // cap_tiles
+    if tile_src is None:
+        pj = flat_src.shape[0] // cap_tiles
+    else:
+        pj = NEAR_QUAD_PJ  # refine tiles share the quad-pair tile width
     width = strips_blocks.shape[2]
     n_chunks = -(-cap_tiles // chunk)
     pad = n_chunks * chunk - cap_tiles
@@ -1022,9 +1152,16 @@ def _near_pairs_call(kernel, tcols_ext, strips_blocks, flat_src, tile_tgt,
         # pad with null-source tiles aimed at the dummy target block
         g_dummy = (tcols_ext.shape[0] // block) - 1
         n_src = strips_blocks.shape[1] - 1
-        flat_src = jnp.concatenate(
-            [flat_src, jnp.full((pad * pj,), n_src, flat_src.dtype)]
-        )
+        if tile_src is None:
+            flat_src = jnp.concatenate(
+                [flat_src, jnp.full((pad * pj,), n_src, flat_src.dtype)]
+            )
+        else:
+            # indirected tiles: point padding at source tile 0 (its columns
+            # are read but the dummy target discards the contribution)
+            tile_src = jnp.concatenate(
+                [tile_src, jnp.zeros((pad,), tile_src.dtype)]
+            )
         tile_tgt = jnp.concatenate(
             [tile_tgt, jnp.full((pad,), g_dummy, tile_tgt.dtype)]
         )
@@ -1032,9 +1169,15 @@ def _near_pairs_call(kernel, tcols_ext, strips_blocks, flat_src, tile_tgt,
         n_tiles = jnp.asarray(cap_tiles, jnp.int32)
 
     acc0 = jnp.zeros((tcols_ext.shape[0], 8), tcols_ext.dtype)
+    flat2d = None if tile_src is None else flat_src.reshape(-1, pj)
 
     def run_chunk(acc, c0):
-        fl = jax.lax.dynamic_slice_in_dim(flat_src, c0 * pj, chunk * pj, 0)
+        if tile_src is None:
+            fl = jax.lax.dynamic_slice_in_dim(flat_src, c0 * pj,
+                                              chunk * pj, 0)
+        else:
+            ts_c = jax.lax.dynamic_slice_in_dim(tile_src, c0, chunk, 0)
+            fl = jnp.take(flat2d, ts_c, axis=0).reshape(-1)
         tgt_c = jax.lax.dynamic_slice_in_dim(tile_tgt, c0, chunk, 0)
         gathered = jnp.take(strips_blocks, fl, axis=1).reshape(
             rows, chunk * pj * width
@@ -1100,19 +1243,20 @@ def _near_pairs_direct_pallas(pos_g, srows, flat_src, tile_tgt, *,
     return acc[: gg * block].reshape(gg, block, 8)[:, :leaf, :3]
 
 
-def _near_pairs_quad_pallas(pos_g, summaries_neg, flat_src, tile_tgt, *,
-                            eps, interpret, n_tiles=None):
-    """Pair-list negated-multipole subtraction. summaries_neg: (16, G+1).
-    Returns (G * leaf, 3)."""
+def _near_pairs_quad_pallas(pos_g, summaries_signed, flat_src, tile_tgt, *,
+                            eps, interpret, n_tiles=None, tile_src=None):
+    """Pair-list multipole evaluation. summaries_signed: (16, G+1) — the
+    caller chooses the sign (negated for the near subtraction, as-is for
+    the 3-level refine addition). Returns (G * leaf, 3)."""
     gg, leaf = pos_g.shape[:2]
     block = leaf + 1
     tcols_ext = _append_dummy_block(_pack_targets(pos_g), block)
-    strips = summaries_neg[:, :, None]  # width-1 "blocks"
+    strips = summaries_signed[:, :, None]  # width-1 "blocks"
     acc = _near_pairs_call(
         functools.partial(_kernel_quad_pairs, eps=float(eps)),
         tcols_ext, strips, flat_src, tile_tgt,
         block=block, rows=16, interpret=bool(interpret),
-        chunk=NEAR_QUAD_CHUNK, n_tiles=n_tiles,
+        chunk=NEAR_QUAD_CHUNK, n_tiles=n_tiles, tile_src=tile_src,
     )
     return acc[: gg * block].reshape(gg, block, 8)[:, :leaf, :3].reshape(
         gg * leaf, 3
@@ -1150,12 +1294,19 @@ def _near_pairs_direct_xla(pos_g, aug_pos, aug_gm, flat_src, tile_tgt, *,
     return acc[:gg]
 
 
-def _near_pairs_quad_xla(pos_g, summaries_neg, flat_src, tile_tgt, *, eps):
-    """XLA fallback for the pair-list multipole subtraction."""
+def _near_pairs_quad_xla(pos_g, summaries_signed, flat_src, tile_tgt, *,
+                         eps, tile_src=None):
+    """XLA fallback for the pair-list multipole evaluation (sign chosen by
+    the caller, see _near_pairs_quad_pallas). tile_src: optional source-
+    tile indirection, same contract as _near_pairs_call."""
     from spacetpu.ops.pallas_direct import acc_cross_quad_xla
 
     gg, leaf = pos_g.shape[:2]
-    pj = flat_src.shape[0] // tile_tgt.shape[0]
+    if tile_src is None:
+        pj = flat_src.shape[0] // tile_tgt.shape[0]
+        srcs = flat_src.reshape(-1, pj)
+    else:
+        srcs = flat_src.reshape(-1, NEAR_QUAD_PJ)[tile_src]
     pos_ext = jnp.concatenate(
         [pos_g, jnp.zeros((1, leaf, 3), pos_g.dtype)], axis=0
     )
@@ -1163,10 +1314,10 @@ def _near_pairs_quad_xla(pos_g, summaries_neg, flat_src, tile_tgt, *, eps):
     def one_tile(args):
         tgt_id, src_ids = args
         return acc_cross_quad_xla(
-            pos_ext[tgt_id], summaries_neg[:, src_ids], eps=eps
+            pos_ext[tgt_id], summaries_signed[:, src_ids], eps=eps
         )
 
-    contrib = jax.lax.map(one_tile, (tile_tgt, flat_src.reshape(-1, pj)))
+    contrib = jax.lax.map(one_tile, (tile_tgt, srcs))
     acc = jax.ops.segment_sum(contrib, tile_tgt, num_segments=gg + 1)
     return acc[:gg].reshape(gg * leaf, 3)
 
@@ -1238,7 +1389,9 @@ def tree_prep(pos, mass, *, theta: float, k_near: int, gg: int,
               cluster_mode: str = "equal", near_mode: str = "strip",
               near_tiles: int | None = None,
               near_tiles_q: int | None = None,
-              k_super: int | None = None):
+              k_super: int | None = None,
+              refine_tiles: int | None = None,
+              refine_src_tiles: int | None = None):
     """Phase 1: sort, clustering, statistics, near lists.
 
     Deterministic given (pos, mass) — in the sharded tree every device runs
@@ -1259,11 +1412,30 @@ def tree_prep(pos, mass, *, theta: float, k_near: int, gg: int,
             stats["com"], stats["m_tot"], stats["r_src"], stats["r_tgt"],
             theta, k_super or default_k_super(theta, g2),
         )
+        refine_pairs = near_mode == "pairs"
+        rdrop = jnp.zeros((), jnp.int32)
+        if refine_pairs:
+            k2 = idx2.shape[1]
+            st_def = max(-(-k2 // _refine_spt()), 1)
+            if refine_src_tiles is None:
+                refine_src_tiles = g2 * st_def
+            if refine_tiles is None:
+                refine_tiles = gg * st_def
+            rflat, rtgt, rsrc, rnt, kept, rdrop = superfar_pair_segments(
+                idx2, gg, refine_src_tiles, refine_tiles
+            )
+            # Entries cut from the refine stay UNMASKED in the dense far
+            # pass — super-multipole accuracy, counted. The cluster near
+            # lists below are built from the MASKED pool so the near
+            # correction only ever subtracts cluster multipoles the refine
+            # actually added (a near cluster inside a cut super would
+            # otherwise leave a large subtract-without-add residual).
+            idx2 = jnp.where(kept, idx2, g2)
         idx, overflow = _near_lists_hier(
             stats["com"], stats["m_tot"], stats["r_src"], stats["r_tgt"],
             theta, k_near, idx2=idx2,
         )
-        overflow = overflow + over2 * SUPER
+        overflow = overflow + rdrop + over2 * SUPER
     else:
         idx2 = jnp.zeros((1, 1), jnp.int32)
         idx, overflow = near_lists(
@@ -1293,6 +1465,9 @@ def tree_prep(pos, mass, *, theta: float, k_near: int, gg: int,
                     nearq_flat=flatq, nearq_tile_tgt=ttgtq,
                     nearq_ntiles=ntq)
         overflow = overflow + drop
+        if far_levels == 3:
+            prep.update(ref_flat=rflat, ref_tile_tgt=rtgt,
+                        ref_tile_src=rsrc, ref_ntiles=rnt)
     elif near_mode != "strip":
         raise ValueError(f"unknown near_mode {near_mode!r}")
     prep["near_overflow"] = overflow + clusters.overflow
@@ -1305,7 +1480,8 @@ def tree_prep(pos, mass, *, theta: float, k_near: int, gg: int,
 #: `acc_tree_cached` each call.
 STRUCTURE_KEYS = ("perm", "inv", "clusters", "idx", "idx2",
                   "near_flat", "near_tile_tgt", "near_ntiles",
-                  "nearq_flat", "nearq_tile_tgt", "nearq_ntiles")
+                  "nearq_flat", "nearq_tile_tgt", "nearq_ntiles",
+                  "ref_flat", "ref_tile_tgt", "ref_tile_src", "ref_ntiles")
 
 
 def tree_structure(pos, mass, *, theta: float, k_near: int, gg: int,
@@ -1313,7 +1489,9 @@ def tree_structure(pos, mass, *, theta: float, k_near: int, gg: int,
                    cluster_mode: str = "equal", near_mode: str = "strip",
                    near_tiles: int | None = None,
                    near_tiles_q: int | None = None,
-                   k_super: int | None = None):
+                   k_super: int | None = None,
+                   refine_tiles: int | None = None,
+                   refine_src_tiles: int | None = None):
     """The cacheable part of tree construction: space-filling-curve sort,
     clustering, near lists (and their flattened pair tiles). Returns a dict
     of the STRUCTURE_KEYS present for the given modes."""
@@ -1321,7 +1499,8 @@ def tree_structure(pos, mass, *, theta: float, k_near: int, gg: int,
                   far_levels=far_levels, leaf=leaf,
                   cluster_mode=cluster_mode, near_mode=near_mode,
                   near_tiles=near_tiles, near_tiles_q=near_tiles_q,
-                  k_super=k_super)
+                  k_super=k_super, refine_tiles=refine_tiles,
+                  refine_src_tiles=refine_src_tiles)
     return {k: p[k] for k in STRUCTURE_KEYS if k in p}
 
 
@@ -1381,27 +1560,46 @@ def tree_eval(prep: dict, c0, n_clusters: int, *, softening: str,
         if n_clusters % SUPER or gg % SUPER:
             raise ValueError("far_levels=3 needs SUPER-aligned blocks")
         super_summaries = _super_multipoles(summaries[:, :gg])
-        strips = _superfar_refine_table(
-            summaries[:, :gg], super_summaries, prep["idx2"]
-        )
         s2 = c0 // SUPER
         n2 = n_clusters // SUPER
-        s_pad = strips.shape[1] // (gg // SUPER)
-        strips = jax.lax.dynamic_slice_in_dim(
-            strips, s2 * s_pad, n2 * s_pad, 1
-        )
         idx2_t = jax.lax.dynamic_slice_in_dim(prep["idx2"], s2, n2, 0)
         acc = _superfar_dense_masked(
             targets, super_summaries, idx2_t, eps=eps, backend=backend,
             interpret=interpret,
         )
-        if backend == "pallas":
-            acc = acc + _superfar_refine_pallas(
-                _pack_targets(pos_g), strips, eps=float(eps),
-                interpret=bool(interpret), block=leaf + 1,
-            )
+        if "ref_tile_tgt" in prep:
+            # pair-tile refine sized by actual per-super near counts (see
+            # superfar_pair_segments); prep["idx2"] already nulls any
+            # dropped supers so the dense pass covers them unmasked
+            if backend == "pallas":
+                acc = acc + _near_pairs_quad_pallas(
+                    pos_g, summaries, prep["ref_flat"],
+                    prep["ref_tile_tgt"], eps=float(eps),
+                    interpret=bool(interpret),
+                    n_tiles=prep.get("ref_ntiles"),
+                    tile_src=prep["ref_tile_src"],
+                )
+            else:
+                acc = acc + _near_pairs_quad_xla(
+                    pos_g, summaries, prep["ref_flat"],
+                    prep["ref_tile_tgt"], eps=eps,
+                    tile_src=prep["ref_tile_src"],
+                )
         else:
-            acc = acc + _superfar_refine_xla(pos_g, strips, eps=eps)
+            strips = _superfar_refine_table(
+                summaries[:, :gg], super_summaries, prep["idx2"]
+            )
+            s_pad = strips.shape[1] // (gg // SUPER)
+            strips = jax.lax.dynamic_slice_in_dim(
+                strips, s2 * s_pad, n2 * s_pad, 1
+            )
+            if backend == "pallas":
+                acc = acc + _superfar_refine_pallas(
+                    _pack_targets(pos_g), strips, eps=float(eps),
+                    interpret=bool(interpret), block=leaf + 1,
+                )
+            else:
+                acc = acc + _superfar_refine_xla(pos_g, strips, eps=eps)
     elif multipole_order == 2:
         from spacetpu.ops import pallas_direct
 
@@ -1643,6 +1841,8 @@ def acc_tree(
     near_tiles_q: int | None = None,
     gg: int | None = None,
     k_super: int | None = None,
+    refine_tiles: int | None = None,
+    refine_src_tiles: int | None = None,
 ):
     """Clustered Barnes-Hut acceleration: (N, 3), (N,) -> (N, 3)."""
     if softening not in direct.SOFTENINGS:
@@ -1662,7 +1862,8 @@ def acc_tree(
                      far_levels=far_levels, leaf=leaf,
                      cluster_mode=cluster_mode, near_mode=near_mode,
                      near_tiles=near_tiles, near_tiles_q=near_tiles_q,
-                     k_super=k_super)
+                     k_super=k_super, refine_tiles=refine_tiles,
+                     refine_src_tiles=refine_src_tiles)
     acc = tree_eval(prep, 0, gg, softening=softening, eps=eps, g=g,
                     backend=backend, interpret=interpret,
                     multipole_order=multipole_order, far_levels=far_levels,

@@ -485,3 +485,94 @@ def test_super_screen_cap_measured_vs_truncated():
     k_meas = int(acc2.sum(1).max())
     _, over_meas = tree._super_screen(com, m_tot, r_src, r_tgt, theta, k_meas)
     assert int(over_meas) == 0
+
+
+def test_far3_pairs_refine_matches_strip():
+    """The pair-tile refine (superfar_pair_segments + tile_src indirection)
+    must reproduce the strip-table refine exactly: same source clusters,
+    same quad evaluation, different packing. Sized by actual per-super near
+    counts it is what keeps far3 near-linear at N >= 4M (the strip table is
+    worst-super-sized: fixed_cloud(8M) measures mean per-super near count
+    152 vs max 491)."""
+    rng = np.random.default_rng(3)
+    leaf, gg = 15, 128  # 2 supers at the production SUPER=64
+    n = gg * leaf - 7
+    pos = jnp.asarray(rng.standard_normal((n, 3)) * 2.0, jnp.float32)
+    mass = jnp.asarray(rng.uniform(0.5, 1.5, n), jnp.float32)
+    kw = dict(theta=0.5, softening="plummer", eps=1e-2, g=1.0,
+              backend="xla", multipole_order=2, leaf=leaf, gg=gg, k_near=64,
+              far_levels=3)
+    a_strip = np.asarray(tree.acc_tree(pos, mass, near_mode="strip", **kw))
+    a_pairs = np.asarray(tree.acc_tree(pos, mass, near_mode="pairs", **kw))
+    np.testing.assert_array_equal(a_pairs, a_strip)
+
+
+def test_far3_pairs_refine_truncation_counted_and_consistent():
+    """Refine caps too small for the scene: the farthest near supers are
+    cut per row (never the self super), the cut entries are counted in
+    near_overflow, and the near lists are built from the SAME masked pool
+    so no cluster multipole is subtracted that the far field never added.
+    Forces stay finite and within super-multipole fallback accuracy."""
+    rng = np.random.default_rng(4)
+    leaf, gg = 15, 256  # 4 supers
+    g2 = gg // tree.SUPER
+    n = gg * leaf - 5
+    pos = jnp.asarray(rng.standard_normal((n, 3)) * 2.0, jnp.float32)
+    mass = jnp.asarray(rng.uniform(0.5, 1.5, n), jnp.float32)
+    prep = tree.tree_prep(pos, mass, theta=0.5, k_near=96, gg=gg,
+                          far_levels=3, leaf=leaf, near_mode="pairs",
+                          refine_src_tiles=g2, refine_tiles=g2 * tree.SUPER)
+    assert int(prep["near_overflow"]) > 0
+    # the masked idx2 keeps each super's nearest entry (itself)
+    idx2 = np.asarray(prep["idx2"])
+    assert (idx2[:, 0] == np.arange(g2)).all()
+    acc = np.asarray(tree.tree_eval(
+        prep, 0, gg, softening="plummer", eps=1e-2, g=1.0, backend="xla",
+        interpret=True, multipole_order=2, far_levels=3, near_mode="pairs"))
+    assert np.isfinite(acc).all()
+    # caps below one tile per super are a hard error (self-super refine
+    # coverage is an accuracy invariant, not a degradable budget)
+    with pytest.raises(ValueError, match="one tile per super"):
+        tree.superfar_pair_segments(prep["idx2"], gg, g2 - 1, g2 * tree.SUPER)
+
+
+def test_far3_pairs_refine_cached_structure():
+    """The refine tile lists ride STRUCTURE_KEYS: acc_tree_cached with a
+    far3+pairs structure matches the fresh build exactly."""
+    rng = np.random.default_rng(5)
+    leaf, gg = 15, 128
+    n = gg * leaf - 3
+    pos = jnp.asarray(rng.standard_normal((n, 3)) * 2.0, jnp.float32)
+    mass = jnp.asarray(rng.uniform(0.5, 1.5, n), jnp.float32)
+    kw = dict(theta=0.5, k_near=64, gg=gg, far_levels=3, leaf=leaf,
+              near_mode="pairs")
+    st = tree.tree_structure(pos, mass, **kw)
+    for key in ("ref_flat", "ref_tile_tgt", "ref_tile_src", "ref_ntiles"):
+        assert key in st, key
+    fresh = np.asarray(tree.acc_tree(
+        pos, mass, softening="plummer", eps=1e-2, g=1.0, backend="xla",
+        multipole_order=2, **kw))
+    cached = np.asarray(tree.acc_tree_cached(
+        pos, mass, st, softening="plummer", eps=1e-2, g=1.0, backend="xla",
+        multipole_order=2, far_levels=3, near_mode="pairs"))
+    np.testing.assert_array_equal(cached, fresh)
+
+
+def test_measure_near_refine_caps_cover_scene():
+    """measure_near's refine_tiles / refine_src_tiles hold the scene's
+    actual pair-tile demand: tree_prep with the measured caps reports zero
+    refine overflow, and the caps undercut the worst-case default sizing
+    on a centrally condensed scene."""
+    pos, mass = _cluster(40_000, seed=9, dtype=jnp.float32)
+    gg = tree._gg_for(40_000, 3, 2)
+    m = tree.measure_near(pos, mass, theta=0.5, gg=gg)
+    prep = tree.tree_prep(pos, mass, theta=0.5, k_near=m["k_near"], gg=gg,
+                          far_levels=3, near_mode="pairs",
+                          k_super=m["k_super"],
+                          refine_tiles=m["refine_tiles"],
+                          refine_src_tiles=m["refine_src_tiles"])
+    assert int(prep["near_overflow"]) == 0
+    g2 = gg // tree.SUPER
+    st_def = max(-(-m["k_super"] // tree._refine_spt()), 1)
+    assert m["refine_tiles"] <= gg * st_def
+    assert m["refine_src_tiles"] <= g2 * st_def
