@@ -123,4 +123,76 @@ f_ref = jax.jit(lambda p, m: tree.acc_tree(
     near_tiles=sim._near_tiles, near_tiles_q=sim._near_tiles_q,
     k_super=int(sim.k_super)))
 timeit("single-chip acc_tree (same caps)", f_ref, pos_l, mass_l)
+
+
+# stage 4: + pair-segment build (cumulative on s2)
+def s4(p, m):
+    pos_g = p.reshape(g_l, tree.LEAF, 3)
+    mass_g = m.reshape(g_l, tree.LEAF)
+    idx = s1(p, m)
+    idx_pool, pool_pos_g, pool_mass_g, _ = tree2._halo_exchange(
+        idx, pos_g, mass_g, axis=ring.AXIS, g_l=g_l,
+        halo_cap=sim._halo_cap)
+    pp = pool_pos_g.shape[0]
+    pj = tree.NEAR_TILE_J // tree.BLOCK
+    gg = g_l * D
+    idx_q = jnp.where(idx_pool >= pp, gg, idx)
+    return tree.near_pair_segments_consistent(
+        idx_pool, pp, pj, sim._near_tiles,
+        idx_q, gg, tree.NEAR_QUAD_PJ, sim._near_tiles_q)[:2]
+
+
+f4 = jax.jit(smap(s4, in_specs=sp, out_specs=(P(), P())))
+timeit("+ pair-segment build", f4, pos_l, mass_l)
+
+
+# stage 5: + the direct pairs near call (cumulative on s4)
+def s5(p, m):
+    pos_g = p.reshape(g_l, tree.LEAF, 3)
+    mass_g = m.reshape(g_l, tree.LEAF)
+    idx = s1(p, m)
+    idx_pool, pool_pos_g, pool_mass_g, _ = tree2._halo_exchange(
+        idx, pos_g, mass_g, axis=ring.AXIS, g_l=g_l,
+        halo_cap=sim._halo_cap)
+    pp = pool_pos_g.shape[0]
+    pj = tree.NEAR_TILE_J // tree.BLOCK
+    gg = g_l * D
+    idx_q = jnp.where(idx_pool >= pp, gg, idx)
+    flat, ttgt, ntd, flatq, ttgtq, ntq, drop = (
+        tree.near_pair_segments_consistent(
+            idx_pool, pp, pj, sim._near_tiles,
+            idx_q, gg, tree.NEAR_QUAD_PJ, sim._near_tiles_q))
+    pool_com, pool_m, _, _ = tree._group_stats(pool_pos_g, pool_mass_g)
+    return tree.near_pairs_correction(
+        pos_g, pool_pos_g, pool_mass_g, pool_com, pool_m, flat, ttgt,
+        softening="plummer", eps=1e-3, g=1.0, backend="pallas",
+        interpret=False, monopole_pseudo=False, n_tiles=ntd)
+
+
+f5 = jax.jit(smap(s5, in_specs=sp, out_specs=P(ring.AXIS)))
+timeit("+ direct pairs near call", f5, pos_l, mass_l)
+
+
+# single-chip near pairs call at the same tile cap, local pool (the
+# apples-to-apples twin of stage 5 minus halo indirection)
+def s6(p, m):
+    pos_g = p.reshape(g_l * D, tree.LEAF, 3)
+    mass_g = m.reshape(g_l * D, tree.LEAF)
+    com, m_tot, r_src, r_tgt = tree._group_stats(pos_g, mass_g)
+    idx, _ = tree._near_lists_hier(
+        com, m_tot, r_src, r_tgt, 0.5, sim._k_near,
+        k_super=int(sim.k_super))
+    pj = tree.NEAR_TILE_J // tree.BLOCK
+    gg = g_l * D
+    flat, ttgt, ntd, _, _, _, _ = tree.near_pair_segments_consistent(
+        idx, gg, pj, sim._near_tiles,
+        idx, gg, tree.NEAR_QUAD_PJ, sim._near_tiles_q)
+    return tree.near_pairs_correction(
+        pos_g, pos_g, mass_g, com, m_tot, flat, ttgt,
+        softening="plummer", eps=1e-3, g=1.0, backend="pallas",
+        interpret=False, monopole_pseudo=False, n_tiles=ntd)
+
+
+f6 = jax.jit(s6)
+timeit("single-chip near pairs (same cap)", f6, pos_l, mass_l)
 print("PROF DONE", flush=True)

@@ -155,27 +155,30 @@ def default_k_super(theta: float, n_super: int) -> int:
     return max(4, min(n_super, k))
 
 
-def _super_stats(com, m_tot, r_src, r_tgt):
-    """Aggregate cluster summaries into supercluster bounds.
+def _super_stats(com, m_tot, r_src, r_tgt, group: int = None):
+    """Aggregate cluster summaries into bounds for `group`-cluster nodes
+    (default SUPER; the 3-level pairs far field also uses MID).
 
-    Returns (com2, c_spread, rs_max, rt_max) per supercluster, where
-    c_spread bounds member-COM distance from the supercluster centroid."""
+    Returns (com2, c_spread, rs_max, rt_max) per node, where c_spread
+    bounds member-COM distance from the node centroid."""
+    if group is None:
+        group = SUPER
     g = com.shape[0]
-    g2 = -(-g // SUPER)
-    pad = g2 * SUPER - g
+    g2 = -(-g // group)
+    pad = g2 * group - g
     if pad:
         # padding members collapse onto the last real COM with zero radii
         com = jnp.concatenate([com, jnp.broadcast_to(com[-1], (pad, 3))])
         m_tot = jnp.concatenate([m_tot, jnp.zeros((pad,), m_tot.dtype)])
         r_src = jnp.concatenate([r_src, jnp.zeros((pad,), r_src.dtype)])
         r_tgt = jnp.concatenate([r_tgt, jnp.zeros((pad,), r_tgt.dtype)])
-    com_g = com.reshape(g2, SUPER, 3)
+    com_g = com.reshape(g2, group, 3)
     com2 = jnp.mean(com_g, axis=1)
     c_spread = jnp.max(
         jnp.linalg.norm(com_g - com2[:, None, :], axis=-1), axis=1
     )
-    rs_max = jnp.max(r_src.reshape(g2, SUPER), axis=1)
-    rt_max = jnp.max(r_tgt.reshape(g2, SUPER), axis=1)
+    rs_max = jnp.max(r_src.reshape(g2, group), axis=1)
+    rt_max = jnp.max(r_tgt.reshape(g2, group), axis=1)
     return com2, c_spread, rs_max, rt_max
 
 
@@ -387,20 +390,50 @@ def measure_near(pos, mass, *, theta: float, gg: int, leaf: int = LEAF,
     cnt2_rows = _np.asarray(jnp.sum(possible, axis=1))
     cnt2 = int(cnt2_rows.max())
     out["k_super"] = max(4, min(g2, int(cnt2 * headroom) + 4))
-    # 3-level pair-tile refine capacities (superfar_pair_segments), sized
-    # by the ACTUAL per-super near counts — the k_super cap bounds each row
-    per_row = _np.minimum(cnt2_rows, out["k_super"])
-    st_i = _np.maximum(-(-per_row // _refine_spt()), 1)
-    # headroom-scaled but never beyond the k_super worst case (which the
-    # geometric default sizing already covers)
-    st_def = max(-(-out["k_super"] // _refine_spt()), 1)
-    out["refine_src_tiles"] = max(
-        min(int(st_i.sum() * headroom) + 8, g2 * st_def), g2
-    )
-    out["refine_tiles"] = max(
-        min(int(st_i.sum() * SUPER * headroom) + 8, g2 * SUPER * st_def),
-        g2 * SUPER,
-    )
+    # MID-level capacities for the pairs-mode 3-level far field: the
+    # per-cluster near-MID count (dense over all mids — a superset of the
+    # runtime near-super-restricted pool, so the caps are conservative)
+    if gg % SUPER == 0:
+        g_m = gg // MID
+        spm = SUPER // MID
+        com_m, spread_m, rs_max_m, _ = _super_stats(
+            com, m_tot, r_src, r_tgt, group=MID
+        )
+        reach_m = rs_max_m + spread_m
+        m_tot_m = jnp.sum(jnp.reshape(m_tot, (-1, MID)), axis=1)
+
+        def count_mid_chunk(c0):
+            com_t = jax.lax.dynamic_slice_in_dim(com, c0, chunk_n, 0)
+            rt_t = jax.lax.dynamic_slice_in_dim(r_tgt, c0, chunk_n, 0)
+            dist = jnp.linalg.norm(
+                com_t[:, None, :] - com_m[None, :, :], axis=-1
+            )
+            near = (reach_m[None, :] >= theta * (dist - rt_t[:, None])) & (
+                m_tot_m[None, :] > 0
+            )
+            return jnp.sum(near, axis=1)
+
+        cm = _np.asarray(jax.lax.map(count_mid_chunk, starts)).reshape(-1)
+        exact_mid = _np.zeros(gg, _np.int64)
+        exact_mid[rows] = cm
+        out["k_mid"] = max(
+            8, min(g_m, int(int(exact_mid.max()) * headroom) + 4)
+        )
+        kept_mid = _np.minimum(exact_mid, out["k_mid"])
+        m2_i = _np.maximum(-(-(kept_mid * MID) // NEAR_QUAD_PJ), 1)
+        m2_worst = gg * max(-(-(out["k_mid"] * MID) // NEAR_QUAD_PJ), 1)
+        out["m2_tiles"] = max(
+            min(int(m2_i.sum() * headroom) + 8, m2_worst), gg
+        )
+        m1_cnt = _np.maximum(
+            _np.repeat(_np.minimum(cnt2_rows, out["k_super"]), SUPER)[:gg]
+            * spm - kept_mid, 0,
+        )
+        m1_i = _np.maximum(-(-m1_cnt // NEAR_QUAD_PJ), 1)
+        m1_worst = gg * max(-(-(out["k_super"] * spm) // NEAR_QUAD_PJ), 1)
+        out["m1_tiles"] = max(
+            min(int(m1_i.sum() * headroom) + 8, m1_worst), gg
+        )
     if n_shards:
         if gg % n_shards:
             raise ValueError(f"gg={gg} not divisible by n_shards={n_shards}")
@@ -481,18 +514,21 @@ def _cluster_summaries(pos_g, mass_g, com, m_tot, g_const):
     return s
 
 
-def _super_multipoles(summaries):
-    """Aggregate cluster multipole summaries (16, G) into supercluster
-    summaries (16, G2) about the mass-weighted supercluster COM, using the
-    parallel-axis theorem for the traceless quadrupole:
+def _super_multipoles(summaries, group: int = None):
+    """Aggregate cluster multipole summaries (16, G) into `group`-cluster
+    node summaries (16, G/group) about the mass-weighted node COM
+    (default SUPER; the 3-level pairs far field also aggregates MID
+    nodes), using the parallel-axis theorem for the traceless quadrupole:
         Q2 = sum_i [Q_i + m_i * (3 d_i d_i^T - |d_i|^2 I)],
-    d_i = com_i - com2. G must be a multiple of SUPER (callers pad with
+    d_i = com_i - com2. G must be a multiple of `group` (callers pad with
     null clusters)."""
+    if group is None:
+        group = SUPER
     g = summaries.shape[1]
-    if g % SUPER:
-        raise ValueError(f"G={g} not a multiple of SUPER={SUPER}")
-    g2 = g // SUPER
-    s = summaries.reshape(16, g2, SUPER)
+    if g % group:
+        raise ValueError(f"G={g} not a multiple of group={group}")
+    g2 = g // group
+    s = summaries.reshape(16, g2, group)
     com = s[0:3]  # (3, G2, SUPER)
     gm = s[3]     # (G2, SUPER)
     gm2 = jnp.sum(gm, axis=-1)  # (G2,)
@@ -909,109 +945,158 @@ def near_pair_segments_consistent(idx_d, n_src_d: int, pj_d: int, cap_d: int,
             dropped + d1 + d2)
 
 
-def _refine_spt() -> int:
-    """Near supers packed per refine source tile (their SUPER member-
-    cluster ids each; SUPER must divide NEAR_QUAD_PJ). Computed from the
-    current SUPER so tests that shrink SUPER keep working."""
-    if NEAR_QUAD_PJ % SUPER:
-        raise ValueError(
-            f"SUPER={SUPER} must divide NEAR_QUAD_PJ={NEAR_QUAD_PJ}"
+#: clusters per MID node — the intermediate level of the pairs-mode
+#: 3-level far field (SUPER must be a multiple). A near SUPER decomposes
+#: into its MID multipoles, and only near MIDs decompose further into
+#: cluster multipoles: per-body far cost drops from K2*SUPER cluster
+#: evals (~7900 measured on fixed_cloud(4M), half of the dense far2 pass
+#: -- the N>=4M superlinearity) to K2*(SUPER/MID) mid evals + k_mid*MID
+#: cluster evals (~1600).
+MID = 8
+
+
+def _mid_near_lists(com, m_tot, r_src, r_tgt, com_m, spread_m, rs_max_m,
+                    m_tot_m, idx2, theta: float, k_mid: int):
+    """Per-target-CLUSTER near-MID lists (G, k_mid) + overflow.
+
+    Candidates are the MID nodes of the target's super's near supers
+    (idx2 rows; null super = G2 maps to the null mid G_m). A mid M is
+    near cluster t iff (rs_max_M + spread_M) >= theta * (d(t, M) - rt_t)
+    -- conservative for every member cluster c of M (d(t,c) >= d(t,M) -
+    spread_M and rs_c <= rs_max_M, so with theta <= 1 the cluster-level
+    accept implies this one): the near-cluster lists built from the kept
+    mids' members provably contain every theta-failing cluster. Rows are
+    distance-ascending; row overflow (counted) cuts the FARTHEST mids,
+    which revert to their (valid, since non-near-cut mids are the far
+    ones) mid multipole in the M1 pass."""
+    g = com.shape[0]
+    g2, k2 = idx2.shape
+    if g % SUPER:
+        raise ValueError(f"G={g} not SUPER-aligned")
+    spm = SUPER // MID
+    g_m = g // MID
+    cand = jnp.minimum(
+        idx2[:, :, None] * spm
+        + jnp.arange(spm, dtype=jnp.int32)[None, None, :],
+        g_m,
+    ).reshape(g2, k2 * spm)
+    cm = jnp.concatenate([com_m, jnp.zeros((1, 3), com_m.dtype)])
+    reach = jnp.concatenate(
+        [rs_max_m + spread_m, jnp.zeros((1,), rs_max_m.dtype)]
+    )
+    mm = jnp.concatenate([m_tot_m, jnp.zeros((1,), m_tot_m.dtype)])
+
+    def refine(args):
+        com_t, rt_t, cand_b = args  # (SUPER,3), (SUPER,), (C,)
+        dist = jnp.linalg.norm(
+            com_t[:, None, :] - cm[cand_b][None, :, :], axis=-1
+        )  # (SUPER, C)
+        near = (reach[cand_b][None, :] >= theta * (dist - rt_t[:, None])) & (
+            mm[cand_b][None, :] > 0
         )
-    return NEAR_QUAD_PJ // SUPER
+        over = jnp.sum(jnp.sum(near, axis=1) > k_mid)
+        masked = jnp.where(near, dist, jnp.inf)
+        k_eff = min(k_mid, masked.shape[1])
+        cand_rows = jnp.broadcast_to(cand_b[None, :].astype(jnp.int32),
+                                     masked.shape)
+        idx = _smallest_k(masked, cand_rows, k_eff, g_m)
+        if k_eff < k_mid:
+            idx = jnp.concatenate(
+                [idx,
+                 jnp.full((idx.shape[0], k_mid - k_eff), g_m, idx.dtype)],
+                axis=1,
+            )
+        return idx.astype(jnp.int32), over
+
+    idx_mid, over = jax.lax.map(
+        refine,
+        (com.reshape(g2, SUPER, 3), r_tgt.reshape(g2, SUPER), cand),
+    )
+    return idx_mid.reshape(g, k_mid), jnp.sum(over)
 
 
-def superfar_pair_segments(idx2, gg: int, cap_src_tiles: int,
-                           cap_tiles: int):
-    """Flatten the (G2, K2) near-super lists into pair tiles for the
-    3-level far-field refinement.
+def _near_lists_from_mids(com, m_tot, r_src, r_tgt, idx_mid,
+                          theta: float, k_near: int):
+    """Exact per-cluster near lists from the near-MID candidate pool
+    (idx_mid members, k_mid*MID candidates per target -- the pairs-mode
+    replacement for _near_lists_hier's K2*SUPER pool, ~6x smaller at
+    N=8M). Same containment argument one level down: every theta-failing
+    cluster's mid is near (see _mid_near_lists), so the pool covers it."""
+    g = com.shape[0]
+    g_m = g // MID
+    cand = jnp.minimum(
+        idx_mid[:, :, None] * MID
+        + jnp.arange(MID, dtype=jnp.int32)[None, None, :],
+        g,
+    ).reshape(g, -1)  # (G, k_mid*MID), null = G
+    com_p = jnp.concatenate([com, jnp.zeros((1, 3), com.dtype)])
+    m_p = jnp.concatenate([m_tot, jnp.zeros((1,), m_tot.dtype)])
+    rs_p = jnp.concatenate([r_src, jnp.zeros((1,), r_src.dtype)])
 
-    The strip-table refine (`_superfar_refine_table`) sizes every target
-    super's strip by the WORST super's near count K2 — on uniform scenes
-    at N >= 4M the measured K2 approaches G2 and the refine degenerates to
-    a dense N x G pass (the measured N=8M superlinearity: mean per-super
-    near count 152 vs max 491 on fixed_cloud). Pair tiles are sized by the
-    ACTUAL counts instead, like the near phase's `near_pair_segments`.
-
-    Each source tile packs REFINE_SUP_PER_TILE near supers' member-cluster
-    ids (NEAR_QUAD_PJ columns); each pair tile aims one source tile at one
-    member cluster of the target super, so the SUPER member clusters share
-    the per-super source strips through the `tile_src` indirection of
-    `_near_pairs_call` instead of duplicating them 64x.
-
-    When the caps cannot hold every row's tiles, each row is TRUNCATED to
-    the budget rather than dropped: idx2 rows are distance-ascending, so
-    the entries cut are each row's FARTHEST near supers — those degrade
-    cleanly to super-multipole accuracy once the caller un-masks them in
-    the dense pass (null the cut entries: callers must mask the dense pass
-    with the returned `kept` entries ONLY). Every row always keeps >= 1
-    tile: a target super's nearest "near super" is itself, and evaluating
-    its own super multipole at interior bodies diverges — the caps must
-    cover at least one tile per super (enforced). `dropped` counts cut
-    entries (units ~ clusters, matching prep["near_overflow"]).
-
-    Returns (flat_src (cap_src_tiles*NEAR_QUAD_PJ,), tile_tgt (cap_tiles,),
-    tile_src (cap_tiles,), n_tiles, kept ((G2, K2) bool), dropped):
-    flat_src pads with the null cluster gg, tile_tgt pads with gg (the
-    dummy target block), tile_src pads with 0."""
-    g2, _ = idx2.shape
-    pj = NEAR_QUAD_PJ
-    spt = _refine_spt()
-    if cap_src_tiles < g2 or cap_tiles < g2 * SUPER:
-        raise ValueError(
-            f"refine caps must cover one tile per super: need >= {g2} "
-            f"source and {g2 * SUPER} pair tiles, got "
-            f"{cap_src_tiles}/{cap_tiles}"
+    def refine(args):
+        com_t, rt_t, cand_b = args  # (SUPER,3), (SUPER,), (SUPER,C)
+        c_com = com_p[cand_b]  # (SUPER, C, 3)
+        dist = jnp.linalg.norm(com_t[:, None, :] - c_com, axis=-1)
+        near = (rs_p[cand_b] >= theta * (dist - rt_t[:, None])) & (
+            m_p[cand_b] > 0
         )
-    valid = idx2 < g2
-    c = jnp.sum(valid, axis=1).astype(jnp.int32)  # near supers per target
-    st_full = jnp.maximum(-(-c // spt), 1)  # >=1: init every output block
-    # one tile per row is reserved; extras granted greedily in row order
-    # from the remaining budget (overflow is a counted rarity under
-    # measured caps — allocation fairness is not worth a second pass)
-    budget = min(cap_src_tiles, cap_tiles // SUPER) - g2
-    extra = st_full - 1
-    ecs = jnp.cumsum(extra).astype(jnp.int32)
-    grant = jnp.clip(budget - (ecs - extra), 0, extra)
-    st = (1 + grant).astype(jnp.int32)
-    c_keep = jnp.minimum(c, st * spt)
-    rank = jnp.cumsum(valid, axis=1).astype(jnp.int32) - 1
-    kept = valid & (rank < c_keep[:, None])
-    dropped = (jnp.sum(c - c_keep) * SUPER).astype(jnp.int32)
-    csum_s = jnp.cumsum(st).astype(jnp.int32)
-    src_offs = jnp.concatenate([jnp.zeros((1,), jnp.int32), csum_s[:-1]])
+        over = jnp.sum(jnp.sum(near, axis=1) > k_near)
+        masked = jnp.where(near, dist, jnp.inf)
+        k_eff = min(k_near, masked.shape[1])
+        idx = _smallest_k(masked, cand_b.astype(jnp.int32), k_eff, g)
+        if k_eff < k_near:
+            idx = jnp.concatenate(
+                [idx,
+                 jnp.full((idx.shape[0], k_near - k_eff), g, idx.dtype)],
+                axis=1,
+            )
+        return idx.astype(jnp.int32), over
 
-    # flat_src: member-cluster ids rank-packed per super, null-padded
-    p0 = src_offs[:, None] * pj + rank * SUPER  # (g2, k2)
-    ok = kept & (p0 + SUPER <= cap_src_tiles * pj)
-    members = (
-        idx2[:, :, None] * SUPER
-        + jnp.arange(SUPER, dtype=jnp.int32)[None, None, :]
+    g2 = g // SUPER
+    idx, over = jax.lax.map(
+        refine,
+        (com.reshape(g2, SUPER, 3), r_tgt.reshape(g2, SUPER),
+         cand.reshape(g2, SUPER, -1)),
     )
-    ptr = (
-        jnp.where(ok, p0, cap_src_tiles * pj)[:, :, None]
-        + jnp.arange(SUPER, dtype=jnp.int32)[None, None, :]
-    )
-    flat = jnp.full((cap_src_tiles * pj,), gg, jnp.int32)
-    flat = flat.at[ptr.reshape(-1)].set(
-        jnp.where(ok[:, :, None], members, gg).reshape(-1).astype(jnp.int32),
-        mode="drop",
-    )
+    return idx.reshape(g, k_near), jnp.sum(over)
 
-    # pair tiles: SUPER * st[a] per super, target-contiguous (the pair
-    # kernel's vfirst accumulation needs each target's tiles adjacent)
-    csum_t = jnp.cumsum(SUPER * st).astype(jnp.int32)
-    toffs = jnp.concatenate([jnp.zeros((1,), jnp.int32), csum_t[:-1]])
-    n_tiles = csum_t[-1]
-    t_range = jnp.arange(cap_tiles, dtype=jnp.int32)
-    a = jnp.searchsorted(toffs, t_range, side="right").astype(jnp.int32) - 1
-    w = t_range - toffs[a]
-    st_a = st[a]
-    i = w // st_a
-    t = w - i * st_a
-    live = t_range < n_tiles
-    tile_tgt = jnp.where(live, a * SUPER + i, gg).astype(jnp.int32)
-    tile_src = jnp.where(live, src_offs[a] + t, 0).astype(jnp.int32)
-    return flat, tile_tgt, tile_src, n_tiles, kept, dropped
+
+def _m1_lists(idx2, idx_mid, gg: int):
+    """Per-cluster M1 source lists (G, K2*spm): the MID nodes of the
+    target's super's near supers MINUS the target's own near mids (those
+    are covered at cluster resolution by M2). The exclusion must use
+    exactly the kept idx_mid entries -- a mid present in both passes
+    would double-count, one in neither leaves a hole. Null = G_m."""
+    g2, k2 = idx2.shape
+    spm = SUPER // MID
+    g_m = gg // MID
+    mids_sup = jnp.minimum(
+        idx2[:, :, None] * spm
+        + jnp.arange(spm, dtype=jnp.int32)[None, None, :],
+        g_m,
+    ).reshape(g2, k2 * spm)
+    srt = jnp.sort(idx_mid, axis=1)  # (G, k_mid)
+    k_mid = srt.shape[1]
+
+    def one_super(args):
+        cand_b, srt_b = args  # (C,), (SUPER, k_mid)
+        pos = jax.vmap(lambda s: jnp.searchsorted(s, cand_b))(srt_b)
+        hit = jnp.take_along_axis(
+            srt_b, jnp.minimum(pos, k_mid - 1), axis=1
+        ) == cand_b[None, :]
+        return jnp.where(hit, g_m, cand_b[None, :])  # (SUPER, C)
+
+    m1 = jax.lax.map(one_super, (mids_sup, srt.reshape(g2, SUPER, k_mid)))
+    return m1.reshape(gg, -1).astype(jnp.int32)
+
+
+def default_k_mid(theta: float, g_m: int) -> int:
+    """Static cap on near MID nodes per target cluster. A mid spans
+    ~MID^(1/3) = 2x a cluster's linear size; the same geometric
+    neighborhood estimate as default_k_super one level down (measured
+    fixed_cloud(8M): ~30-60 actual)."""
+    k = int(3.0 * (1.0 + 1.0 / (2.0 * theta)) ** 3) + 8
+    return max(8, min(g_m, k))
 
 
 def _pairs_prologue(vfirst_ref, accin_ref, out_ref, tile):
@@ -1119,19 +1204,12 @@ NEAR_QUAD_CHUNK = 32768
 
 
 def _near_pairs_call(kernel, tcols_ext, strips_blocks, flat_src, tile_tgt,
-                     *, block, rows, interpret, chunk, n_tiles=None,
-                     tile_src=None):
+                     *, block, rows, interpret, chunk, n_tiles=None):
     """Run a pair kernel over the tile list in gather-bounded chunks,
     accumulating into one aliased (G+1 blocks) output buffer.
 
     strips_blocks: (rows, n_src+1, width) source table gathered per chunk;
     tcols_ext: ((G+1)*block, 8) targets with the dummy block appended.
-
-    tile_src (optional, (cap_tiles,)): indirection mapping each tile to a
-    SOURCE tile in flat_src — several tiles may share one source strip
-    without duplicating it (the 3-level refine evaluates one super's strip
-    against all SUPER member clusters; duplicating flat_src 64x would cost
-    GBs at N=8M). Without it tile t reads flat_src[t*pj:(t+1)*pj].
 
     The chunks iterate in a device-side lax.scan with ONE pallas launch
     site — an unrolled python loop emitted one launch per chunk, and a
@@ -1141,10 +1219,7 @@ def _near_pairs_call(kernel, tcols_ext, strips_blocks, flat_src, tile_tgt,
     the scan SKIP chunks past the live tile count, so a cap overshoot
     costs nothing but memory."""
     cap_tiles = tile_tgt.shape[0]
-    if tile_src is None:
-        pj = flat_src.shape[0] // cap_tiles
-    else:
-        pj = NEAR_QUAD_PJ  # refine tiles share the quad-pair tile width
+    pj = flat_src.shape[0] // cap_tiles
     width = strips_blocks.shape[2]
     n_chunks = -(-cap_tiles // chunk)
     pad = n_chunks * chunk - cap_tiles
@@ -1152,16 +1227,9 @@ def _near_pairs_call(kernel, tcols_ext, strips_blocks, flat_src, tile_tgt,
         # pad with null-source tiles aimed at the dummy target block
         g_dummy = (tcols_ext.shape[0] // block) - 1
         n_src = strips_blocks.shape[1] - 1
-        if tile_src is None:
-            flat_src = jnp.concatenate(
-                [flat_src, jnp.full((pad * pj,), n_src, flat_src.dtype)]
-            )
-        else:
-            # indirected tiles: point padding at source tile 0 (its columns
-            # are read but the dummy target discards the contribution)
-            tile_src = jnp.concatenate(
-                [tile_src, jnp.zeros((pad,), tile_src.dtype)]
-            )
+        flat_src = jnp.concatenate(
+            [flat_src, jnp.full((pad * pj,), n_src, flat_src.dtype)]
+        )
         tile_tgt = jnp.concatenate(
             [tile_tgt, jnp.full((pad,), g_dummy, tile_tgt.dtype)]
         )
@@ -1169,15 +1237,9 @@ def _near_pairs_call(kernel, tcols_ext, strips_blocks, flat_src, tile_tgt,
         n_tiles = jnp.asarray(cap_tiles, jnp.int32)
 
     acc0 = jnp.zeros((tcols_ext.shape[0], 8), tcols_ext.dtype)
-    flat2d = None if tile_src is None else flat_src.reshape(-1, pj)
 
     def run_chunk(acc, c0):
-        if tile_src is None:
-            fl = jax.lax.dynamic_slice_in_dim(flat_src, c0 * pj,
-                                              chunk * pj, 0)
-        else:
-            ts_c = jax.lax.dynamic_slice_in_dim(tile_src, c0, chunk, 0)
-            fl = jnp.take(flat2d, ts_c, axis=0).reshape(-1)
+        fl = jax.lax.dynamic_slice_in_dim(flat_src, c0 * pj, chunk * pj, 0)
         tgt_c = jax.lax.dynamic_slice_in_dim(tile_tgt, c0, chunk, 0)
         gathered = jnp.take(strips_blocks, fl, axis=1).reshape(
             rows, chunk * pj * width
@@ -1244,10 +1306,11 @@ def _near_pairs_direct_pallas(pos_g, srows, flat_src, tile_tgt, *,
 
 
 def _near_pairs_quad_pallas(pos_g, summaries_signed, flat_src, tile_tgt, *,
-                            eps, interpret, n_tiles=None, tile_src=None):
-    """Pair-list multipole evaluation. summaries_signed: (16, G+1) — the
-    caller chooses the sign (negated for the near subtraction, as-is for
-    the 3-level refine addition). Returns (G * leaf, 3)."""
+                            eps, interpret, n_tiles=None):
+    """Pair-list multipole evaluation. summaries_signed: (n_src+1 cols) —
+    the caller chooses the table (negated cluster summaries for the near
+    subtraction; positive mid/cluster summaries for the 3-level far
+    field's M1/M2 passes). Returns (G * leaf, 3)."""
     gg, leaf = pos_g.shape[:2]
     block = leaf + 1
     tcols_ext = _append_dummy_block(_pack_targets(pos_g), block)
@@ -1256,7 +1319,7 @@ def _near_pairs_quad_pallas(pos_g, summaries_signed, flat_src, tile_tgt, *,
         functools.partial(_kernel_quad_pairs, eps=float(eps)),
         tcols_ext, strips, flat_src, tile_tgt,
         block=block, rows=16, interpret=bool(interpret),
-        chunk=NEAR_QUAD_CHUNK, n_tiles=n_tiles, tile_src=tile_src,
+        chunk=NEAR_QUAD_CHUNK, n_tiles=n_tiles,
     )
     return acc[: gg * block].reshape(gg, block, 8)[:, :leaf, :3].reshape(
         gg * leaf, 3
@@ -1295,18 +1358,14 @@ def _near_pairs_direct_xla(pos_g, aug_pos, aug_gm, flat_src, tile_tgt, *,
 
 
 def _near_pairs_quad_xla(pos_g, summaries_signed, flat_src, tile_tgt, *,
-                         eps, tile_src=None):
-    """XLA fallback for the pair-list multipole evaluation (sign chosen by
-    the caller, see _near_pairs_quad_pallas). tile_src: optional source-
-    tile indirection, same contract as _near_pairs_call."""
+                         eps):
+    """XLA fallback for the pair-list multipole evaluation (table chosen
+    by the caller, see _near_pairs_quad_pallas)."""
     from spacetpu.ops.pallas_direct import acc_cross_quad_xla
 
     gg, leaf = pos_g.shape[:2]
-    if tile_src is None:
-        pj = flat_src.shape[0] // tile_tgt.shape[0]
-        srcs = flat_src.reshape(-1, pj)
-    else:
-        srcs = flat_src.reshape(-1, NEAR_QUAD_PJ)[tile_src]
+    pj = flat_src.shape[0] // tile_tgt.shape[0]
+    srcs = flat_src.reshape(-1, pj)
     pos_ext = jnp.concatenate(
         [pos_g, jnp.zeros((1, leaf, 3), pos_g.dtype)], axis=0
     )
@@ -1390,8 +1449,9 @@ def tree_prep(pos, mass, *, theta: float, k_near: int, gg: int,
               near_tiles: int | None = None,
               near_tiles_q: int | None = None,
               k_super: int | None = None,
-              refine_tiles: int | None = None,
-              refine_src_tiles: int | None = None):
+              k_mid: int | None = None,
+              m1_tiles: int | None = None,
+              m2_tiles: int | None = None):
     """Phase 1: sort, clustering, statistics, near lists.
 
     Deterministic given (pos, mass) — in the sharded tree every device runs
@@ -1400,10 +1460,13 @@ def tree_prep(pos, mass, *, theta: float, k_near: int, gg: int,
     (+idx2 when far_levels=3: the supercluster near list shared by the
     far-field refinement and the cluster near-list screen, so the refined
     set provably contains every near cluster; + the flattened tile lists
-    when near_mode="pairs" — see near_pair_segments)."""
+    when near_mode="pairs" — see near_pair_segments; far3+pairs adds the
+    MID-level decomposition: m1_*/m2_* tile lists over mid/cluster
+    summaries — see MID and _mid_near_lists)."""
     perm, inv, clusters, stats = _build_clustering(
         pos, mass, gg, leaf, cluster_mode
     )
+    mid_pairs = far_levels == 3 and near_mode == "pairs"
     if far_levels == 3:
         if gg % SUPER:
             raise ValueError(f"far_levels=3 needs gg % {SUPER} == 0, got {gg}")
@@ -1412,30 +1475,34 @@ def tree_prep(pos, mass, *, theta: float, k_near: int, gg: int,
             stats["com"], stats["m_tot"], stats["r_src"], stats["r_tgt"],
             theta, k_super or default_k_super(theta, g2),
         )
-        refine_pairs = near_mode == "pairs"
-        rdrop = jnp.zeros((), jnp.int32)
-        if refine_pairs:
-            k2 = idx2.shape[1]
-            st_def = max(-(-k2 // _refine_spt()), 1)
-            if refine_src_tiles is None:
-                refine_src_tiles = g2 * st_def
-            if refine_tiles is None:
-                refine_tiles = gg * st_def
-            rflat, rtgt, rsrc, rnt, kept, rdrop = superfar_pair_segments(
-                idx2, gg, refine_src_tiles, refine_tiles
+        if mid_pairs:
+            # MID hierarchy: near supers decompose into MID multipoles
+            # (M1) and only near MIDs into cluster multipoles (M2); the
+            # cluster near lists come from the near-mid pool (k_mid*MID
+            # candidates — ~6x smaller than the K2*SUPER pool at N=8M).
+            com_m, spread_m, rs_max_m, _ = _super_stats(
+                stats["com"], stats["m_tot"], stats["r_src"],
+                stats["r_tgt"], group=MID,
             )
-            # Entries cut from the refine stay UNMASKED in the dense far
-            # pass — super-multipole accuracy, counted. The cluster near
-            # lists below are built from the MASKED pool so the near
-            # correction only ever subtracts cluster multipoles the refine
-            # actually added (a near cluster inside a cut super would
-            # otherwise leave a large subtract-without-add residual).
-            idx2 = jnp.where(kept, idx2, g2)
-        idx, overflow = _near_lists_hier(
-            stats["com"], stats["m_tot"], stats["r_src"], stats["r_tgt"],
-            theta, k_near, idx2=idx2,
-        )
-        overflow = overflow + rdrop + over2 * SUPER
+            m_tot_m = stats["m_tot"].reshape(-1, MID).sum(axis=1)
+            if k_mid is None:
+                k_mid = default_k_mid(theta, gg // MID)
+            idx_mid, over_mid = _mid_near_lists(
+                stats["com"], stats["m_tot"], stats["r_src"],
+                stats["r_tgt"], com_m, spread_m, rs_max_m, m_tot_m,
+                idx2, theta, k_mid,
+            )
+            idx, over_near = _near_lists_from_mids(
+                stats["com"], stats["m_tot"], stats["r_src"],
+                stats["r_tgt"], idx_mid, theta, k_near,
+            )
+            overflow = over_near + over_mid * MID + over2 * SUPER
+        else:
+            idx, overflow = _near_lists_hier(
+                stats["com"], stats["m_tot"], stats["r_src"],
+                stats["r_tgt"], theta, k_near, idx2=idx2,
+            )
+            overflow = overflow + over2 * SUPER
     else:
         idx2 = jnp.zeros((1, 1), jnp.int32)
         idx, overflow = near_lists(
@@ -1465,9 +1532,31 @@ def tree_prep(pos, mass, *, theta: float, k_near: int, gg: int,
                     nearq_flat=flatq, nearq_tile_tgt=ttgtq,
                     nearq_ntiles=ntq)
         overflow = overflow + drop
-        if far_levels == 3:
-            prep.update(ref_flat=rflat, ref_tile_tgt=rtgt,
-                        ref_tile_src=rsrc, ref_ntiles=rnt)
+        if mid_pairs:
+            g_m = gg // MID
+            m1_ids = _m1_lists(idx2, idx_mid, gg)
+            if m1_tiles is None:
+                m1_tiles = gg * max(-(-m1_ids.shape[1] // NEAR_QUAD_PJ), 1)
+            if m2_tiles is None:
+                m2_tiles = gg * max(-(-(k_mid * MID) // NEAR_QUAD_PJ), 1)
+            f1, t1, n1, d1 = near_pair_segments(
+                m1_ids, g_m, NEAR_QUAD_PJ, m1_tiles
+            )
+            m2_ids = jnp.minimum(
+                idx_mid[:, :, None] * MID
+                + jnp.arange(MID, dtype=jnp.int32)[None, None, :],
+                gg,
+            ).reshape(gg, -1)
+            f2, t2, n2, d2 = near_pair_segments(
+                m2_ids, gg, NEAR_QUAD_PJ, m2_tiles
+            )
+            prep.update(m1_flat=f1, m1_tgt=t1, m1_ntiles=n1,
+                        m2_flat=f2, m2_tgt=t2, m2_ntiles=n2)
+            # positional drops here are force HOLES (a mid/cluster term
+            # evaluated nowhere) — bounded (the missing nodes pass or
+            # marginally fail theta) but counted; measured caps with
+            # headroom keep this zero in production
+            overflow = overflow + d1 + d2
     elif near_mode != "strip":
         raise ValueError(f"unknown near_mode {near_mode!r}")
     prep["near_overflow"] = overflow + clusters.overflow
@@ -1481,7 +1570,8 @@ def tree_prep(pos, mass, *, theta: float, k_near: int, gg: int,
 STRUCTURE_KEYS = ("perm", "inv", "clusters", "idx", "idx2",
                   "near_flat", "near_tile_tgt", "near_ntiles",
                   "nearq_flat", "nearq_tile_tgt", "nearq_ntiles",
-                  "ref_flat", "ref_tile_tgt", "ref_tile_src", "ref_ntiles")
+                  "m1_flat", "m1_tgt", "m1_ntiles",
+                  "m2_flat", "m2_tgt", "m2_ntiles")
 
 
 def tree_structure(pos, mass, *, theta: float, k_near: int, gg: int,
@@ -1490,8 +1580,9 @@ def tree_structure(pos, mass, *, theta: float, k_near: int, gg: int,
                    near_tiles: int | None = None,
                    near_tiles_q: int | None = None,
                    k_super: int | None = None,
-                   refine_tiles: int | None = None,
-                   refine_src_tiles: int | None = None):
+                   k_mid: int | None = None,
+                   m1_tiles: int | None = None,
+                   m2_tiles: int | None = None):
     """The cacheable part of tree construction: space-filling-curve sort,
     clustering, near lists (and their flattened pair tiles). Returns a dict
     of the STRUCTURE_KEYS present for the given modes."""
@@ -1499,8 +1590,8 @@ def tree_structure(pos, mass, *, theta: float, k_near: int, gg: int,
                   far_levels=far_levels, leaf=leaf,
                   cluster_mode=cluster_mode, near_mode=near_mode,
                   near_tiles=near_tiles, near_tiles_q=near_tiles_q,
-                  k_super=k_super, refine_tiles=refine_tiles,
-                  refine_src_tiles=refine_src_tiles)
+                  k_super=k_super, k_mid=k_mid, m1_tiles=m1_tiles,
+                  m2_tiles=m2_tiles)
     return {k: p[k] for k in STRUCTURE_KEYS if k in p}
 
 
@@ -1567,23 +1658,34 @@ def tree_eval(prep: dict, c0, n_clusters: int, *, softening: str,
             targets, super_summaries, idx2_t, eps=eps, backend=backend,
             interpret=interpret,
         )
-        if "ref_tile_tgt" in prep:
-            # pair-tile refine sized by actual per-super near counts (see
-            # superfar_pair_segments); prep["idx2"] already nulls any
-            # dropped supers so the dense pass covers them unmasked
+        if "m1_tgt" in prep:
+            # MID-level decomposition of the near supers (see MID): M1
+            # evaluates mid multipoles (near supers' mids minus near
+            # mids), M2 evaluates cluster multipoles of the near mids.
+            # Together they cover the dense pass's masked supers exactly
+            # once — per-body cost K2*(SUPER/MID) + k_mid*MID instead of
+            # the strip refine's K2*SUPER.
+            mid_summ = _super_multipoles(summaries[:, :gg], group=MID)
+            mid_summ_ext = jnp.concatenate(
+                [mid_summ, jnp.zeros((16, 1), dtype)], axis=1
+            )
             if backend == "pallas":
                 acc = acc + _near_pairs_quad_pallas(
-                    pos_g, summaries, prep["ref_flat"],
-                    prep["ref_tile_tgt"], eps=float(eps),
-                    interpret=bool(interpret),
-                    n_tiles=prep.get("ref_ntiles"),
-                    tile_src=prep["ref_tile_src"],
+                    pos_g, mid_summ_ext, prep["m1_flat"], prep["m1_tgt"],
+                    eps=float(eps), interpret=bool(interpret),
+                    n_tiles=prep.get("m1_ntiles"),
+                ) + _near_pairs_quad_pallas(
+                    pos_g, summaries, prep["m2_flat"], prep["m2_tgt"],
+                    eps=float(eps), interpret=bool(interpret),
+                    n_tiles=prep.get("m2_ntiles"),
                 )
             else:
                 acc = acc + _near_pairs_quad_xla(
-                    pos_g, summaries, prep["ref_flat"],
-                    prep["ref_tile_tgt"], eps=eps,
-                    tile_src=prep["ref_tile_src"],
+                    pos_g, mid_summ_ext, prep["m1_flat"], prep["m1_tgt"],
+                    eps=eps,
+                ) + _near_pairs_quad_xla(
+                    pos_g, summaries, prep["m2_flat"], prep["m2_tgt"],
+                    eps=eps,
                 )
         else:
             strips = _superfar_refine_table(
@@ -1841,8 +1943,9 @@ def acc_tree(
     near_tiles_q: int | None = None,
     gg: int | None = None,
     k_super: int | None = None,
-    refine_tiles: int | None = None,
-    refine_src_tiles: int | None = None,
+    k_mid: int | None = None,
+    m1_tiles: int | None = None,
+    m2_tiles: int | None = None,
 ):
     """Clustered Barnes-Hut acceleration: (N, 3), (N,) -> (N, 3)."""
     if softening not in direct.SOFTENINGS:
@@ -1862,8 +1965,8 @@ def acc_tree(
                      far_levels=far_levels, leaf=leaf,
                      cluster_mode=cluster_mode, near_mode=near_mode,
                      near_tiles=near_tiles, near_tiles_q=near_tiles_q,
-                     k_super=k_super, refine_tiles=refine_tiles,
-                     refine_src_tiles=refine_src_tiles)
+                     k_super=k_super, k_mid=k_mid, m1_tiles=m1_tiles,
+                     m2_tiles=m2_tiles)
     acc = tree_eval(prep, 0, gg, softening=softening, eps=eps, g=g,
                     backend=backend, interpret=interpret,
                     multipole_order=multipole_order, far_levels=far_levels,

@@ -487,57 +487,84 @@ def test_super_screen_cap_measured_vs_truncated():
     assert int(over_meas) == 0
 
 
-def test_far3_pairs_refine_matches_strip():
-    """The pair-tile refine (superfar_pair_segments + tile_src indirection)
-    must reproduce the strip-table refine exactly: same source clusters,
-    same quad evaluation, different packing. Sized by actual per-super near
-    counts it is what keeps far3 near-linear at N >= 4M (the strip table is
-    worst-super-sized: fixed_cloud(8M) measures mean per-super near count
-    152 vs max 491)."""
+def test_far3_pairs_mid_hierarchy_accuracy():
+    """The pairs-mode 3-level far field decomposes near supers through a
+    MID level (tree.MID): mid multipoles (M1) plus cluster multipoles of
+    near mids (M2) — per-body far cost K2*(SUPER/MID) + k_mid*MID instead
+    of the strip refine's K2*SUPER (the measured N>=4M superlinearity).
+    It must stay inside the theta error budget and close to the strip
+    far3 / far2 results."""
     rng = np.random.default_rng(3)
-    leaf, gg = 15, 128  # 2 supers at the production SUPER=64
+    leaf, gg = 15, 256  # 4 supers at the production SUPER=64
     n = gg * leaf - 7
     pos = jnp.asarray(rng.standard_normal((n, 3)) * 2.0, jnp.float32)
-    mass = jnp.asarray(rng.uniform(0.5, 1.5, n), jnp.float32)
+    mass = jnp.asarray(rng.uniform(0.5, 1.5, n) / n, jnp.float32)
     kw = dict(theta=0.5, softening="plummer", eps=1e-2, g=1.0,
-              backend="xla", multipole_order=2, leaf=leaf, gg=gg, k_near=64,
-              far_levels=3)
-    a_strip = np.asarray(tree.acc_tree(pos, mass, near_mode="strip", **kw))
-    a_pairs = np.asarray(tree.acc_tree(pos, mass, near_mode="pairs", **kw))
-    np.testing.assert_array_equal(a_pairs, a_strip)
+              backend="xla", multipole_order=2, leaf=leaf, gg=gg, k_near=64)
+    a_strip = np.asarray(tree.acc_tree(pos, mass, far_levels=3,
+                                       near_mode="strip", **kw))
+    a_pairs = np.asarray(tree.acc_tree(pos, mass, far_levels=3,
+                                       near_mode="pairs", **kw))
+    exact = np.asarray(direct.acc_direct(pos, mass, softening="plummer",
+                                         eps=1e-2, g=1.0))
+    scale = np.linalg.norm(exact, axis=-1).mean()
+    err = np.linalg.norm(a_pairs - exact, axis=-1) / scale
+    err_strip = np.linalg.norm(a_strip - exact, axis=-1) / scale
+    assert np.median(err) < 2e-3, np.median(err)
+    # the mid decomposition may not exceed ~2x the strip refine's error
+    assert np.median(err) < 2 * np.median(err_strip) + 1e-4, (
+        np.median(err), np.median(err_strip))
 
 
-def test_far3_pairs_refine_truncation_counted_and_consistent():
-    """Refine caps too small for the scene: the farthest near supers are
-    cut per row (never the self super), the cut entries are counted in
-    near_overflow, and the near lists are built from the SAME masked pool
-    so no cluster multipole is subtracted that the far field never added.
-    Forces stay finite and within super-multipole fallback accuracy."""
+def test_far3_pairs_mass_partition_exact():
+    """Every cluster's monopole must appear EXACTLY ONCE across the three
+    far passes (dense supers minus masked + M1 mids + M2 clusters): with
+    point-like sources (quadrupoles vanish, huge separations) the far
+    field equals the direct monopole sum, which catches double counts and
+    holes exactly."""
+    rng = np.random.default_rng(8)
+    leaf, gg = 15, 256
+    g2 = gg // tree.SUPER
+    n = gg * leaf
+    # supers placed far apart so everything is far-field; clusters inside
+    # jittered so mids/clusters are distinct point masses
+    centers = rng.standard_normal((g2, 3)) * 1e4
+    pos = np.repeat(centers, n // g2, axis=0) + rng.standard_normal(
+        (n, 3)) * 1e-3
+    pos = jnp.asarray(pos, jnp.float32)
+    mass = jnp.asarray(rng.uniform(0.5, 1.5, n) / n, jnp.float32)
+    kw = dict(theta=0.5, softening="plummer", eps=1e-2, g=1.0,
+              backend="xla", multipole_order=2, leaf=leaf, gg=gg, k_near=64)
+    a_pairs = np.asarray(tree.acc_tree(pos, mass, far_levels=3,
+                                       near_mode="pairs", **kw))
+    exact = np.asarray(direct.acc_direct(pos, mass, softening="plummer",
+                                         eps=1e-2, g=1.0))
+    scale = np.linalg.norm(exact, axis=-1).mean() + 1e-30
+    err = np.linalg.norm(a_pairs - exact, axis=-1) / scale
+    assert np.max(err) < 1e-2, np.max(err)
+
+
+def test_far3_pairs_truncation_counted():
+    """k_mid / m1_tiles / m2_tiles too small for the scene: the overflow
+    telemetry counts it and forces stay finite (cut mids revert to their
+    mid multipole in M1; positional tile drops are counted holes)."""
     rng = np.random.default_rng(4)
     leaf, gg = 15, 256  # 4 supers
-    g2 = gg // tree.SUPER
     n = gg * leaf - 5
     pos = jnp.asarray(rng.standard_normal((n, 3)) * 2.0, jnp.float32)
     mass = jnp.asarray(rng.uniform(0.5, 1.5, n), jnp.float32)
     prep = tree.tree_prep(pos, mass, theta=0.5, k_near=96, gg=gg,
                           far_levels=3, leaf=leaf, near_mode="pairs",
-                          refine_src_tiles=g2, refine_tiles=g2 * tree.SUPER)
+                          k_mid=8, m1_tiles=gg, m2_tiles=gg)
     assert int(prep["near_overflow"]) > 0
-    # the masked idx2 keeps each super's nearest entry (itself)
-    idx2 = np.asarray(prep["idx2"])
-    assert (idx2[:, 0] == np.arange(g2)).all()
     acc = np.asarray(tree.tree_eval(
         prep, 0, gg, softening="plummer", eps=1e-2, g=1.0, backend="xla",
         interpret=True, multipole_order=2, far_levels=3, near_mode="pairs"))
     assert np.isfinite(acc).all()
-    # caps below one tile per super are a hard error (self-super refine
-    # coverage is an accuracy invariant, not a degradable budget)
-    with pytest.raises(ValueError, match="one tile per super"):
-        tree.superfar_pair_segments(prep["idx2"], gg, g2 - 1, g2 * tree.SUPER)
 
 
-def test_far3_pairs_refine_cached_structure():
-    """The refine tile lists ride STRUCTURE_KEYS: acc_tree_cached with a
+def test_far3_pairs_cached_structure():
+    """The M1/M2 tile lists ride STRUCTURE_KEYS: acc_tree_cached with a
     far3+pairs structure matches the fresh build exactly."""
     rng = np.random.default_rng(5)
     leaf, gg = 15, 128
@@ -547,7 +574,8 @@ def test_far3_pairs_refine_cached_structure():
     kw = dict(theta=0.5, k_near=64, gg=gg, far_levels=3, leaf=leaf,
               near_mode="pairs")
     st = tree.tree_structure(pos, mass, **kw)
-    for key in ("ref_flat", "ref_tile_tgt", "ref_tile_src", "ref_ntiles"):
+    for key in ("m1_flat", "m1_tgt", "m1_ntiles",
+                "m2_flat", "m2_tgt", "m2_ntiles"):
         assert key in st, key
     fresh = np.asarray(tree.acc_tree(
         pos, mass, softening="plummer", eps=1e-2, g=1.0, backend="xla",
@@ -558,21 +586,20 @@ def test_far3_pairs_refine_cached_structure():
     np.testing.assert_array_equal(cached, fresh)
 
 
-def test_measure_near_refine_caps_cover_scene():
-    """measure_near's refine_tiles / refine_src_tiles hold the scene's
-    actual pair-tile demand: tree_prep with the measured caps reports zero
-    refine overflow, and the caps undercut the worst-case default sizing
-    on a centrally condensed scene."""
+def test_measure_near_mid_caps_cover_scene():
+    """measure_near's k_mid / m1_tiles / m2_tiles hold the scene's actual
+    demand: tree_prep with the measured caps reports zero overflow, and
+    the caps never exceed the worst-case default sizing."""
     pos, mass = _cluster(40_000, seed=9, dtype=jnp.float32)
     gg = tree._gg_for(40_000, 3, 2)
     m = tree.measure_near(pos, mass, theta=0.5, gg=gg)
     prep = tree.tree_prep(pos, mass, theta=0.5, k_near=m["k_near"], gg=gg,
                           far_levels=3, near_mode="pairs",
-                          k_super=m["k_super"],
-                          refine_tiles=m["refine_tiles"],
-                          refine_src_tiles=m["refine_src_tiles"])
+                          k_super=m["k_super"], k_mid=m["k_mid"],
+                          m1_tiles=m["m1_tiles"], m2_tiles=m["m2_tiles"])
     assert int(prep["near_overflow"]) == 0
-    g2 = gg // tree.SUPER
-    st_def = max(-(-m["k_super"] // tree._refine_spt()), 1)
-    assert m["refine_tiles"] <= gg * st_def
-    assert m["refine_src_tiles"] <= g2 * st_def
+    spm = tree.SUPER // tree.MID
+    m1_worst = gg * max(-(-(m["k_super"] * spm) // tree.NEAR_QUAD_PJ), 1)
+    m2_worst = gg * max(-(-(m["k_mid"] * tree.MID) // tree.NEAR_QUAD_PJ), 1)
+    assert m["m1_tiles"] <= m1_worst
+    assert m["m2_tiles"] <= m2_worst
