@@ -390,49 +390,35 @@ def measure_near(pos, mass, *, theta: float, gg: int, leaf: int = LEAF,
     cnt2_rows = _np.asarray(jnp.sum(possible, axis=1))
     cnt2 = int(cnt2_rows.max())
     out["k_super"] = max(4, min(g2, int(cnt2 * headroom) + 4))
-    # MID-level capacities for the pairs-mode 3-level far field: the
-    # per-cluster near-MID count (dense over all mids — a superset of the
-    # runtime near-super-restricted pool, so the caps are conservative)
+    # MID-level cap for the pairs-mode 3-level far field: the per-SUPER
+    # UNION near-MID count (dense over all mids — a superset of the
+    # runtime near-super-restricted pool, so the cap is conservative).
+    # The M1/M2 tile capacities need no measurement: shared_pair_segments
+    # sizes them statically at G2 granularity.
     if gg % SUPER == 0:
         g_m = gg // MID
-        spm = SUPER // MID
+        g2s = gg // SUPER
         com_m, spread_m, rs_max_m, _ = _super_stats(
             com, m_tot, r_src, r_tgt, group=MID
         )
         reach_m = rs_max_m + spread_m
         m_tot_m = jnp.sum(jnp.reshape(m_tot, (-1, MID)), axis=1)
+        com_s = jnp.reshape(com, (g2s, SUPER, 3))
+        rt_s = jnp.reshape(r_tgt, (g2s, SUPER))
 
-        def count_mid_chunk(c0):
-            com_t = jax.lax.dynamic_slice_in_dim(com, c0, chunk_n, 0)
-            rt_t = jax.lax.dynamic_slice_in_dim(r_tgt, c0, chunk_n, 0)
+        def count_umid(a):
             dist = jnp.linalg.norm(
-                com_t[:, None, :] - com_m[None, :, :], axis=-1
-            )
-            near = (reach_m[None, :] >= theta * (dist - rt_t[:, None])) & (
-                m_tot_m[None, :] > 0
-            )
-            return jnp.sum(near, axis=1)
+                com_s[a][:, None, :] - com_m[None, :, :], axis=-1
+            )  # (SUPER, G_m)
+            margin = jnp.min(dist - rt_s[a][:, None], axis=0)
+            near = (reach_m >= theta * margin) & (m_tot_m > 0)
+            return jnp.sum(near)
 
-        cm = _np.asarray(jax.lax.map(count_mid_chunk, starts)).reshape(-1)
-        exact_mid = _np.zeros(gg, _np.int64)
-        exact_mid[rows] = cm
+        cu = _np.asarray(
+            jax.lax.map(count_umid, jnp.arange(g2s, dtype=jnp.int32))
+        )
         out["k_mid"] = max(
-            8, min(g_m, int(int(exact_mid.max()) * headroom) + 4)
-        )
-        kept_mid = _np.minimum(exact_mid, out["k_mid"])
-        m2_i = _np.maximum(-(-(kept_mid * MID) // NEAR_QUAD_PJ), 1)
-        m2_worst = gg * max(-(-(out["k_mid"] * MID) // NEAR_QUAD_PJ), 1)
-        out["m2_tiles"] = max(
-            min(int(m2_i.sum() * headroom) + 8, m2_worst), gg
-        )
-        m1_cnt = _np.maximum(
-            _np.repeat(_np.minimum(cnt2_rows, out["k_super"]), SUPER)[:gg]
-            * spm - kept_mid, 0,
-        )
-        m1_i = _np.maximum(-(-m1_cnt // NEAR_QUAD_PJ), 1)
-        m1_worst = gg * max(-(-(out["k_super"] * spm) // NEAR_QUAD_PJ), 1)
-        out["m1_tiles"] = max(
-            min(int(m1_i.sum() * headroom) + 8, m1_worst), gg
+            16, min(g_m, int(int(cu.max()) * headroom) + 8)
         )
     if n_shards:
         if gg % n_shards:
@@ -957,18 +943,22 @@ MID = 8
 
 def _mid_near_lists(com, m_tot, r_src, r_tgt, com_m, spread_m, rs_max_m,
                     m_tot_m, idx2, theta: float, k_mid: int):
-    """Per-target-CLUSTER near-MID lists (G, k_mid) + overflow.
+    """Per-target-SUPER union near-MID lists (G2, k_mid) + overflow.
 
-    Candidates are the MID nodes of the target's super's near supers
-    (idx2 rows; null super = G2 maps to the null mid G_m). A mid M is
-    near cluster t iff (rs_max_M + spread_M) >= theta * (d(t, M) - rt_t)
-    -- conservative for every member cluster c of M (d(t,c) >= d(t,M) -
-    spread_M and rs_c <= rs_max_M, so with theta <= 1 the cluster-level
-    accept implies this one): the near-cluster lists built from the kept
-    mids' members provably contain every theta-failing cluster. Rows are
-    distance-ascending; row overflow (counted) cuts the FARTHEST mids,
-    which revert to their (valid, since non-near-cut mids are the far
-    ones) mid multipole in the M1 pass."""
+    Candidates are the MID nodes of the super's near supers (idx2 rows;
+    null super = G2 maps to the null mid G_m). A mid M is near the super
+    iff it is near ANY member cluster t: (rs_max_M + spread_M) >= theta *
+    (d(t, M) - rt_t) -- conservative for every member cluster c of M
+    (d(t,c) >= d(t,M) - spread_M and rs_c <= rs_max_M, so with theta <= 1
+    the cluster-level accept implies this one): the cluster near lists
+    built from the kept mids' members provably contain every theta-
+    failing cluster. The union (super granularity, not per cluster)
+    keeps every downstream structure G2-rows — the per-cluster variant
+    cost 3.4 s/step of structure build at fixed_cloud(4M).
+
+    Rows are ascending in the worst-member margin min_t(d - rt_t); row
+    overflow (counted) cuts the FARTHEST mids, which revert to their mid
+    multipole in the M1 pass (M1 excludes exactly the kept rows)."""
     g = com.shape[0]
     g2, k2 = idx2.shape
     if g % SUPER:
@@ -991,59 +981,60 @@ def _mid_near_lists(com, m_tot, r_src, r_tgt, com_m, spread_m, rs_max_m,
         dist = jnp.linalg.norm(
             com_t[:, None, :] - cm[cand_b][None, :, :], axis=-1
         )  # (SUPER, C)
-        near = (reach[cand_b][None, :] >= theta * (dist - rt_t[:, None])) & (
-            mm[cand_b][None, :] > 0
-        )
-        over = jnp.sum(jnp.sum(near, axis=1) > k_mid)
-        masked = jnp.where(near, dist, jnp.inf)
+        margin = jnp.min(dist - rt_t[:, None], axis=0)  # (C,)
+        near = (reach[cand_b] >= theta * margin) & (mm[cand_b] > 0)
+        over = jnp.sum(near) > k_mid
+        masked = jnp.where(near, margin, jnp.inf)[None, :]
         k_eff = min(k_mid, masked.shape[1])
-        cand_rows = jnp.broadcast_to(cand_b[None, :].astype(jnp.int32),
-                                     masked.shape)
-        idx = _smallest_k(masked, cand_rows, k_eff, g_m)
+        idx = _smallest_k(masked, cand_b[None, :].astype(jnp.int32),
+                          k_eff, g_m)
         if k_eff < k_mid:
             idx = jnp.concatenate(
-                [idx,
-                 jnp.full((idx.shape[0], k_mid - k_eff), g_m, idx.dtype)],
-                axis=1,
+                [idx, jnp.full((1, k_mid - k_eff), g_m, idx.dtype)], axis=1
             )
-        return idx.astype(jnp.int32), over
+        return idx[0].astype(jnp.int32), over
 
-    idx_mid, over = jax.lax.map(
+    idx_mid2, over = jax.lax.map(
         refine,
         (com.reshape(g2, SUPER, 3), r_tgt.reshape(g2, SUPER), cand),
     )
-    return idx_mid.reshape(g, k_mid), jnp.sum(over)
+    return idx_mid2, jnp.sum(over)
 
 
-def _near_lists_from_mids(com, m_tot, r_src, r_tgt, idx_mid,
+def _near_lists_from_mids(com, m_tot, r_src, r_tgt, idx_mid2,
                           theta: float, k_near: int):
-    """Exact per-cluster near lists from the near-MID candidate pool
-    (idx_mid members, k_mid*MID candidates per target -- the pairs-mode
-    replacement for _near_lists_hier's K2*SUPER pool, ~6x smaller at
-    N=8M). Same containment argument one level down: every theta-failing
-    cluster's mid is near (see _mid_near_lists), so the pool covers it."""
+    """Exact per-cluster near lists from the per-super near-MID pool
+    (idx_mid2 members: k_mid*MID SHARED candidates per target super --
+    one summary gather per super instead of per cluster, and a pool ~6x
+    smaller than _near_lists_hier's K2*SUPER at N=8M). Containment: every
+    theta-failing cluster's mid is in its super's union near-mid list
+    (see _mid_near_lists), so the pool covers it."""
     g = com.shape[0]
+    g2 = idx_mid2.shape[0]
     g_m = g // MID
     cand = jnp.minimum(
-        idx_mid[:, :, None] * MID
+        idx_mid2[:, :, None] * MID
         + jnp.arange(MID, dtype=jnp.int32)[None, None, :],
         g,
-    ).reshape(g, -1)  # (G, k_mid*MID), null = G
+    ).reshape(g2, -1)  # (G2, k_mid*MID), null = G
     com_p = jnp.concatenate([com, jnp.zeros((1, 3), com.dtype)])
     m_p = jnp.concatenate([m_tot, jnp.zeros((1,), m_tot.dtype)])
     rs_p = jnp.concatenate([r_src, jnp.zeros((1,), r_src.dtype)])
 
     def refine(args):
-        com_t, rt_t, cand_b = args  # (SUPER,3), (SUPER,), (SUPER,C)
-        c_com = com_p[cand_b]  # (SUPER, C, 3)
-        dist = jnp.linalg.norm(com_t[:, None, :] - c_com, axis=-1)
-        near = (rs_p[cand_b] >= theta * (dist - rt_t[:, None])) & (
-            m_p[cand_b] > 0
+        com_t, rt_t, cand_b = args  # (SUPER,3), (SUPER,), (C,) shared
+        c_com = com_p[cand_b]  # (C, 3) -- ONE gather per super
+        dist = jnp.linalg.norm(com_t[:, None, :] - c_com[None, :, :],
+                               axis=-1)  # (SUPER, C)
+        near = (rs_p[cand_b][None, :] >= theta * (dist - rt_t[:, None])) & (
+            m_p[cand_b][None, :] > 0
         )
         over = jnp.sum(jnp.sum(near, axis=1) > k_near)
         masked = jnp.where(near, dist, jnp.inf)
         k_eff = min(k_near, masked.shape[1])
-        idx = _smallest_k(masked, cand_b.astype(jnp.int32), k_eff, g)
+        cand_rows = jnp.broadcast_to(cand_b[None, :].astype(jnp.int32),
+                                     masked.shape)
+        idx = _smallest_k(masked, cand_rows, k_eff, g)
         if k_eff < k_near:
             idx = jnp.concatenate(
                 [idx,
@@ -1052,21 +1043,19 @@ def _near_lists_from_mids(com, m_tot, r_src, r_tgt, idx_mid,
             )
         return idx.astype(jnp.int32), over
 
-    g2 = g // SUPER
     idx, over = jax.lax.map(
         refine,
-        (com.reshape(g2, SUPER, 3), r_tgt.reshape(g2, SUPER),
-         cand.reshape(g2, SUPER, -1)),
+        (com.reshape(g2, SUPER, 3), r_tgt.reshape(g2, SUPER), cand),
     )
     return idx.reshape(g, k_near), jnp.sum(over)
 
 
-def _m1_lists(idx2, idx_mid, gg: int):
-    """Per-cluster M1 source lists (G, K2*spm): the MID nodes of the
-    target's super's near supers MINUS the target's own near mids (those
-    are covered at cluster resolution by M2). The exclusion must use
-    exactly the kept idx_mid entries -- a mid present in both passes
-    would double-count, one in neither leaves a hole. Null = G_m."""
+def _m1_lists(idx2, idx_mid2, gg: int):
+    """Per-SUPER M1 source lists (G2, K2*spm): the MID nodes of the
+    super's near supers MINUS the super's near mids (those are covered at
+    cluster resolution by M2). The exclusion uses exactly the kept
+    idx_mid2 entries -- a mid present in both passes would double-count,
+    one in neither leaves a hole. Null = G_m."""
     g2, k2 = idx2.shape
     spm = SUPER // MID
     g_m = gg // MID
@@ -1075,28 +1064,71 @@ def _m1_lists(idx2, idx_mid, gg: int):
         + jnp.arange(spm, dtype=jnp.int32)[None, None, :],
         g_m,
     ).reshape(g2, k2 * spm)
-    srt = jnp.sort(idx_mid, axis=1)  # (G, k_mid)
-    k_mid = srt.shape[1]
+    mask = jnp.zeros((g2, g_m + 1), jnp.bool_)
+    mask = mask.at[
+        jnp.arange(g2, dtype=jnp.int32)[:, None], jnp.minimum(idx_mid2, g_m)
+    ].set(True)
+    mask = mask.at[:, g_m].set(False)  # null mid is never "near"
+    hit = jnp.take_along_axis(mask, mids_sup, axis=1)
+    return jnp.where(hit, g_m, mids_sup).astype(jnp.int32)
 
-    def one_super(args):
-        cand_b, srt_b = args  # (C,), (SUPER, k_mid)
-        pos = jax.vmap(lambda s: jnp.searchsorted(s, cand_b))(srt_b)
-        hit = jnp.take_along_axis(
-            srt_b, jnp.minimum(pos, k_mid - 1), axis=1
-        ) == cand_b[None, :]
-        return jnp.where(hit, g_m, cand_b[None, :])  # (SUPER, C)
 
-    m1 = jax.lax.map(one_super, (mids_sup, srt.reshape(g2, SUPER, k_mid)))
-    return m1.reshape(gg, -1).astype(jnp.int32)
+def shared_pair_segments(ids, n_src: int):
+    """Flatten per-SUPER source lists (G2, W) into shared-strip pair
+    tiles for `_near_pairs_call(tile_src=...)`: each super's valid ids
+    pack into ceil/NEAR_QUAD_PJ source tiles (>= 1 so every member
+    cluster's output block initializes), and each of its SUPER member
+    clusters gets one pair tile per source tile, sharing the strip
+    through the tile_src indirection. ids rows may contain interior
+    nulls (>= n_src, e.g. M1's exclusion holes) -- entries are
+    rank-packed.
+
+    Capacities are the static worst case derived from W: G2-granularity
+    arrays are small (at N=8M the M1 build is ~15k source tiles), so no
+    measurement or truncation is needed and nothing is ever dropped.
+    Returns (flat_src, tile_tgt, tile_src, n_tiles); tile_tgt pads with
+    the dummy block G2*SUPER."""
+    g2, w = ids.shape
+    pj = NEAR_QUAD_PJ
+    gg = g2 * SUPER
+    st_max = max(-(-w // pj), 1)
+    cap_src = g2 * st_max
+    valid = ids < n_src
+    c = jnp.sum(valid, axis=1).astype(jnp.int32)
+    st = jnp.maximum(-(-c // pj), 1)
+    csum_s = jnp.cumsum(st).astype(jnp.int32)
+    src_offs = jnp.concatenate([jnp.zeros((1,), jnp.int32), csum_s[:-1]])
+    rank = jnp.cumsum(valid, axis=1).astype(jnp.int32) - 1
+    pos = src_offs[:, None] * pj + rank
+    flat = jnp.full((cap_src * pj,), n_src, jnp.int32)
+    flat = flat.at[jnp.where(valid, pos, cap_src * pj).reshape(-1)].set(
+        jnp.where(valid, ids, n_src).reshape(-1).astype(jnp.int32),
+        mode="drop",
+    )
+    csum_t = jnp.cumsum(SUPER * st).astype(jnp.int32)
+    toffs = jnp.concatenate([jnp.zeros((1,), jnp.int32), csum_t[:-1]])
+    n_tiles = csum_t[-1]
+    cap_tiles = cap_src * SUPER
+    t_range = jnp.arange(cap_tiles, dtype=jnp.int32)
+    a = jnp.searchsorted(toffs, t_range, side="right").astype(jnp.int32) - 1
+    w_in = t_range - toffs[a]
+    st_a = st[a]
+    i = w_in // st_a
+    t = w_in - i * st_a
+    live = t_range < n_tiles
+    tile_tgt = jnp.where(live, a * SUPER + i, gg).astype(jnp.int32)
+    tile_src = jnp.where(live, src_offs[a] + t, 0).astype(jnp.int32)
+    return flat, tile_tgt, tile_src, n_tiles
 
 
 def default_k_mid(theta: float, g_m: int) -> int:
-    """Static cap on near MID nodes per target cluster. A mid spans
-    ~MID^(1/3) = 2x a cluster's linear size; the same geometric
-    neighborhood estimate as default_k_super one level down (measured
-    fixed_cloud(8M): ~30-60 actual)."""
-    k = int(3.0 * (1.0 + 1.0 / (2.0 * theta)) ** 3) + 8
-    return max(8, min(g_m, k))
+    """Static cap on the per-SUPER UNION of near MID nodes. The union
+    neighborhood spans the super hull plus the mid-level accept radius
+    (measured fixed_cloud(4M): per-cluster mean 124 / max 397, so the
+    union cap must sit in the hundreds). Production callers measure the
+    scene (measure_near k_mid) instead; overflow is counted."""
+    k = int(24.0 * (1.0 + 1.0 / (2.0 * theta)) ** 3) + 16
+    return max(16, min(g_m, k))
 
 
 def _pairs_prologue(vfirst_ref, accin_ref, out_ref, tile):
@@ -1204,12 +1236,21 @@ NEAR_QUAD_CHUNK = 32768
 
 
 def _near_pairs_call(kernel, tcols_ext, strips_blocks, flat_src, tile_tgt,
-                     *, block, rows, interpret, chunk, n_tiles=None):
+                     *, block, rows, interpret, chunk, n_tiles=None,
+                     tile_src=None):
     """Run a pair kernel over the tile list in gather-bounded chunks,
     accumulating into one aliased (G+1 blocks) output buffer.
 
     strips_blocks: (rows, n_src+1, width) source table gathered per chunk;
     tcols_ext: ((G+1)*block, 8) targets with the dummy block appended.
+
+    tile_src (optional, (cap_tiles,)): indirection mapping each tile to a
+    SOURCE tile in flat_src — several tiles may share one source strip
+    without duplicating it (the 3-level far field's M1/M2 passes build
+    one strip set per SUPER, shared by its 64 member target clusters;
+    materializing per-cluster lists instead costs O(G*W) structure-build
+    time, the measured 4M prep regression). Without it tile t reads
+    flat_src[t*pj:(t+1)*pj].
 
     The chunks iterate in a device-side lax.scan with ONE pallas launch
     site — an unrolled python loop emitted one launch per chunk, and a
@@ -1219,7 +1260,10 @@ def _near_pairs_call(kernel, tcols_ext, strips_blocks, flat_src, tile_tgt,
     the scan SKIP chunks past the live tile count, so a cap overshoot
     costs nothing but memory."""
     cap_tiles = tile_tgt.shape[0]
-    pj = flat_src.shape[0] // cap_tiles
+    if tile_src is None:
+        pj = flat_src.shape[0] // cap_tiles
+    else:
+        pj = NEAR_QUAD_PJ  # shared-strip tiles use the quad tile width
     width = strips_blocks.shape[2]
     n_chunks = -(-cap_tiles // chunk)
     pad = n_chunks * chunk - cap_tiles
@@ -1227,9 +1271,16 @@ def _near_pairs_call(kernel, tcols_ext, strips_blocks, flat_src, tile_tgt,
         # pad with null-source tiles aimed at the dummy target block
         g_dummy = (tcols_ext.shape[0] // block) - 1
         n_src = strips_blocks.shape[1] - 1
-        flat_src = jnp.concatenate(
-            [flat_src, jnp.full((pad * pj,), n_src, flat_src.dtype)]
-        )
+        if tile_src is None:
+            flat_src = jnp.concatenate(
+                [flat_src, jnp.full((pad * pj,), n_src, flat_src.dtype)]
+            )
+        else:
+            # indirected tiles: point padding at source tile 0 (its columns
+            # are read but the dummy target discards the contribution)
+            tile_src = jnp.concatenate(
+                [tile_src, jnp.zeros((pad,), tile_src.dtype)]
+            )
         tile_tgt = jnp.concatenate(
             [tile_tgt, jnp.full((pad,), g_dummy, tile_tgt.dtype)]
         )
@@ -1237,9 +1288,15 @@ def _near_pairs_call(kernel, tcols_ext, strips_blocks, flat_src, tile_tgt,
         n_tiles = jnp.asarray(cap_tiles, jnp.int32)
 
     acc0 = jnp.zeros((tcols_ext.shape[0], 8), tcols_ext.dtype)
+    flat2d = None if tile_src is None else flat_src.reshape(-1, pj)
 
     def run_chunk(acc, c0):
-        fl = jax.lax.dynamic_slice_in_dim(flat_src, c0 * pj, chunk * pj, 0)
+        if tile_src is None:
+            fl = jax.lax.dynamic_slice_in_dim(flat_src, c0 * pj,
+                                              chunk * pj, 0)
+        else:
+            ts_c = jax.lax.dynamic_slice_in_dim(tile_src, c0, chunk, 0)
+            fl = jnp.take(flat2d, ts_c, axis=0).reshape(-1)
         tgt_c = jax.lax.dynamic_slice_in_dim(tile_tgt, c0, chunk, 0)
         gathered = jnp.take(strips_blocks, fl, axis=1).reshape(
             rows, chunk * pj * width
@@ -1306,11 +1363,12 @@ def _near_pairs_direct_pallas(pos_g, srows, flat_src, tile_tgt, *,
 
 
 def _near_pairs_quad_pallas(pos_g, summaries_signed, flat_src, tile_tgt, *,
-                            eps, interpret, n_tiles=None):
+                            eps, interpret, n_tiles=None, tile_src=None):
     """Pair-list multipole evaluation. summaries_signed: (n_src+1 cols) —
     the caller chooses the table (negated cluster summaries for the near
     subtraction; positive mid/cluster summaries for the 3-level far
-    field's M1/M2 passes). Returns (G * leaf, 3)."""
+    field's M1/M2 passes, with tile_src sharing the per-super strips).
+    Returns (G * leaf, 3)."""
     gg, leaf = pos_g.shape[:2]
     block = leaf + 1
     tcols_ext = _append_dummy_block(_pack_targets(pos_g), block)
@@ -1319,7 +1377,7 @@ def _near_pairs_quad_pallas(pos_g, summaries_signed, flat_src, tile_tgt, *,
         functools.partial(_kernel_quad_pairs, eps=float(eps)),
         tcols_ext, strips, flat_src, tile_tgt,
         block=block, rows=16, interpret=bool(interpret),
-        chunk=NEAR_QUAD_CHUNK, n_tiles=n_tiles,
+        chunk=NEAR_QUAD_CHUNK, n_tiles=n_tiles, tile_src=tile_src,
     )
     return acc[: gg * block].reshape(gg, block, 8)[:, :leaf, :3].reshape(
         gg * leaf, 3
@@ -1358,14 +1416,18 @@ def _near_pairs_direct_xla(pos_g, aug_pos, aug_gm, flat_src, tile_tgt, *,
 
 
 def _near_pairs_quad_xla(pos_g, summaries_signed, flat_src, tile_tgt, *,
-                         eps):
+                         eps, tile_src=None):
     """XLA fallback for the pair-list multipole evaluation (table chosen
-    by the caller, see _near_pairs_quad_pallas)."""
+    by the caller, see _near_pairs_quad_pallas). tile_src: optional
+    source-tile indirection, same contract as _near_pairs_call."""
     from spacetpu.ops.pallas_direct import acc_cross_quad_xla
 
     gg, leaf = pos_g.shape[:2]
-    pj = flat_src.shape[0] // tile_tgt.shape[0]
-    srcs = flat_src.reshape(-1, pj)
+    if tile_src is None:
+        pj = flat_src.shape[0] // tile_tgt.shape[0]
+        srcs = flat_src.reshape(-1, pj)
+    else:
+        srcs = flat_src.reshape(-1, NEAR_QUAD_PJ)[tile_src]
     pos_ext = jnp.concatenate(
         [pos_g, jnp.zeros((1, leaf, 3), pos_g.dtype)], axis=0
     )
@@ -1449,9 +1511,7 @@ def tree_prep(pos, mass, *, theta: float, k_near: int, gg: int,
               near_tiles: int | None = None,
               near_tiles_q: int | None = None,
               k_super: int | None = None,
-              k_mid: int | None = None,
-              m1_tiles: int | None = None,
-              m2_tiles: int | None = None):
+              k_mid: int | None = None):
     """Phase 1: sort, clustering, statistics, near lists.
 
     Deterministic given (pos, mass) — in the sharded tree every device runs
@@ -1487,16 +1547,16 @@ def tree_prep(pos, mass, *, theta: float, k_near: int, gg: int,
             m_tot_m = stats["m_tot"].reshape(-1, MID).sum(axis=1)
             if k_mid is None:
                 k_mid = default_k_mid(theta, gg // MID)
-            idx_mid, over_mid = _mid_near_lists(
+            idx_mid2, over_mid = _mid_near_lists(
                 stats["com"], stats["m_tot"], stats["r_src"],
                 stats["r_tgt"], com_m, spread_m, rs_max_m, m_tot_m,
                 idx2, theta, k_mid,
             )
             idx, over_near = _near_lists_from_mids(
                 stats["com"], stats["m_tot"], stats["r_src"],
-                stats["r_tgt"], idx_mid, theta, k_near,
+                stats["r_tgt"], idx_mid2, theta, k_near,
             )
-            overflow = over_near + over_mid * MID + over2 * SUPER
+            overflow = over_near + over_mid * SUPER + over2 * SUPER
         else:
             idx, overflow = _near_lists_hier(
                 stats["com"], stats["m_tot"], stats["r_src"],
@@ -1534,29 +1594,16 @@ def tree_prep(pos, mass, *, theta: float, k_near: int, gg: int,
         overflow = overflow + drop
         if mid_pairs:
             g_m = gg // MID
-            m1_ids = _m1_lists(idx2, idx_mid, gg)
-            if m1_tiles is None:
-                m1_tiles = gg * max(-(-m1_ids.shape[1] // NEAR_QUAD_PJ), 1)
-            if m2_tiles is None:
-                m2_tiles = gg * max(-(-(k_mid * MID) // NEAR_QUAD_PJ), 1)
-            f1, t1, n1, d1 = near_pair_segments(
-                m1_ids, g_m, NEAR_QUAD_PJ, m1_tiles
-            )
+            m1_ids = _m1_lists(idx2, idx_mid2, gg)
+            f1, t1, s1, n1 = shared_pair_segments(m1_ids, g_m)
             m2_ids = jnp.minimum(
-                idx_mid[:, :, None] * MID
+                idx_mid2[:, :, None] * MID
                 + jnp.arange(MID, dtype=jnp.int32)[None, None, :],
                 gg,
-            ).reshape(gg, -1)
-            f2, t2, n2, d2 = near_pair_segments(
-                m2_ids, gg, NEAR_QUAD_PJ, m2_tiles
-            )
-            prep.update(m1_flat=f1, m1_tgt=t1, m1_ntiles=n1,
-                        m2_flat=f2, m2_tgt=t2, m2_ntiles=n2)
-            # positional drops here are force HOLES (a mid/cluster term
-            # evaluated nowhere) — bounded (the missing nodes pass or
-            # marginally fail theta) but counted; measured caps with
-            # headroom keep this zero in production
-            overflow = overflow + d1 + d2
+            ).reshape(idx_mid2.shape[0], -1)
+            f2, t2, s2, n2 = shared_pair_segments(m2_ids, gg)
+            prep.update(m1_flat=f1, m1_tgt=t1, m1_src=s1, m1_ntiles=n1,
+                        m2_flat=f2, m2_tgt=t2, m2_src=s2, m2_ntiles=n2)
     elif near_mode != "strip":
         raise ValueError(f"unknown near_mode {near_mode!r}")
     prep["near_overflow"] = overflow + clusters.overflow
@@ -1570,8 +1617,8 @@ def tree_prep(pos, mass, *, theta: float, k_near: int, gg: int,
 STRUCTURE_KEYS = ("perm", "inv", "clusters", "idx", "idx2",
                   "near_flat", "near_tile_tgt", "near_ntiles",
                   "nearq_flat", "nearq_tile_tgt", "nearq_ntiles",
-                  "m1_flat", "m1_tgt", "m1_ntiles",
-                  "m2_flat", "m2_tgt", "m2_ntiles")
+                  "m1_flat", "m1_tgt", "m1_src", "m1_ntiles",
+                  "m2_flat", "m2_tgt", "m2_src", "m2_ntiles")
 
 
 def tree_structure(pos, mass, *, theta: float, k_near: int, gg: int,
@@ -1580,9 +1627,7 @@ def tree_structure(pos, mass, *, theta: float, k_near: int, gg: int,
                    near_tiles: int | None = None,
                    near_tiles_q: int | None = None,
                    k_super: int | None = None,
-                   k_mid: int | None = None,
-                   m1_tiles: int | None = None,
-                   m2_tiles: int | None = None):
+                   k_mid: int | None = None):
     """The cacheable part of tree construction: space-filling-curve sort,
     clustering, near lists (and their flattened pair tiles). Returns a dict
     of the STRUCTURE_KEYS present for the given modes."""
@@ -1590,8 +1635,7 @@ def tree_structure(pos, mass, *, theta: float, k_near: int, gg: int,
                   far_levels=far_levels, leaf=leaf,
                   cluster_mode=cluster_mode, near_mode=near_mode,
                   near_tiles=near_tiles, near_tiles_q=near_tiles_q,
-                  k_super=k_super, k_mid=k_mid, m1_tiles=m1_tiles,
-                  m2_tiles=m2_tiles)
+                  k_super=k_super, k_mid=k_mid)
     return {k: p[k] for k in STRUCTURE_KEYS if k in p}
 
 
@@ -1674,18 +1718,20 @@ def tree_eval(prep: dict, c0, n_clusters: int, *, softening: str,
                     pos_g, mid_summ_ext, prep["m1_flat"], prep["m1_tgt"],
                     eps=float(eps), interpret=bool(interpret),
                     n_tiles=prep.get("m1_ntiles"),
+                    tile_src=prep["m1_src"],
                 ) + _near_pairs_quad_pallas(
                     pos_g, summaries, prep["m2_flat"], prep["m2_tgt"],
                     eps=float(eps), interpret=bool(interpret),
                     n_tiles=prep.get("m2_ntiles"),
+                    tile_src=prep["m2_src"],
                 )
             else:
                 acc = acc + _near_pairs_quad_xla(
                     pos_g, mid_summ_ext, prep["m1_flat"], prep["m1_tgt"],
-                    eps=eps,
+                    eps=eps, tile_src=prep["m1_src"],
                 ) + _near_pairs_quad_xla(
                     pos_g, summaries, prep["m2_flat"], prep["m2_tgt"],
-                    eps=eps,
+                    eps=eps, tile_src=prep["m2_src"],
                 )
         else:
             strips = _superfar_refine_table(
@@ -1944,8 +1990,6 @@ def acc_tree(
     gg: int | None = None,
     k_super: int | None = None,
     k_mid: int | None = None,
-    m1_tiles: int | None = None,
-    m2_tiles: int | None = None,
 ):
     """Clustered Barnes-Hut acceleration: (N, 3), (N,) -> (N, 3)."""
     if softening not in direct.SOFTENINGS:
@@ -1965,8 +2009,7 @@ def acc_tree(
                      far_levels=far_levels, leaf=leaf,
                      cluster_mode=cluster_mode, near_mode=near_mode,
                      near_tiles=near_tiles, near_tiles_q=near_tiles_q,
-                     k_super=k_super, k_mid=k_mid, m1_tiles=m1_tiles,
-                     m2_tiles=m2_tiles)
+                     k_super=k_super, k_mid=k_mid)
     acc = tree_eval(prep, 0, gg, softening=softening, eps=eps, g=g,
                     backend=backend, interpret=interpret,
                     multipole_order=multipole_order, far_levels=far_levels,

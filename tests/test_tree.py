@@ -545,9 +545,9 @@ def test_far3_pairs_mass_partition_exact():
 
 
 def test_far3_pairs_truncation_counted():
-    """k_mid / m1_tiles / m2_tiles too small for the scene: the overflow
-    telemetry counts it and forces stay finite (cut mids revert to their
-    mid multipole in M1; positional tile drops are counted holes)."""
+    """k_mid too small for the scene: the overflow telemetry counts it
+    and forces stay finite (cut mids revert to their mid multipole in
+    the M1 pass — never a hole)."""
     rng = np.random.default_rng(4)
     leaf, gg = 15, 256  # 4 supers
     n = gg * leaf - 5
@@ -555,7 +555,7 @@ def test_far3_pairs_truncation_counted():
     mass = jnp.asarray(rng.uniform(0.5, 1.5, n), jnp.float32)
     prep = tree.tree_prep(pos, mass, theta=0.5, k_near=96, gg=gg,
                           far_levels=3, leaf=leaf, near_mode="pairs",
-                          k_mid=8, m1_tiles=gg, m2_tiles=gg)
+                          k_mid=16)
     assert int(prep["near_overflow"]) > 0
     acc = np.asarray(tree.tree_eval(
         prep, 0, gg, softening="plummer", eps=1e-2, g=1.0, backend="xla",
@@ -574,8 +574,8 @@ def test_far3_pairs_cached_structure():
     kw = dict(theta=0.5, k_near=64, gg=gg, far_levels=3, leaf=leaf,
               near_mode="pairs")
     st = tree.tree_structure(pos, mass, **kw)
-    for key in ("m1_flat", "m1_tgt", "m1_ntiles",
-                "m2_flat", "m2_tgt", "m2_ntiles"):
+    for key in ("m1_flat", "m1_tgt", "m1_src", "m1_ntiles",
+                "m2_flat", "m2_tgt", "m2_src", "m2_ntiles"):
         assert key in st, key
     fresh = np.asarray(tree.acc_tree(
         pos, mass, softening="plummer", eps=1e-2, g=1.0, backend="xla",
@@ -587,19 +587,14 @@ def test_far3_pairs_cached_structure():
 
 
 def test_measure_near_mid_caps_cover_scene():
-    """measure_near's k_mid / m1_tiles / m2_tiles hold the scene's actual
-    demand: tree_prep with the measured caps reports zero overflow, and
-    the caps never exceed the worst-case default sizing."""
+    """measure_near's k_mid (the per-super UNION near-mid cap) holds the
+    scene's actual demand: tree_prep with the measured caps reports zero
+    overflow."""
     pos, mass = _cluster(40_000, seed=9, dtype=jnp.float32)
     gg = tree._gg_for(40_000, 3, 2)
     m = tree.measure_near(pos, mass, theta=0.5, gg=gg)
     prep = tree.tree_prep(pos, mass, theta=0.5, k_near=m["k_near"], gg=gg,
                           far_levels=3, near_mode="pairs",
-                          k_super=m["k_super"], k_mid=m["k_mid"],
-                          m1_tiles=m["m1_tiles"], m2_tiles=m["m2_tiles"])
+                          k_super=m["k_super"], k_mid=m["k_mid"])
     assert int(prep["near_overflow"]) == 0
-    spm = tree.SUPER // tree.MID
-    m1_worst = gg * max(-(-(m["k_super"] * spm) // tree.NEAR_QUAD_PJ), 1)
-    m2_worst = gg * max(-(-(m["k_mid"] * tree.MID) // tree.NEAR_QUAD_PJ), 1)
-    assert m["m1_tiles"] <= m1_worst
-    assert m["m2_tiles"] <= m2_worst
+    assert m["k_mid"] <= gg // tree.MID
