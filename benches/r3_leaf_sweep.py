@@ -29,8 +29,9 @@ for preset_name, scene in (
     ("fixed_cloud", presets.fixed_cloud(N)),
     ("plummer_sphere", presets.plummer_sphere(N, seed=0)),
 ):
-    state0 = scene.state(dtype=jnp.float32)
     for leaf in (127, 255):
+        # fresh state per sim: prime()/step() donate their input
+        state0 = scene.state(dtype=jnp.float32)
         tag = f"{preset_name}/leaf={leaf}"
         print(f"=== {tag} ===", flush=True)
         try:
