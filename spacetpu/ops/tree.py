@@ -393,8 +393,6 @@ def measure_near(pos, mass, *, theta: float, gg: int, leaf: int = LEAF,
     # MID-level cap for the pairs-mode 3-level far field: the per-SUPER
     # UNION near-MID count (dense over all mids — a superset of the
     # runtime near-super-restricted pool, so the cap is conservative).
-    # The M1/M2 tile capacities need no measurement: shared_pair_segments
-    # sizes them statically at G2 granularity.
     if gg % SUPER == 0:
         g_m = gg // MID
         g2s = gg // SUPER
@@ -420,6 +418,27 @@ def measure_near(pos, mass, *, theta: float, gg: int, leaf: int = LEAF,
         out["k_mid"] = max(
             16, min(g_m, int(int(cu.max()) * headroom) + 8)
         )
+        # Measured M1/M2 shared-strip SOURCE-tile capacities. The static
+        # worst case is G2 * ceil(K2*spm / pj) strips; with the measured
+        # k_super ~ G2 (genuine for uniform scenes at theta=0.5 until G2
+        # reaches the thousands) that is ~3.6M pair tiles at N=8M
+        # adaptive, whose TPU buffers (the 16-float summary rows get
+        # lane-padded 8x by the (8,128) tiling) reach 29 GB and OOM the
+        # compile. Build the actual lists once here and size to their
+        # strip totals instead.
+        idx2_m, _ = _super_screen(com, m_tot, r_src, r_tgt, theta,
+                                 out["k_super"])
+        idx_mid2_m, _ = _mid_near_lists(
+            com, m_tot, r_src, r_tgt, com_m, spread_m, rs_max_m, m_tot_m,
+            idx2_m, theta, out["k_mid"],
+        )
+        m1_ids = _m1_lists(idx2_m, idx_mid2_m, gg)
+        c1 = _np.asarray(jnp.sum(m1_ids < g_m, axis=1))
+        st1 = _np.maximum(-(-c1 // NEAR_QUAD_PJ), 1)
+        out["m1_src_tiles"] = int(st1.sum() * headroom) + 8
+        c2 = _np.asarray(jnp.sum(idx_mid2_m < g_m, axis=1)) * MID
+        st2 = _np.maximum(-(-c2 // NEAR_QUAD_PJ), 1)
+        out["m2_src_tiles"] = int(st2.sum() * headroom) + 8
     if n_shards:
         if gg % n_shards:
             raise ValueError(f"gg={gg} not divisible by n_shards={n_shards}")
@@ -429,6 +448,15 @@ def measure_near(pos, mass, *, theta: float, gg: int, leaf: int = LEAF,
         out["near_tiles_q_shard"] = (
             int(tiles_q_i.reshape(n_shards, -1).sum(1).max() * headroom) + 8
         )
+        if "m1_src_tiles" in out and (gg // SUPER) % n_shards == 0:
+            # worst single shard's M1/M2 strip totals — the static caps
+            # every device must use under SPMD (sharded MID far field)
+            out["m1_src_tiles_shard"] = (
+                int(st1.reshape(n_shards, -1).sum(1).max() * headroom) + 8
+            )
+            out["m2_src_tiles_shard"] = (
+                int(st2.reshape(n_shards, -1).sum(1).max() * headroom) + 8
+            )
     return out
 
 
@@ -942,8 +970,14 @@ MID = 8
 
 
 def _mid_near_lists(com, m_tot, r_src, r_tgt, com_m, spread_m, rs_max_m,
-                    m_tot_m, idx2, theta: float, k_mid: int):
-    """Per-target-SUPER union near-MID lists (G2, k_mid) + overflow.
+                    m_tot_m, idx2, theta: float, k_mid: int,
+                    t0=None, n_t: int | None = None):
+    """Per-target-SUPER union near-MID lists (G2_t, k_mid) + overflow.
+
+    t0/n_t (traced start, static count; t0 SUPER-aligned) restrict the
+    TARGET clusters to a slice — the sharded tree's local block; idx2
+    must then be the matching target-super rows (n_t/SUPER, K2). MID
+    stats (com_m etc.) stay global.
 
     Candidates are the MID nodes of the super's near supers (idx2 rows;
     null super = G2 maps to the null mid G_m). A mid M is near the super
@@ -963,6 +997,11 @@ def _mid_near_lists(com, m_tot, r_src, r_tgt, com_m, spread_m, rs_max_m,
     g2, k2 = idx2.shape
     if g % SUPER:
         raise ValueError(f"G={g} not SUPER-aligned")
+    if t0 is None:
+        t0, n_t = 0, g
+    elif n_t % SUPER or n_t // SUPER != g2:
+        raise ValueError(f"target slice n_t={n_t} does not match idx2 "
+                         f"rows {g2}")
     spm = SUPER // MID
     g_m = g // MID
     cand = jnp.minimum(
@@ -975,6 +1014,8 @@ def _mid_near_lists(com, m_tot, r_src, r_tgt, com_m, spread_m, rs_max_m,
         [rs_max_m + spread_m, jnp.zeros((1,), rs_max_m.dtype)]
     )
     mm = jnp.concatenate([m_tot_m, jnp.zeros((1,), m_tot_m.dtype)])
+    com_t_all = jax.lax.dynamic_slice_in_dim(com, t0, n_t, 0)
+    rt_t_all = jax.lax.dynamic_slice_in_dim(r_tgt, t0, n_t, 0)
 
     def refine(args):
         com_t, rt_t, cand_b = args  # (SUPER,3), (SUPER,), (C,)
@@ -996,22 +1037,32 @@ def _mid_near_lists(com, m_tot, r_src, r_tgt, com_m, spread_m, rs_max_m,
 
     idx_mid2, over = jax.lax.map(
         refine,
-        (com.reshape(g2, SUPER, 3), r_tgt.reshape(g2, SUPER), cand),
+        (com_t_all.reshape(g2, SUPER, 3), rt_t_all.reshape(g2, SUPER), cand),
     )
     return idx_mid2, jnp.sum(over)
 
 
 def _near_lists_from_mids(com, m_tot, r_src, r_tgt, idx_mid2,
-                          theta: float, k_near: int):
+                          theta: float, k_near: int,
+                          t0=None, n_t: int | None = None):
     """Exact per-cluster near lists from the per-super near-MID pool
     (idx_mid2 members: k_mid*MID SHARED candidates per target super --
     one summary gather per super instead of per cluster, and a pool ~6x
     smaller than _near_lists_hier's K2*SUPER at N=8M). Containment: every
     theta-failing cluster's mid is in its super's union near-mid list
-    (see _mid_near_lists), so the pool covers it."""
+    (see _mid_near_lists), so the pool covers it.
+
+    t0/n_t (traced start, static count; t0 SUPER-aligned) restrict the
+    TARGET clusters to a slice; idx_mid2 must be the matching target-super
+    rows (n_t/SUPER, k_mid). Candidate stats stay global."""
     g = com.shape[0]
     g2 = idx_mid2.shape[0]
     g_m = g // MID
+    if t0 is None:
+        t0, n_t = 0, g2 * SUPER
+    elif n_t % SUPER or n_t // SUPER != g2:
+        raise ValueError(f"target slice n_t={n_t} does not match idx_mid2 "
+                         f"rows {g2}")
     cand = jnp.minimum(
         idx_mid2[:, :, None] * MID
         + jnp.arange(MID, dtype=jnp.int32)[None, None, :],
@@ -1043,11 +1094,13 @@ def _near_lists_from_mids(com, m_tot, r_src, r_tgt, idx_mid2,
             )
         return idx.astype(jnp.int32), over
 
+    com_t_all = jax.lax.dynamic_slice_in_dim(com, t0, n_t, 0)
+    rt_t_all = jax.lax.dynamic_slice_in_dim(r_tgt, t0, n_t, 0)
     idx, over = jax.lax.map(
         refine,
-        (com.reshape(g2, SUPER, 3), r_tgt.reshape(g2, SUPER), cand),
+        (com_t_all.reshape(g2, SUPER, 3), rt_t_all.reshape(g2, SUPER), cand),
     )
-    return idx.reshape(g, k_near), jnp.sum(over)
+    return idx.reshape(n_t, k_near), jnp.sum(over)
 
 
 def _m1_lists(idx2, idx_mid2, gg: int):
@@ -1073,7 +1126,7 @@ def _m1_lists(idx2, idx_mid2, gg: int):
     return jnp.where(hit, g_m, mids_sup).astype(jnp.int32)
 
 
-def shared_pair_segments(ids, n_src: int):
+def shared_pair_segments(ids, n_src: int, cap_src: int | None = None):
     """Flatten per-SUPER source lists (G2, W) into shared-strip pair
     tiles for `_near_pairs_call(tile_src=...)`: each super's valid ids
     pack into ceil/NEAR_QUAD_PJ source tiles (>= 1 so every member
@@ -1083,16 +1136,25 @@ def shared_pair_segments(ids, n_src: int):
     nulls (>= n_src, e.g. M1's exclusion holes) -- entries are
     rank-packed.
 
-    Capacities are the static worst case derived from W: G2-granularity
-    arrays are small (at N=8M the M1 build is ~15k source tiles), so no
-    measurement or truncation is needed and nothing is ever dropped.
-    Returns (flat_src, tile_tgt, tile_src, n_tiles); tile_tgt pads with
-    the dummy block G2*SUPER."""
+    cap_src bounds the SOURCE strip tiles (default: the static worst
+    case G2 * ceil(W/pj)). The worst case explodes when the super screen
+    barely screens (k_super ~ G2 is GENUINE for uniform scenes at
+    theta=0.5 until G2 reaches the thousands): at N=8M adaptive it is
+    3.6M pair tiles, whose TPU-side buffers (layout-padded) reach tens
+    of GB and OOM the compile. Production callers pass the measured
+    totals (measure_near m1_src_tiles / m2_src_tiles, +25%% headroom);
+    source entries beyond the cap are dropped tail-first per super and
+    counted (each drop loses one source node's far contribution for the
+    super's SUPER member target clusters).
+
+    Returns (flat_src, tile_tgt, tile_src, n_tiles, dropped); tile_tgt
+    pads with the dummy block G2*SUPER."""
     g2, w = ids.shape
     pj = NEAR_QUAD_PJ
     gg = g2 * SUPER
     st_max = max(-(-w // pj), 1)
-    cap_src = g2 * st_max
+    if cap_src is None:
+        cap_src = g2 * st_max
     valid = ids < n_src
     c = jnp.sum(valid, axis=1).astype(jnp.int32)
     st = jnp.maximum(-(-c // pj), 1)
@@ -1100,25 +1162,29 @@ def shared_pair_segments(ids, n_src: int):
     src_offs = jnp.concatenate([jnp.zeros((1,), jnp.int32), csum_s[:-1]])
     rank = jnp.cumsum(valid, axis=1).astype(jnp.int32) - 1
     pos = src_offs[:, None] * pj + rank
+    ok = valid & (pos < cap_src * pj)
+    dropped = (jnp.sum(valid) - jnp.sum(ok)).astype(jnp.int32)
     flat = jnp.full((cap_src * pj,), n_src, jnp.int32)
-    flat = flat.at[jnp.where(valid, pos, cap_src * pj).reshape(-1)].set(
-        jnp.where(valid, ids, n_src).reshape(-1).astype(jnp.int32),
+    flat = flat.at[jnp.where(ok, pos, cap_src * pj).reshape(-1)].set(
+        jnp.where(ok, ids, n_src).reshape(-1).astype(jnp.int32),
         mode="drop",
     )
-    csum_t = jnp.cumsum(SUPER * st).astype(jnp.int32)
+    # per-super KEPT source tiles (partial strips keep their prefix)
+    st_k = jnp.clip(cap_src - src_offs, 0, st)
+    csum_t = jnp.cumsum(SUPER * st_k).astype(jnp.int32)
     toffs = jnp.concatenate([jnp.zeros((1,), jnp.int32), csum_t[:-1]])
     n_tiles = csum_t[-1]
     cap_tiles = cap_src * SUPER
     t_range = jnp.arange(cap_tiles, dtype=jnp.int32)
     a = jnp.searchsorted(toffs, t_range, side="right").astype(jnp.int32) - 1
     w_in = t_range - toffs[a]
-    st_a = st[a]
+    st_a = jnp.maximum(st_k[a], 1)
     i = w_in // st_a
     t = w_in - i * st_a
     live = t_range < n_tiles
     tile_tgt = jnp.where(live, a * SUPER + i, gg).astype(jnp.int32)
     tile_src = jnp.where(live, src_offs[a] + t, 0).astype(jnp.int32)
-    return flat, tile_tgt, tile_src, n_tiles
+    return flat, tile_tgt, tile_src, n_tiles, dropped
 
 
 def default_k_mid(theta: float, g_m: int) -> int:
@@ -1511,7 +1577,9 @@ def tree_prep(pos, mass, *, theta: float, k_near: int, gg: int,
               near_tiles: int | None = None,
               near_tiles_q: int | None = None,
               k_super: int | None = None,
-              k_mid: int | None = None):
+              k_mid: int | None = None,
+              m1_src_tiles: int | None = None,
+              m2_src_tiles: int | None = None):
     """Phase 1: sort, clustering, statistics, near lists.
 
     Deterministic given (pos, mass) — in the sharded tree every device runs
@@ -1595,15 +1663,22 @@ def tree_prep(pos, mass, *, theta: float, k_near: int, gg: int,
         if mid_pairs:
             g_m = gg // MID
             m1_ids = _m1_lists(idx2, idx_mid2, gg)
-            f1, t1, s1, n1 = shared_pair_segments(m1_ids, g_m)
+            f1, t1, s1, n1, d1 = shared_pair_segments(
+                m1_ids, g_m, cap_src=m1_src_tiles
+            )
             m2_ids = jnp.minimum(
                 idx_mid2[:, :, None] * MID
                 + jnp.arange(MID, dtype=jnp.int32)[None, None, :],
                 gg,
             ).reshape(idx_mid2.shape[0], -1)
-            f2, t2, s2, n2 = shared_pair_segments(m2_ids, gg)
+            f2, t2, s2, n2, d2 = shared_pair_segments(
+                m2_ids, gg, cap_src=m2_src_tiles
+            )
             prep.update(m1_flat=f1, m1_tgt=t1, m1_src=s1, m1_ntiles=n1,
                         m2_flat=f2, m2_tgt=t2, m2_src=s2, m2_ntiles=n2)
+            # a dropped source entry loses one node's far contribution
+            # for all SUPER member target clusters of its super
+            overflow = overflow + (d1 + d2) * SUPER
     elif near_mode != "strip":
         raise ValueError(f"unknown near_mode {near_mode!r}")
     prep["near_overflow"] = overflow + clusters.overflow
@@ -1627,7 +1702,9 @@ def tree_structure(pos, mass, *, theta: float, k_near: int, gg: int,
                    near_tiles: int | None = None,
                    near_tiles_q: int | None = None,
                    k_super: int | None = None,
-                   k_mid: int | None = None):
+                   k_mid: int | None = None,
+                   m1_src_tiles: int | None = None,
+                   m2_src_tiles: int | None = None):
     """The cacheable part of tree construction: space-filling-curve sort,
     clustering, near lists (and their flattened pair tiles). Returns a dict
     of the STRUCTURE_KEYS present for the given modes."""
@@ -1635,7 +1712,8 @@ def tree_structure(pos, mass, *, theta: float, k_near: int, gg: int,
                   far_levels=far_levels, leaf=leaf,
                   cluster_mode=cluster_mode, near_mode=near_mode,
                   near_tiles=near_tiles, near_tiles_q=near_tiles_q,
-                  k_super=k_super, k_mid=k_mid)
+                  k_super=k_super, k_mid=k_mid,
+                  m1_src_tiles=m1_src_tiles, m2_src_tiles=m2_src_tiles)
     return {k: p[k] for k in STRUCTURE_KEYS if k in p}
 
 
@@ -1990,6 +2068,8 @@ def acc_tree(
     gg: int | None = None,
     k_super: int | None = None,
     k_mid: int | None = None,
+    m1_src_tiles: int | None = None,
+    m2_src_tiles: int | None = None,
 ):
     """Clustered Barnes-Hut acceleration: (N, 3), (N,) -> (N, 3)."""
     if softening not in direct.SOFTENINGS:
@@ -2009,7 +2089,8 @@ def acc_tree(
                      far_levels=far_levels, leaf=leaf,
                      cluster_mode=cluster_mode, near_mode=near_mode,
                      near_tiles=near_tiles, near_tiles_q=near_tiles_q,
-                     k_super=k_super, k_mid=k_mid)
+                     k_super=k_super, k_mid=k_mid,
+                     m1_src_tiles=m1_src_tiles, m2_src_tiles=m2_src_tiles)
     acc = tree_eval(prep, 0, gg, softening=softening, eps=eps, g=g,
                     backend=backend, interpret=interpret,
                     multipole_order=multipole_order, far_levels=far_levels,

@@ -164,7 +164,10 @@ def _tree2_acc(pos_l, mass_l, *, axis: str, theta: float, k_near: int,
                interpret, multipole_order: int, far_levels: int,
                halo_cap: int, near_mode: str = "strip",
                near_tiles: int = 0, near_tiles_q: int = 0,
-               k_super: int = 0, with_diag: bool = False):
+               k_super: int = 0, k_mid: int = 0,
+               m1_src_tiles: int | None = None,
+               m2_src_tiles: int | None = None,
+               with_diag: bool = False):
     """Per-device tree force for a globally SFC-sorted body shard.
 
     Runs inside shard_map; pos_l/mass_l are the local (G_l*LEAF,) shards.
@@ -201,6 +204,7 @@ def _tree2_acc(pos_l, mass_l, *, axis: str, theta: float, k_near: int,
     # for ALL G targets redundantly on every device — O(G·K) wasted work;
     # the halo requests are derivable from the local lists alone, and
     # owners answer requests without needing the requesters' lists).
+    mid_pairs = far_levels == 3 and near_mode == "pairs"
     if far_levels == 3:
         s2 = base // tree_ops.SUPER
         n2 = g_l // tree_ops.SUPER
@@ -209,11 +213,40 @@ def _tree2_acc(pos_l, mass_l, *, axis: str, theta: float, k_near: int,
             k_super or tree_ops.default_k_super(theta, gg // tree_ops.SUPER),
             s0=s2, n2=n2,
         )
-        idx_mine, over_near = tree_ops._near_lists_hier(
-            com_all, m_all, rs_all, rt_all, theta, k_near, idx2=idx2_mine,
-            t0=base, n_t=g_l,
-        )
-        over_near = over_near + over2 * tree_ops.SUPER
+        if mid_pairs:
+            # MID decomposition, sharded: near supers decompose into MID
+            # multipoles (M1) and only near MIDs into cluster multipoles
+            # (M2), with the cluster near lists drawn from the near-mid
+            # pool — identical physics to the single-chip tree_prep MID
+            # path (ops/tree.py), target-sliced to the local block. This
+            # replaces the per-device strip refine table, whose
+            # (16, G2*K2*SUPER) layout-padded buffer OOMs at large G.
+            com_m, spread_m, rs_max_m, _ = tree_ops._super_stats(
+                com_all, m_all, rs_all, rt_all, group=tree_ops.MID
+            )
+            m_tot_m = jnp.sum(
+                jnp.reshape(m_all, (-1, tree_ops.MID)), axis=1
+            )
+            km = k_mid or tree_ops.default_k_mid(
+                theta, gg // tree_ops.MID
+            )
+            idx_mid2_mine, over_mid = tree_ops._mid_near_lists(
+                com_all, m_all, rs_all, rt_all, com_m, spread_m,
+                rs_max_m, m_tot_m, idx2_mine, theta, km,
+                t0=base, n_t=g_l,
+            )
+            idx_mine, over_near = tree_ops._near_lists_from_mids(
+                com_all, m_all, rs_all, rt_all, idx_mid2_mine, theta,
+                k_near, t0=base, n_t=g_l,
+            )
+            over_near = (over_near + over_mid * tree_ops.SUPER
+                         + over2 * tree_ops.SUPER)
+        else:
+            idx_mine, over_near = tree_ops._near_lists_hier(
+                com_all, m_all, rs_all, rt_all, theta, k_near,
+                idx2=idx2_mine, t0=base, n_t=g_l,
+            )
+            over_near = over_near + over2 * tree_ops.SUPER
     else:
         hier = (gg > tree_ops.HIER_NEAR_CUTOFF
                 and g_l % tree_ops.SUPER == 0
@@ -237,24 +270,63 @@ def _tree2_acc(pos_l, mass_l, *, axis: str, theta: float, k_near: int,
     )
 
     # far field (targets = local bodies; sources = gathered summaries)
+    over_far = jnp.zeros((), jnp.int32)
     if far_levels == 3:
         super_summ = tree_ops._super_multipoles(summ_all)
-        strips_mine = tree_ops._superfar_refine_table(
-            summ_all, super_summ, idx2_mine
-        )
         acc = tree_ops._superfar_dense_masked(
             pos_l, super_summ, idx2_mine, eps=eps, backend=backend,
             interpret=interpret,
-        )
-        if backend == "pallas":
-            acc = acc.reshape(m, 3) + tree_ops._superfar_refine_pallas(
-                tree_ops._pack_targets(pos_g), strips_mine,
-                eps=float(eps), interpret=bool(interpret),
+        ).reshape(m, 3)
+        if mid_pairs:
+            mid_summ = tree_ops._super_multipoles(
+                summ_all, group=tree_ops.MID
             )
+            mid_summ_ext = jnp.concatenate(
+                [mid_summ, jnp.zeros((16, 1), dtype)], axis=1
+            )
+            summ_null = jnp.concatenate(
+                [summ_all, jnp.zeros((16, 1), dtype)], axis=1
+            )
+            m1_ids = tree_ops._m1_lists(idx2_mine, idx_mid2_mine, gg)
+            f1, t1, s1, n1, d1 = tree_ops.shared_pair_segments(
+                m1_ids, gg // tree_ops.MID, cap_src=m1_src_tiles
+            )
+            m2_ids = jnp.minimum(
+                idx_mid2_mine[:, :, None] * tree_ops.MID
+                + jnp.arange(tree_ops.MID, dtype=jnp.int32)[None, None, :],
+                gg,
+            ).reshape(idx_mid2_mine.shape[0], -1)
+            f2, t2, s2m, n2m, d2 = tree_ops.shared_pair_segments(
+                m2_ids, gg, cap_src=m2_src_tiles
+            )
+            over_far = (d1 + d2) * tree_ops.SUPER
+            if backend == "pallas":
+                acc = acc + tree_ops._near_pairs_quad_pallas(
+                    pos_g, mid_summ_ext, f1, t1, eps=float(eps),
+                    interpret=bool(interpret), n_tiles=n1, tile_src=s1,
+                ) + tree_ops._near_pairs_quad_pallas(
+                    pos_g, summ_null, f2, t2, eps=float(eps),
+                    interpret=bool(interpret), n_tiles=n2m, tile_src=s2m,
+                )
+            else:
+                acc = acc + tree_ops._near_pairs_quad_xla(
+                    pos_g, mid_summ_ext, f1, t1, eps=eps, tile_src=s1,
+                ) + tree_ops._near_pairs_quad_xla(
+                    pos_g, summ_null, f2, t2, eps=eps, tile_src=s2m,
+                )
         else:
-            acc = acc + tree_ops._superfar_refine_xla(
-                pos_g, strips_mine, eps=eps
+            strips_mine = tree_ops._superfar_refine_table(
+                summ_all, super_summ, idx2_mine
             )
+            if backend == "pallas":
+                acc = acc + tree_ops._superfar_refine_pallas(
+                    tree_ops._pack_targets(pos_g), strips_mine,
+                    eps=float(eps), interpret=bool(interpret),
+                )
+            else:
+                acc = acc + tree_ops._superfar_refine_xla(
+                    pos_g, strips_mine, eps=eps
+                )
     elif multipole_order == 2:
         if backend == "pallas":
             acc = pallas_direct.acc_cross_quad(
@@ -276,7 +348,7 @@ def _tree2_acc(pos_l, mass_l, *, axis: str, theta: float, k_near: int,
 
     # near correction through the halo pool (exchanged above)
     pool_com, pool_m, _, _ = tree_ops._group_stats(pool_pos_g, pool_mass_g)
-    over_tiles = jnp.zeros((), jnp.int32)
+    over_tiles = over_far
     monopole_pseudo = multipole_order == 1
     if near_mode == "pairs":
         # pair-tile near phase (cost ~ the device's ACTUAL near-pair
@@ -385,6 +457,13 @@ class ShardedTreeSimulation:
     #: measure_near()'s "k_super" — the default silently truncates once
     #: G2 outgrows it, under-covering the near lists)
     k_super: Optional[int] = None
+    #: MID far-field caps (far_levels=3 + pairs): per-super union
+    #: near-MID cap and the worst shard's M1/M2 strip-tile totals
+    #: (measure_near "k_mid" / "m1_src_tiles_shard" / "m2_src_tiles_shard";
+    #: None = geometric default / static worst case)
+    k_mid: Optional[int] = None
+    m1_src_tiles: Optional[int] = None
+    m2_src_tiles: Optional[int] = None
     #: re-sort the state globally every this many steps (the SFC order
     #: degrades slowly; near lists are rebuilt every step regardless)
     resort_every: int = 16
@@ -473,7 +552,8 @@ class ShardedTreeSimulation:
             multipole_order=self._order, far_levels=self._far_levels,
             halo_cap=self._halo_cap, near_mode=self._near_mode,
             near_tiles=self._near_tiles, near_tiles_q=self._near_tiles_q,
-            k_super=int(self.k_super or 0),
+            k_super=int(self.k_super or 0), k_mid=int(self.k_mid or 0),
+            m1_src_tiles=self.m1_src_tiles, m2_src_tiles=self.m2_src_tiles,
         )
         r = self.resort_every
 
@@ -571,6 +651,9 @@ class ShardedTreeSimulation:
         self.k_super = m["k_super"]
         self.near_tiles = m["near_tiles_shard"]
         self.near_tiles_q = m["near_tiles_q_shard"]
+        self.k_mid = m.get("k_mid")
+        self.m1_src_tiles = m.get("m1_src_tiles_shard")
+        self.m2_src_tiles = m.get("m2_src_tiles_shard")
         self.__post_init__()  # rebuild the closures with the measured caps
 
     def prime(self, ts: TreeShardedState) -> TreeShardedState:

@@ -171,6 +171,8 @@ class Simulation:
         self._near_tiles_q: int | None = None
         self._k_super: int | None = None
         self._k_mid: int | None = None
+        self._m1_src: int | None = None
+        self._m2_src: int | None = None
         #: calibrated clustering choice for cluster_mode="auto" (None until
         #: calibrate() has compared the measured partitions).
         self._cluster_mode: str | None = None
@@ -308,6 +310,8 @@ class Simulation:
         self._near_tiles_q = m["near_tiles_q"]
         self._k_super = m.get("k_super")
         self._k_mid = m.get("k_mid")
+        self._m1_src = m.get("m1_src_tiles")
+        self._m2_src = m.get("m2_src_tiles")
         if cmode == "adaptive":
             # shrink the worst-case cluster cap to the measured scene
             # (+25% headroom for drift; SUPER-aligned for the 3-level far
@@ -319,6 +323,7 @@ class Simulation:
             cfg, self._k_near, gg=self._gg, near_tiles=self._near_tiles,
             near_tiles_q=self._near_tiles_q, cluster_mode=cmode,
             k_super=self._k_super, k_mid=self._k_mid,
+            m1_src_tiles=self._m1_src, m2_src_tiles=self._m2_src,
         )
         self._needs_calibration = False
 
@@ -340,6 +345,7 @@ class Simulation:
             cluster_mode=p["cmode"], near_mode=p["nmode"],
             near_tiles=self._near_tiles, near_tiles_q=self._near_tiles_q,
             k_super=self._k_super, k_mid=self._k_mid,
+            m1_src_tiles=self._m1_src, m2_src_tiles=self._m2_src,
         )
         return {"near_overflow": int(prep["near_overflow"]),
                 "clusters": p["gg"], "k_near": p["k_near"]}
@@ -404,6 +410,7 @@ class Simulation:
             leaf=p["leaf"], cluster_mode=p["cmode"], near_mode=p["nmode"],
             near_tiles=self._near_tiles, near_tiles_q=self._near_tiles_q,
             k_super=self._k_super, k_mid=self._k_mid,
+            m1_src_tiles=self._m1_src, m2_src_tiles=self._m2_src,
         )
 
     def _cached_acc_fn(self, structure):
@@ -455,7 +462,9 @@ def _build_acc_fn(config: SimConfig, k_near: int | None = None, *,
                   near_tiles_q: int | None = None,
                   cluster_mode: str | None = None,
                   k_super: int | None = None,
-                  k_mid: int | None = None) -> Callable:
+                  k_mid: int | None = None,
+                  m1_src_tiles: int | None = None,
+                  m2_src_tiles: int | None = None) -> Callable:
     if config.softening not in direct.SOFTENINGS:
         raise ValueError(
             f"unknown softening {config.softening!r} (want one of {direct.SOFTENINGS})"
@@ -505,6 +514,8 @@ def _build_acc_fn(config: SimConfig, k_near: int | None = None, *,
             gg=gg,
             k_super=k_super,
             k_mid=k_mid,
+            m1_src_tiles=m1_src_tiles,
+            m2_src_tiles=m2_src_tiles,
         )
     raise ValueError(f"unknown algorithm {algo!r}")
 

@@ -587,14 +587,60 @@ def test_far3_pairs_cached_structure():
 
 
 def test_measure_near_mid_caps_cover_scene():
-    """measure_near's k_mid (the per-super UNION near-mid cap) holds the
-    scene's actual demand: tree_prep with the measured caps reports zero
-    overflow."""
+    """measure_near's k_mid (the per-super UNION near-mid cap) and the
+    measured M1/M2 strip-tile capacities hold the scene's actual demand:
+    tree_prep with the measured caps reports zero overflow."""
     pos, mass = _cluster(40_000, seed=9, dtype=jnp.float32)
     gg = tree._gg_for(40_000, 3, 2)
     m = tree.measure_near(pos, mass, theta=0.5, gg=gg)
+    assert "m1_src_tiles" in m and "m2_src_tiles" in m
     prep = tree.tree_prep(pos, mass, theta=0.5, k_near=m["k_near"], gg=gg,
                           far_levels=3, near_mode="pairs",
-                          k_super=m["k_super"], k_mid=m["k_mid"])
+                          k_super=m["k_super"], k_mid=m["k_mid"],
+                          m1_src_tiles=m["m1_src_tiles"],
+                          m2_src_tiles=m["m2_src_tiles"])
     assert int(prep["near_overflow"]) == 0
     assert m["k_mid"] <= gg // tree.MID
+    # the measured caps track the actual strip totals (headroom-scaled),
+    # not the static worst case (G2 * ceil(K2*spm/pj) strips — what OOMs
+    # the TPU compile at N=8M); at this toy scale just sanity-bound them
+    g2 = gg // tree.SUPER
+    worst1 = g2 * max(
+        -(-(m["k_super"] * tree.SUPER // tree.MID) // tree.NEAR_QUAD_PJ), 1
+    )
+    assert g2 <= m["m1_src_tiles"] <= int(worst1 * 1.25) + 8
+
+
+def test_shared_pair_segments_capped():
+    """cap_src at the exact strip total reproduces the uncapped tiles;
+    a smaller cap drops tail entries, counts them, and keeps every
+    tile_src index inside the capped flat table."""
+    rng = np.random.default_rng(11)
+    g2, w, n_src = 3, 300, 96
+    ids = rng.integers(0, n_src + 1, size=(g2, w)).astype(np.int32)
+    ids_j = jnp.asarray(ids)
+    f0, t0, s0, n0, d0 = tree.shared_pair_segments(ids_j, n_src)
+    assert int(d0) == 0
+    # exact-size cap: identical live tiles
+    c = (ids < n_src).sum(axis=1)
+    st = np.maximum(-(-c // tree.NEAR_QUAD_PJ), 1)
+    exact = int(st.sum())
+    f1, t1, s1, n1, d1 = tree.shared_pair_segments(ids_j, n_src,
+                                                   cap_src=exact)
+    assert int(d1) == 0 and int(n1) == int(n0)
+    live = int(n1) * 1
+    np.testing.assert_array_equal(np.asarray(t1)[:live],
+                                  np.asarray(t0)[:live])
+    np.testing.assert_array_equal(np.asarray(s1)[:live],
+                                  np.asarray(s0)[:live])
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f0)[:exact * tree.NEAR_QUAD_PJ])
+    # undersized cap: drops counted, tile_src stays in range
+    cap = max(exact - st[-1], 1)
+    f2, t2, s2, n2, d2 = tree.shared_pair_segments(ids_j, n_src,
+                                                   cap_src=cap)
+    assert int(d2) > 0
+    live2 = np.asarray(t2) < g2 * tree.SUPER
+    assert np.asarray(s2)[live2].max() < cap
+    # every kept flat entry is a valid id; drops only shorten the table
+    kept = np.asarray(f2)
+    assert ((kept <= n_src)).all()

@@ -230,8 +230,12 @@ def test_tree2_pairs_measured_caps_match_strip():
 
 def test_tree2_far3_pairs_measured_caps():
     """The production large-N configuration — far_levels=3 + pairs near
-    phase + measured k_super — matches the strip path and reports zero
-    overflow (this combination previously had no coverage)."""
+    phase + measured caps — reports zero overflow and stays inside the
+    theta error budget. The pairs path evaluates the far field through
+    the MID decomposition (near supers -> mid multipoles + near mids ->
+    cluster multipoles, mirroring the single-chip tree_prep MID path),
+    so it is compared against the direct oracle rather than bit-matched
+    to the strip refine."""
     d = 2
     n = d * tree.SUPER * LEAF  # g_l=64 per device: far_levels=3 eligible
     state = _scene(n, seed=9)
@@ -244,20 +248,31 @@ def test_tree2_far3_pairs_measured_caps():
     kw = dict(theta=0.5, softening="plummer", eps=1e-3, g=1.0,
               backend="xla", multipole_order=2, far_levels=3,
               k_near=m["k_near"], k_super=m["k_super"])
+    exact = np.asarray(direct.acc_direct(
+        jnp.asarray(state.pos), jnp.asarray(state.mass),
+        softening="plummer", eps=1e-3, g=1.0,
+    ))
+    scale = np.linalg.norm(exact, axis=-1).mean()
     acc = {}
     for nm, extra in (
         ("strip", {}),
         ("pairs", dict(near_tiles=m["near_tiles_shard"],
-                       near_tiles_q=m["near_tiles_q_shard"])),
+                       near_tiles_q=m["near_tiles_q_shard"],
+                       k_mid=m.get("k_mid"),
+                       m1_src_tiles=m.get("m1_src_tiles_shard"),
+                       m2_src_tiles=m.get("m2_src_tiles_shard"))),
     ):
         sim = tree2.ShardedTreeSimulation(mesh, n, near_mode=nm, **kw, **extra)
         ts = sim.prime(sim.shard_state(state))
         diag = sim.diagnose(ts)
-        assert int(diag["near_overflow"]) == 0
-        assert int(diag["tile_overflow"]) == 0
+        assert int(diag["near_overflow"]) == 0, (nm, diag)
+        assert int(diag["tile_overflow"]) == 0, (nm, diag)
         acc[nm] = np.asarray(sim.user_order(ts).acc)
-    np.testing.assert_allclose(acc["pairs"], acc["strip"],
-                               rtol=1e-9, atol=1e-12)
+        err = np.linalg.norm(acc[nm] - exact, axis=-1) / scale
+        assert np.median(err) < 5e-3, (nm, np.median(err))
+    # the two refinements agree to far-field (theta) accuracy
+    rel = (np.linalg.norm(acc["pairs"] - acc["strip"], axis=-1) / scale)
+    assert np.median(rel) < 5e-3, np.median(rel)
 
 
 def test_tree2_auto_calibration_on_clustered_scene():
