@@ -304,6 +304,25 @@ class Simulation:
                 if m_a["near_tiles"] < 0.8 * m["near_tiles"]:
                     cmode, gg, m = "adaptive", gg_a, m_a
         self._cluster_mode = cmode
+        if cmode == "adaptive":
+            # shrink the worst-case cluster cap to the measured scene
+            # (+25% headroom for drift; SUPER-aligned for the 3-level far
+            # field; adaptive_clusters falls back to the equal-count split
+            # if a rebuild ever exceeds it) — then RE-measure at the
+            # shrunk cap: the first pass's caps were counted on the
+            # gg-padded partition, where every padding cluster still
+            # claims >= 1 pair tile per list (measured at fixed_cloud
+            # 120k/leaf=127: 9634 predicted vs 6293 actual tiles — 35%
+            # dead near-phase grid), and the supercluster geometry
+            # differs once the padding clusters vanish.
+            gg_meas = min(gg, int(m["n_clusters"] * 1.25) + 8)
+            gg_run = -(-gg_meas // tree_ops.SUPER) * tree_ops.SUPER
+            if gg_run < gg:
+                m = tree_ops.measure_near(
+                    state.pos, state.mass, theta=cfg.theta, gg=gg_run,
+                    leaf=leaf, cluster_mode="adaptive",
+                )
+            self._gg = gg_run
         if not isinstance(cfg.k_near, int):
             self._k_near = m["k_near"]
         self._near_tiles = m["near_tiles"]
@@ -312,13 +331,6 @@ class Simulation:
         self._k_mid = m.get("k_mid")
         self._m1_src = m.get("m1_src_tiles")
         self._m2_src = m.get("m2_src_tiles")
-        if cmode == "adaptive":
-            # shrink the worst-case cluster cap to the measured scene
-            # (+25% headroom for drift; SUPER-aligned for the 3-level far
-            # field; adaptive_clusters falls back to the equal-count split
-            # if a rebuild ever exceeds it)
-            gg_meas = min(gg, int(m["n_clusters"] * 1.25) + 8)
-            self._gg = -(-gg_meas // tree_ops.SUPER) * tree_ops.SUPER
         self.acc_fn = _build_acc_fn(
             cfg, self._k_near, gg=self._gg, near_tiles=self._near_tiles,
             near_tiles_q=self._near_tiles_q, cluster_mode=cmode,

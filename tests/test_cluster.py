@@ -235,6 +235,35 @@ def test_auto_cluster_mode_upgrades_on_heavy_tail(monkeypatch):
     assert sim._gg is not None and sim._gg % tree.SUPER == 0
 
 
+def test_adaptive_calibrate_remeasures_at_shrunk_gg():
+    """Adaptive calibrate() measures once at the worst-case cluster cap
+    to learn the real cluster count, shrinks gg, then re-measures at the
+    shrunk cap: the first pass's tile capacities are counted on the
+    gg-padded partition, where every padding cluster claims >= 1 pair
+    tile per list (35% dead near-phase grid measured at fixed_cloud
+    120k/leaf=127), and k_super/k_mid see the padded super geometry."""
+    from spacetpu import make_simulation
+
+    n = 20_000
+    state = presets.plummer_sphere(n, seed=3).state(dtype=jnp.float32)
+    sim = make_simulation(n, algorithm="tree", backend="xla", g=1.0,
+                          theta=0.5, cluster_mode="adaptive",
+                          near_mode="pairs", k_near="auto")
+    sim.calibrate(state)
+    gg_worst = tree._gg_for(n, sim.config.far_levels, 2, tree.LEAF,
+                            "adaptive")
+    assert sim._gg is not None and sim._gg < gg_worst
+    m_run = tree.measure_near(jnp.asarray(state.pos),
+                              jnp.asarray(state.mass), theta=0.5,
+                              gg=sim._gg, cluster_mode="adaptive")
+    assert sim._near_tiles == m_run["near_tiles"]
+    assert sim._near_tiles_q == m_run["near_tiles_q"]
+    assert sim._k_super == m_run["k_super"]
+    # and the run partition reports zero overflow at these caps
+    st = sim.prime(state)
+    assert int(sim.health(st)["near_overflow"]) == 0
+
+
 def test_auto_cluster_mode_stays_equal_without_win(monkeypatch):
     """Heavy-tailed trigger alone is not enough: if the measured adaptive
     partition does not cut near tiles below 0.8x, auto keeps the equal
