@@ -307,3 +307,48 @@ def test_tree2_auto_calibration_on_clustered_scene():
     )
     np.testing.assert_allclose(np.asarray(got.acc), np.asarray(ref),
                                rtol=1e-9, atol=1e-12)
+
+
+def test_tree2_checkpoint_roundtrip(tmp_path):
+    """Checkpoint/resume across the sharded tree: user_order() -> npz
+    save -> load -> shard_state() rebuilds the SFC placement (ids/tick
+    are derived, not stored) and the state round-trips exactly; the
+    resumed rollout stays on the continuous run's trajectory (re-sorting
+    at restore can pick a different-but-valid clustering, so parity is
+    theta-level, not bit-exact). Reference contract: the reference has
+    no checkpointing at all (SURVEY.md aux-subsystems gap)."""
+    from spacetpu.io import checkpoint
+
+    d = 4
+    n = d * LEAF * 2
+    state = _scene(n, seed=13)
+    mesh = ring.make_mesh(d)
+    kw = dict(theta=0.5, softening="plummer", eps=1e-3, g=1.0,
+              backend="xla", multipole_order=2, far_levels=2)
+    sim = tree2.ShardedTreeSimulation(mesh, n, **kw)
+    ts = sim.prime(sim.shard_state(state))
+    for _ in range(3):
+        ts = sim.step(ts, jnp.float64(1e-3))
+
+    snap = sim.user_order(ts)
+    path = tmp_path / "tree2_ckpt.npz"
+    checkpoint.save(str(path), snap)
+    loaded, _, _ = checkpoint.load(str(path))
+    for f in ("pos", "vel", "mass"):
+        np.testing.assert_array_equal(np.asarray(getattr(loaded, f)),
+                                      np.asarray(getattr(snap, f)))
+
+    sim2 = tree2.ShardedTreeSimulation(mesh, n, k_near=sim._k_near,
+                                       k_super=sim.k_super, **kw)
+    ts2 = sim2.prime(sim2.shard_state(loaded))
+    # the restored placement reproduces the checkpointed bodies exactly
+    np.testing.assert_allclose(
+        np.asarray(sim2.user_order(ts2).pos), np.asarray(snap.pos),
+        rtol=0, atol=0)
+    # resumed vs continuous rollout agree to clustering (theta) accuracy
+    for _ in range(3):
+        ts = sim.step(ts, jnp.float64(1e-3))
+        ts2 = sim2.step(ts2, jnp.float64(1e-3))
+    a = np.asarray(sim.user_order(ts).pos)
+    b = np.asarray(sim2.user_order(ts2).pos)
+    np.testing.assert_allclose(b, a, rtol=5e-5, atol=1e-7)
