@@ -35,10 +35,15 @@ for preset_name, scene in (
         tag = f"{preset_name}/leaf={leaf}"
         print(f"=== {tag} ===", flush=True)
         try:
+            # scene.g, not 1.0: fixed_cloud's orbital velocities are built
+            # for the physical constants.G — forcing g=1.0 blows the cloud
+            # apart within a few steps and the post-step overflow telemetry
+            # then measures the explosion, not the calibration (CPU repro:
+            # overflow 0 -> 140168 in 4 steps at N=120k).
             sim = make_simulation(
                 scene.n, algorithm="tree", theta=0.5, k_near="auto",
                 cluster_mode="adaptive", near_mode="pairs", leaf=leaf,
-                softening="plummer", eps=1e-2, g=1.0,
+                softening="plummer", eps=1e-2, g=scene.g,
             )
             st = sim.prime(state0)
             print(f"  k={sim._k_near} gg={sim._gg} k_super={sim._k_super} "

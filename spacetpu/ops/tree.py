@@ -322,7 +322,8 @@ HIER_NEAR_CUTOFF = 2048
 
 def measure_near(pos, mass, *, theta: float, gg: int, leaf: int = LEAF,
                  cluster_mode: str = "equal", headroom: float = 1.25,
-                 chunk: int = 2048, n_shards: int | None = None) -> dict:
+                 chunk: int = 2048, n_shards: int | None = None,
+                 measure_mid: bool = True) -> dict:
     """Measure the scene's near-list shape for static sizing (host-side,
     prime-time): per-cluster near counts -> the k_near cap, the pair-mode
     tile capacities, and the actual adaptive cluster count.
@@ -393,7 +394,11 @@ def measure_near(pos, mass, *, theta: float, gg: int, leaf: int = LEAF,
     # MID-level cap for the pairs-mode 3-level far field: the per-SUPER
     # UNION near-MID count (dense over all mids — a superset of the
     # runtime near-super-restricted pool, so the cap is conservative).
-    if gg % SUPER == 0:
+    # measure_mid=False skips this block (it builds the actual mid/M1/M2
+    # lists — the most expensive part of calibration) for callers that
+    # will never consume the caps: strip-mode or far_levels<3 sims, and
+    # exploratory passes whose result may be discarded.
+    if measure_mid and gg % SUPER == 0:
         g_m = gg // MID
         g2s = gg // SUPER
         com_m, spread_m, rs_max_m, _ = _super_stats(
@@ -474,7 +479,17 @@ def near_lists(com, m_tot, r_src, r_tgt, theta: float, k_near: int,
     restrict the target rows (see _near_lists); the hierarchical build
     engages only for SUPER-aligned slices."""
     k_near = min(k_near, com.shape[0])
-    aligned = t0 is None or (n_t % SUPER == 0)
+    if t0 is None:
+        aligned = True
+    else:
+        # the hierarchical build slices supercluster rows at t0//SUPER, so
+        # BOTH ends of the target slice must be SUPER-aligned; a traced t0
+        # cannot be validated here, so it takes the exact flat build
+        # (aligned traced callers use _near_lists_hier directly, tree2.py)
+        try:
+            aligned = (int(t0) % SUPER == 0) and (n_t % SUPER == 0)
+        except (TypeError, jax.errors.ConcretizationTypeError):
+            aligned = False
     if com.shape[0] > HIER_NEAR_CUTOFF and aligned:
         return _near_lists_hier(com, m_tot, r_src, r_tgt, theta, k_near,
                                 k_super=k_super, t0=t0, n_t=n_t)
@@ -1187,6 +1202,67 @@ def shared_pair_segments(ids, n_src: int, cap_src: int | None = None):
     return flat, tile_tgt, tile_src, n_tiles, dropped
 
 
+def mid_pair_segments(idx2, idx_mid2, gg: int, *, m1_src_tiles=None,
+                      m2_src_tiles=None):
+    """M1/M2 shared-strip pair segments for the pairs-mode MID far
+    field, shared by the single-chip build (tree_prep) and the sharded
+    tree (parallel/tree2.py) so the two paths cannot drift: M1 evaluates
+    mid multipoles (near supers' mids minus near mids), M2 evaluates
+    cluster multipoles of the near mids.
+
+    Returns (segs, dropped): segs is the dict of m1_/m2_ flat/tgt/src/
+    ntiles arrays consumed by mid_far_eval; dropped is the overflow
+    count, already scaled by SUPER (a dropped source entry loses one
+    node's far contribution for all SUPER member target clusters of its
+    super)."""
+    g_m = gg // MID
+    m1_ids = _m1_lists(idx2, idx_mid2, gg)
+    f1, t1, s1, n1, d1 = shared_pair_segments(
+        m1_ids, g_m, cap_src=m1_src_tiles
+    )
+    m2_ids = jnp.minimum(
+        idx_mid2[:, :, None] * MID
+        + jnp.arange(MID, dtype=jnp.int32)[None, None, :],
+        gg,
+    ).reshape(idx_mid2.shape[0], -1)
+    f2, t2, s2, n2, d2 = shared_pair_segments(
+        m2_ids, gg, cap_src=m2_src_tiles
+    )
+    segs = dict(m1_flat=f1, m1_tgt=t1, m1_src=s1, m1_ntiles=n1,
+                m2_flat=f2, m2_tgt=t2, m2_src=s2, m2_ntiles=n2)
+    return segs, (d1 + d2) * SUPER
+
+
+def mid_far_eval(pos_g, summaries_null, segs, *, eps, backend: str,
+                 interpret: bool = False):
+    """Evaluate the M1 + M2 MID far-field contributions for
+    mid_pair_segments' segs. summaries_null: (16, gg+1) cluster
+    multipole summaries with a trailing null column (the layout of both
+    _cluster_summaries and tree2's summ_all + null)."""
+    gg = summaries_null.shape[1] - 1
+    mid_summ = _super_multipoles(summaries_null[:, :gg], group=MID)
+    mid_summ_ext = jnp.concatenate(
+        [mid_summ, jnp.zeros((16, 1), summaries_null.dtype)], axis=1
+    )
+    if backend == "pallas":
+        return _near_pairs_quad_pallas(
+            pos_g, mid_summ_ext, segs["m1_flat"], segs["m1_tgt"],
+            eps=float(eps), interpret=bool(interpret),
+            n_tiles=segs.get("m1_ntiles"), tile_src=segs["m1_src"],
+        ) + _near_pairs_quad_pallas(
+            pos_g, summaries_null, segs["m2_flat"], segs["m2_tgt"],
+            eps=float(eps), interpret=bool(interpret),
+            n_tiles=segs.get("m2_ntiles"), tile_src=segs["m2_src"],
+        )
+    return _near_pairs_quad_xla(
+        pos_g, mid_summ_ext, segs["m1_flat"], segs["m1_tgt"],
+        eps=eps, tile_src=segs["m1_src"],
+    ) + _near_pairs_quad_xla(
+        pos_g, summaries_null, segs["m2_flat"], segs["m2_tgt"],
+        eps=eps, tile_src=segs["m2_src"],
+    )
+
+
 def default_k_mid(theta: float, g_m: int) -> int:
     """Static cap on the per-SUPER UNION of near MID nodes. The union
     neighborhood spans the super hull plus the mid-level accept radius
@@ -1661,24 +1737,12 @@ def tree_prep(pos, mass, *, theta: float, k_near: int, gg: int,
                     nearq_ntiles=ntq)
         overflow = overflow + drop
         if mid_pairs:
-            g_m = gg // MID
-            m1_ids = _m1_lists(idx2, idx_mid2, gg)
-            f1, t1, s1, n1, d1 = shared_pair_segments(
-                m1_ids, g_m, cap_src=m1_src_tiles
+            segs, dropped = mid_pair_segments(
+                idx2, idx_mid2, gg,
+                m1_src_tiles=m1_src_tiles, m2_src_tiles=m2_src_tiles,
             )
-            m2_ids = jnp.minimum(
-                idx_mid2[:, :, None] * MID
-                + jnp.arange(MID, dtype=jnp.int32)[None, None, :],
-                gg,
-            ).reshape(idx_mid2.shape[0], -1)
-            f2, t2, s2, n2, d2 = shared_pair_segments(
-                m2_ids, gg, cap_src=m2_src_tiles
-            )
-            prep.update(m1_flat=f1, m1_tgt=t1, m1_src=s1, m1_ntiles=n1,
-                        m2_flat=f2, m2_tgt=t2, m2_src=s2, m2_ntiles=n2)
-            # a dropped source entry loses one node's far contribution
-            # for all SUPER member target clusters of its super
-            overflow = overflow + (d1 + d2) * SUPER
+            prep.update(segs)
+            overflow = overflow + dropped
     elif near_mode != "strip":
         raise ValueError(f"unknown near_mode {near_mode!r}")
     prep["near_overflow"] = overflow + clusters.overflow
@@ -1787,30 +1851,10 @@ def tree_eval(prep: dict, c0, n_clusters: int, *, softening: str,
             # Together they cover the dense pass's masked supers exactly
             # once — per-body cost K2*(SUPER/MID) + k_mid*MID instead of
             # the strip refine's K2*SUPER.
-            mid_summ = _super_multipoles(summaries[:, :gg], group=MID)
-            mid_summ_ext = jnp.concatenate(
-                [mid_summ, jnp.zeros((16, 1), dtype)], axis=1
+            acc = acc + mid_far_eval(
+                pos_g, summaries, prep, eps=eps, backend=backend,
+                interpret=interpret,
             )
-            if backend == "pallas":
-                acc = acc + _near_pairs_quad_pallas(
-                    pos_g, mid_summ_ext, prep["m1_flat"], prep["m1_tgt"],
-                    eps=float(eps), interpret=bool(interpret),
-                    n_tiles=prep.get("m1_ntiles"),
-                    tile_src=prep["m1_src"],
-                ) + _near_pairs_quad_pallas(
-                    pos_g, summaries, prep["m2_flat"], prep["m2_tgt"],
-                    eps=float(eps), interpret=bool(interpret),
-                    n_tiles=prep.get("m2_ntiles"),
-                    tile_src=prep["m2_src"],
-                )
-            else:
-                acc = acc + _near_pairs_quad_xla(
-                    pos_g, mid_summ_ext, prep["m1_flat"], prep["m1_tgt"],
-                    eps=eps, tile_src=prep["m1_src"],
-                ) + _near_pairs_quad_xla(
-                    pos_g, summaries, prep["m2_flat"], prep["m2_tgt"],
-                    eps=eps, tile_src=prep["m2_src"],
-                )
         else:
             strips = _superfar_refine_table(
                 summaries[:, :gg], super_summaries, prep["idx2"]

@@ -278,42 +278,20 @@ def _tree2_acc(pos_l, mass_l, *, axis: str, theta: float, k_near: int,
             interpret=interpret,
         ).reshape(m, 3)
         if mid_pairs:
-            mid_summ = tree_ops._super_multipoles(
-                summ_all, group=tree_ops.MID
-            )
-            mid_summ_ext = jnp.concatenate(
-                [mid_summ, jnp.zeros((16, 1), dtype)], axis=1
-            )
+            # shared with the single-chip build — see tree.py
+            # mid_pair_segments/mid_far_eval (the index/null-id logic
+            # must not drift between the two paths)
             summ_null = jnp.concatenate(
                 [summ_all, jnp.zeros((16, 1), dtype)], axis=1
             )
-            m1_ids = tree_ops._m1_lists(idx2_mine, idx_mid2_mine, gg)
-            f1, t1, s1, n1, d1 = tree_ops.shared_pair_segments(
-                m1_ids, gg // tree_ops.MID, cap_src=m1_src_tiles
+            segs, over_far = tree_ops.mid_pair_segments(
+                idx2_mine, idx_mid2_mine, gg,
+                m1_src_tiles=m1_src_tiles, m2_src_tiles=m2_src_tiles,
             )
-            m2_ids = jnp.minimum(
-                idx_mid2_mine[:, :, None] * tree_ops.MID
-                + jnp.arange(tree_ops.MID, dtype=jnp.int32)[None, None, :],
-                gg,
-            ).reshape(idx_mid2_mine.shape[0], -1)
-            f2, t2, s2m, n2m, d2 = tree_ops.shared_pair_segments(
-                m2_ids, gg, cap_src=m2_src_tiles
+            acc = acc + tree_ops.mid_far_eval(
+                pos_g, summ_null, segs, eps=eps, backend=backend,
+                interpret=interpret,
             )
-            over_far = (d1 + d2) * tree_ops.SUPER
-            if backend == "pallas":
-                acc = acc + tree_ops._near_pairs_quad_pallas(
-                    pos_g, mid_summ_ext, f1, t1, eps=float(eps),
-                    interpret=bool(interpret), n_tiles=n1, tile_src=s1,
-                ) + tree_ops._near_pairs_quad_pallas(
-                    pos_g, summ_null, f2, t2, eps=float(eps),
-                    interpret=bool(interpret), n_tiles=n2m, tile_src=s2m,
-                )
-            else:
-                acc = acc + tree_ops._near_pairs_quad_xla(
-                    pos_g, mid_summ_ext, f1, t1, eps=eps, tile_src=s1,
-                ) + tree_ops._near_pairs_quad_xla(
-                    pos_g, summ_null, f2, t2, eps=eps, tile_src=s2m,
-                )
         else:
             strips_mine = tree_ops._superfar_refine_table(
                 summ_all, super_summ, idx2_mine
@@ -646,6 +624,8 @@ class ShardedTreeSimulation:
             state.pos, state.mass, theta=self.theta,
             gg=self._d * self._g_l, leaf=LEAF, cluster_mode="equal",
             n_shards=self._d,
+            measure_mid=(self._far_levels == 3
+                         and self._near_mode == "pairs"),
         )
         self.k_near = m["k_near"]
         self.k_super = m["k_super"]
@@ -671,6 +651,10 @@ class ShardedTreeSimulation:
         if self._backend != "pallas":
             return None
         if self._k_near > sim_mod.DENSE_K_NEAR:
+            # per-device near work drives the fault; above the single-step
+            # threshold only plain step() dispatches are proven safe
+            if self._near_tiles > sim_mod.DENSE_TILES_SINGLE_STEP:
+                return 1
             return sim_mod.SAFE_DENSE_SCAN
         return sim_mod.DEFAULT_RUN_CHUNK
 
@@ -678,12 +662,15 @@ class ShardedTreeSimulation:
         """Rollout in device scans of at most scan_chunk() steps (state
         donated through every chunk)."""
         chunk = self.scan_chunk()
-        if chunk is None or chunk >= steps:
+        if chunk is None or (chunk >= steps and chunk > 1):
             return self._run_jit(ts, dt, steps)
         done = 0
         while done < steps:
             todo = min(chunk, steps - done)
-            ts = self._run_jit(ts, dt, todo)
+            # chunk==1: dispatch the plain step program, the one form the
+            # isolation matrix proved always safe (sim.py "Known issue")
+            ts = (self.step(ts, dt) if todo == 1
+                  else self._run_jit(ts, dt, todo))
             done += todo
         return ts
 

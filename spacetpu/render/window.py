@@ -37,7 +37,9 @@ from spacetpu.render.viewer import FrameSource, KeyState
 def _import_pygame():
     # Quiet the community banner before the first import.
     os.environ.setdefault("PYGAME_HIDE_SUPPORT_PROMPT", "1")
-    if not os.environ.get("DISPLAY") and not os.environ.get("SDL_VIDEODRIVER"):
+    if (not os.environ.get("DISPLAY")
+            and not os.environ.get("WAYLAND_DISPLAY")
+            and not os.environ.get("SDL_VIDEODRIVER")):
         # No X/Wayland: fall back to the dummy driver instead of dying in
         # SDL_Init (the window is then invisible but the loop still runs —
         # useful for tests and remote TPU hosts; real displays unaffected).

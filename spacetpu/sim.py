@@ -239,10 +239,11 @@ class Simulation:
         chunk — the chunk boundary includes a host fence, so the callback
         reflects real device progress, not queued dispatches."""
         chunk = self.scan_chunk()
-        if chunk is None or chunk >= steps:
+        if chunk is None or (chunk >= steps and chunk > 1):
             state = self._run_jit(state, dt, steps)
             if progress is not None:
-                jax.block_until_ready(state.pos)
+                # host fence — this backend's block_until_ready is async
+                float(jnp.sum(state.pos[0]))
                 progress(steps)
             return state
         done = 0
@@ -277,9 +278,16 @@ class Simulation:
         leaf = cfg.resolved_leaf()
         cmode = cfg.resolved_cluster_mode()
         gg = tree_ops._gg_for(cfg.n, cfg.far_levels, order, leaf, cmode)
+
+        def need_mid(g):
+            # the MID far field (k_mid/M1/M2 caps) only runs for
+            # far_levels=3 in pairs mode — skip its measurement otherwise
+            return (tree_ops.resolve_far_levels(cfg.far_levels, g, order) == 3
+                    and cfg.resolved_near_mode() == "pairs")
+
         m = tree_ops.measure_near(
             state.pos, state.mass, theta=cfg.theta, gg=gg, leaf=leaf,
-            cluster_mode=cmode,
+            cluster_mode=cmode, measure_mid=need_mid(gg),
         )
         if cfg.cluster_mode == "auto" and cmode == "equal":
             # Heavy-tailed near lists (mean near count >> the uniform-cloud
@@ -300,6 +308,7 @@ class Simulation:
                 m_a = tree_ops.measure_near(
                     state.pos, state.mass, theta=cfg.theta, gg=gg_a,
                     leaf=leaf, cluster_mode="adaptive",
+                    measure_mid=False,  # exploratory: only tiles compared
                 )
                 if m_a["near_tiles"] < 0.8 * m["near_tiles"]:
                     cmode, gg, m = "adaptive", gg_a, m_a
@@ -317,10 +326,14 @@ class Simulation:
             # differs once the padding clusters vanish.
             gg_meas = min(gg, int(m["n_clusters"] * 1.25) + 8)
             gg_run = -(-gg_meas // tree_ops.SUPER) * tree_ops.SUPER
-            if gg_run < gg:
+            if gg_run < gg or ("k_mid" not in m and need_mid(gg_run)):
+                # re-measure at the shrunk cap — and whenever the winning
+                # pass was the exploratory (mid-less) adaptive measurement
+                # but the final closure needs the MID caps
                 m = tree_ops.measure_near(
                     state.pos, state.mass, theta=cfg.theta, gg=gg_run,
                     leaf=leaf, cluster_mode="adaptive",
+                    measure_mid=need_mid(gg_run),
                 )
             self._gg = gg_run
         if not isinstance(cfg.k_near, int):

@@ -644,3 +644,37 @@ def test_shared_pair_segments_capped():
     # every kept flat entry is a valid id; drops only shorten the table
     kept = np.asarray(f2)
     assert ((kept <= n_src)).all()
+
+
+def test_near_lists_t0_alignment_gate(monkeypatch):
+    """Public near_lists may engage the hierarchical build only when BOTH
+    ends of the target slice are SUPER-aligned: it slices supercluster
+    rows at t0//SUPER, so an unaligned t0 would build near lists against
+    the wrong candidate pool (silently wrong forces). Unaligned slices
+    must take the exact flat build and still match ground truth."""
+    stats = _prep_stats(40_000, seed=5, clustered=True)
+    theta = 0.5
+    com = np.asarray(stats["com"])
+    gg = com.shape[0]
+    assert gg >= 2 * tree.SUPER
+    # force the gate decision to be live for this small G
+    monkeypatch.setattr(tree, "HIER_NEAR_CUTOFF", 8)
+    dist = np.linalg.norm(com[:, None] - com[None], axis=-1)
+    accept = (
+        (np.asarray(stats["r_src"])[None, :]
+         >= theta * (dist - np.asarray(stats["r_tgt"])[:, None]))
+        & (np.asarray(stats["m_tot"])[None, :] > 0)
+    )
+    for t0 in (tree.SUPER // 2, tree.SUPER):  # unaligned, aligned
+        n_t = tree.SUPER
+        k = int(accept[t0:t0 + n_t].sum(1).max())
+        idx, over = tree.near_lists(
+            stats["com"], stats["m_tot"], stats["r_src"], stats["r_tgt"],
+            theta, k, t0=t0, n_t=n_t,
+        )
+        assert int(over) == 0
+        idx = np.asarray(idx)
+        for i in range(n_t):
+            want = set(np.nonzero(accept[t0 + i])[0])
+            got = set(int(j) for j in idx[i] if j < gg)
+            assert got == want, f"t0={t0} target {t0 + i}"

@@ -352,3 +352,39 @@ def test_tree2_checkpoint_roundtrip(tmp_path):
     a = np.asarray(sim.user_order(ts).pos)
     b = np.asarray(sim2.user_order(ts2).pos)
     np.testing.assert_allclose(b, a, rtol=5e-5, atol=1e-7)
+
+
+def test_tree2_scan_chunk_policy():
+    """ShardedTreeSimulation mirrors Simulation's fence tiers exactly —
+    including the single-step tier for extreme per-device near work (the
+    scan x dense-near-list TPU fault, sim.py "Known issue"): above
+    DENSE_TILES_SINGLE_STEP even 16-step scans crash, so run() must fall
+    back to plain step() dispatches."""
+    from spacetpu import sim as sim_mod
+
+    d = 4
+    n = d * LEAF * 8
+    mesh = ring.make_mesh(d)
+    kw = dict(theta=0.5, softening="plummer", eps=1e-3, g=1.0,
+              multipole_order=2, far_levels=2)
+    # XLA backend: unlimited scans (the fault is TPU-specific)
+    s = tree2.ShardedTreeSimulation(mesh, n, backend="xla", k_near=64, **kw)
+    assert s.scan_chunk() is None
+    # explicit run_chunk always wins
+    s = tree2.ShardedTreeSimulation(mesh, n, backend="xla", k_near=64,
+                                    run_chunk=4, **kw)
+    assert s.scan_chunk() == 4
+    # pallas, sparse cap: default chunk
+    s = tree2.ShardedTreeSimulation(mesh, n, backend="pallas", k_near=64,
+                                    **kw)
+    assert s.scan_chunk() == sim_mod.DEFAULT_RUN_CHUNK
+    # pallas, dense cap, moderate tiles: the safe scan length
+    s = tree2.ShardedTreeSimulation(mesh, n, backend="pallas", k_near=2048,
+                                    near_tiles=10_000, near_tiles_q=1_000,
+                                    **kw)
+    assert s.scan_chunk() == sim_mod.SAFE_DENSE_SCAN
+    # pallas, dense cap + extreme per-device near work: single-step tier
+    s = tree2.ShardedTreeSimulation(mesh, n, backend="pallas", k_near=2048,
+                                    near_tiles=2_000_000,
+                                    near_tiles_q=1_000, **kw)
+    assert s.scan_chunk() == 1
