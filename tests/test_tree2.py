@@ -388,3 +388,24 @@ def test_tree2_scan_chunk_policy():
                                     near_tiles=2_000_000,
                                     near_tiles_q=1_000, **kw)
     assert s.scan_chunk() == 1
+
+
+def test_tree2_run_chunk_forms_equal():
+    """run() produces identical trajectories whether it scans in one
+    program, in chunks, or (run_chunk=1, the fence's single-step tier)
+    as plain step() dispatches."""
+    d = 4
+    n = d * LEAF * 2
+    mesh = ring.make_mesh(d)
+    kw = dict(theta=0.5, softening="plummer", eps=1e-3, g=1.0,
+              backend="xla", multipole_order=2, far_levels=2,
+              resort_every=4)
+    sims = [tree2.ShardedTreeSimulation(mesh, n, run_chunk=rc, **kw)
+            for rc in (None, 3, 1)]
+    outs = []
+    for sim in sims:
+        ts = sim.prime(sim.shard_state(_scene(n, seed=7)))
+        ts = sim.run(ts, 1e-3, 7)  # None: one scan; 3: 3+3+1; 1: 7x step
+        outs.append(np.asarray(sim.user_order(ts).pos))
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])
