@@ -48,6 +48,8 @@ JOBS = [
     ("benches/r3_leaf_sweep.py", "r3_leaf_sweep3.log"),
     ("benches/r3_largen.py", "r3_largen2.log"),
     ("benches/r3_tree2_prof.py", "r3_tree2_prof2.log"),
+    ("bench.py", "r3_bench.log"),  # headline record in case the tunnel
+                                   # is down again at round end
 ]
 for script, logname in JOBS:
     say(f"start {script} -> logs/{logname}")

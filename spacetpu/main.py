@@ -143,9 +143,18 @@ def run_headless(cfg: RunConfig, scene: Scene, state: State):
         if cfg.checkpoint_every:
             boundary = ((done // cfg.checkpoint_every) + 1) * cfg.checkpoint_every
             todo = min(todo, boundary - done)
+        if cfg.recalibrate_every:
+            boundary = ((done // cfg.recalibrate_every) + 1) * cfg.recalibrate_every
+            todo = min(todo, boundary - done)
         base[0] = done
         state = sim.run(state, cfg.dt, todo, progress=report)
         done += todo
+        if (cfg.recalibrate_every and done % cfg.recalibrate_every == 0
+                and done < cfg.steps):
+            if sim.maybe_recalibrate(state):
+                print(f"  ... step {done}: scene outgrew the calibrated "
+                      f"caps — re-measured (k_near={sim._k_near})",
+                      flush=True)
         if cfg.checkpoint_every and done % cfg.checkpoint_every == 0:
             checkpoint.save(f"{cfg.checkpoint or 'state'}_{done}.npz", state,
                             scene=scene)

@@ -185,6 +185,13 @@ class Simulation:
         )
         self.acc_fn = _build_acc_fn(config, self._k_near)
         self._stepper = integrators.get_stepper(config.integrator)
+        self._build_jits()
+
+    def _build_jits(self):
+        """(Re)wrap the jitted entry points. Must run after every
+        acc_fn swap (calibrate): jit caches compiled traces by input
+        shapes only, so a re-calibration that changes the baked-in caps
+        would otherwise silently keep dispatching the stale closure."""
         self.step = jax.jit(self._step, donate_argnums=(0,))
         self._prime_jit = jax.jit(self._prime, donate_argnums=(0,))
         self._run_jit = jax.jit(
@@ -350,7 +357,32 @@ class Simulation:
             k_super=self._k_super, k_mid=self._k_mid,
             m1_src_tiles=self._m1_src, m2_src_tiles=self._m2_src,
         )
+        # re-wrap the jits: a RE-calibration (evolved scene) must not
+        # keep dispatching traces compiled against the old caps
+        self._build_jits()
         self._needs_calibration = False
+
+    def maybe_recalibrate(self, state: State, *, frac: float = 0.02) -> bool:
+        """Re-measure the scene and rebuild the step closures iff the
+        current caps have degraded: the near-overflow telemetry exceeds
+        `frac` of the cluster count. Calibration caps are measured from
+        a single snapshot (prime time); a scene that restructures —
+        collapsing core, merging clusters — can outgrow them, and
+        overflow then degrades near-field accuracy cluster by cluster
+        (counted, never unbounded). Callers with long rollouts
+        (run_headless --recalibrate) invoke this between chunks; the
+        re-trace costs one compile, so the threshold should stay well
+        above zero. Returns True when a re-calibration ran. The reference
+        rebuilds its octree every tick (barnes_hut/mod.rs:13-14), so its
+        caps can never go stale; this is the static-shape analogue."""
+        if self.config.resolved_algorithm() != "tree":
+            return False
+        h = self.health(state)
+        gg = h.get("clusters") or 1
+        if h.get("near_overflow", 0) <= frac * gg:
+            return False
+        self.calibrate(state)
+        return True
 
     def health(self, state: State) -> dict:
         """Tree telemetry (near-list overflow) computed with THIS

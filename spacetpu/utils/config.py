@@ -56,6 +56,7 @@ class RunConfig:
     checkpoint: Optional[str] = None  # save path
     restore: Optional[str] = None  # load path
     checkpoint_every: int = 0  # steps between checkpoints (0 = off)
+    recalibrate_every: int = 0  # steps between cap-degradation checks (0 = off)
     profile_dir: Optional[str] = None  # jax.profiler trace directory
 
     def to_json(self) -> str:
@@ -119,6 +120,12 @@ def build_parser() -> argparse.ArgumentParser:
                    type=int, default=d.tree_refresh_every,
                    help="steps between tree sort/near-list rebuilds inside"
                         " run() (1 = every step)")
+    p.add_argument("--recalibrate-every", dest="recalibrate_every",
+                   type=int, default=d.recalibrate_every,
+                   help="headless: every N steps check the tree overflow"
+                        " telemetry and re-measure the caps if the scene"
+                        " outgrew them (0 = off; costs a re-compile when"
+                        " it triggers)")
     p.add_argument("--run-chunk", dest="run_chunk", type=int,
                    default=d.run_chunk,
                    help="max device-side scan length per run() call (0 ="

@@ -321,3 +321,52 @@ def test_simulation_health_uses_calibrated_partition():
     # non-tree sims report nothing
     dsim = make_simulation(100, algorithm="direct", backend="xla")
     assert dsim.health(scene.state(dtype=jnp.float32)) == {}
+
+
+def test_maybe_recalibrate_after_scene_restructures():
+    """Caps are measured from one snapshot; a scene that restructures
+    (here: half the ball collapses into a dense core) can outgrow them,
+    and overflow then degrades near accuracy cluster by cluster.
+    maybe_recalibrate must detect the degradation through the telemetry,
+    re-measure, REBUILD the jitted closures (a stale jit cache would
+    silently keep the old caps), and bring overflow back to zero."""
+    from spacetpu import make_simulation
+    from spacetpu.state import make_state
+
+    n = 30_000
+    rng = np.random.default_rng(11)
+    u = rng.normal(size=(n, 3))
+    u /= np.linalg.norm(u, axis=-1, keepdims=True)
+    pos = u * rng.uniform(0, 1, size=(n, 1)) ** (1 / 3)
+    vel = np.zeros((n, 3))
+    mass = np.full(n, 1.0 / n)
+
+    sim = make_simulation(n, algorithm="tree", backend="xla",
+                          integrator="leapfrog", softening="plummer",
+                          eps=1e-2, g=1.0, theta=0.5, k_near="auto",
+                          near_mode="pairs")
+    sim.calibrate(make_state(pos, vel, mass, dtype=jnp.float32))
+    k0 = sim._k_near
+
+    # the scene restructures: most of the ball collapses into a core
+    # 50x denser than anything the calibration snapshot saw, so nearly
+    # every cluster ends up mutually near
+    pos2 = pos.copy()
+    pos2[: int(n * 0.9)] *= 0.02
+    evolved = make_state(pos2, vel, mass, dtype=jnp.float32)
+    assert sim.health(evolved)["near_overflow"] > 0
+
+    # an un-degraded scene must NOT trigger (no useless re-compiles)
+    ok = make_state(pos, vel, mass, dtype=jnp.float32)
+    assert sim.maybe_recalibrate(ok) is False
+    assert sim._k_near == k0
+
+    assert sim.maybe_recalibrate(evolved) is True
+    assert sim.health(evolved)["near_overflow"] == 0
+    # the rebuilt closures must actually run with the new caps
+    st = sim.step(make_state(pos2, vel, mass, dtype=jnp.float32),
+                  jnp.float32(1e-4))
+    assert bool(jnp.all(jnp.isfinite(st.pos)))
+    # direct sims have no caps to recalibrate
+    d = make_simulation(64, algorithm="direct", backend="xla")
+    assert d.maybe_recalibrate(ok) is False
