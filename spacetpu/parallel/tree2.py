@@ -727,3 +727,18 @@ class ShardedTreeSimulation:
         the shared global build) and halo-cap drops (global sum)."""
         d = self._diagnose(ts)
         return {k: int(v) for k, v in d.items()}
+
+    def maybe_recalibrate(self, ts: TreeShardedState, *,
+                          frac: float = 0.02) -> bool:
+        """Multi-chip analogue of Simulation.maybe_recalibrate: when the
+        overflow telemetry exceeds `frac` of the global cluster count,
+        re-measure the evolved scene and rebuild the jitted closures
+        (calibrate -> __post_init__) with the new worst-shard caps.
+        Returns True when a re-calibration ran (one re-compile)."""
+        d = self.diagnose(ts)
+        total = (d.get("near_overflow", 0) + d.get("halo_overflow", 0)
+                 + d.get("tile_overflow", 0))
+        if total <= frac * self._d * self._g_l:
+            return False
+        self.calibrate(ts)
+        return True

@@ -409,3 +409,45 @@ def test_tree2_run_chunk_forms_equal():
         outs.append(np.asarray(sim.user_order(ts).pos))
     np.testing.assert_array_equal(outs[0], outs[1])
     np.testing.assert_array_equal(outs[0], outs[2])
+
+
+def test_tree2_maybe_recalibrate_after_scene_restructures():
+    """Multi-chip cap-degradation recovery: collapsing most of the ball
+    into a dense core outgrows the prime-time caps; maybe_recalibrate
+    must detect it through the sharded telemetry, re-measure, and bring
+    the overflow back to zero through the rebuilt closures."""
+    d = 4
+    n = d * LEAF * 30
+    rng = np.random.default_rng(13)
+    u = rng.normal(size=(n, 3))
+    u /= np.linalg.norm(u, axis=-1, keepdims=True)
+    r = rng.uniform(0, 1, size=(n, 1))
+    pos = u * r ** (1 / 3)  # uniform ball: moderate tile totals
+    vel = np.zeros((n, 3))
+    mass = np.full(n, 1.0 / n)
+    mesh = ring.make_mesh(d)
+    # pairs mode: the statically-capped near-tile totals are the caps an
+    # evolving scene outgrows first (at this small G the k_near cap is
+    # already the full cluster count and cannot be exceeded)
+    sim = tree2.ShardedTreeSimulation(
+        mesh, n, theta=0.5, softening="plummer", eps=1e-2, g=1.0,
+        backend="xla", near_mode="pairs", multipole_order=2, far_levels=2,
+    )
+    ts = sim.prime(sim.shard_state(make_state(pos, vel, mass,
+                                              dtype=jnp.float32)))
+    assert sim.maybe_recalibrate(ts) is False  # healthy scene: no-op
+    t0 = sim.near_tiles
+
+    # heavy core + sparse tail: a density-contrast restructuring (the
+    # self-similar "collapse everything" case does NOT bust equal-count
+    # caps — cluster sizes adapt; the long tail is what does)
+    pos2 = u * r ** 3 * 4.0
+    ts2 = sim.prime(sim.shard_state(make_state(pos2, vel, mass,
+                                               dtype=jnp.float32)))
+    assert sim.diagnose(ts2)["tile_overflow"] > 0
+    assert sim.maybe_recalibrate(ts2) is True
+    assert sim.near_tiles > t0
+    d2 = sim.diagnose(ts2)
+    assert d2["near_overflow"] == 0 and d2["tile_overflow"] == 0
+    ts2 = sim.step(ts2, jnp.float32(1e-4))
+    assert bool(jnp.all(jnp.isfinite(ts2.state.pos)))
