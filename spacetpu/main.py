@@ -34,7 +34,8 @@ def build_scene(cfg: RunConfig) -> Scene:
         )
     if cfg.preset in ("fixed_cloud", "fixed_shell"):
         return fn(cfg.n)
-    if cfg.preset in ("random_cluster", "plummer_sphere"):
+    if cfg.preset in ("random_cluster", "plummer_sphere",
+                      "colliding_plummers"):
         return fn(cfg.n, seed=cfg.seed)
     if cfg.preset == "earth_sun_mars_ast":
         return fn(cfg.n, seed=cfg.seed)

@@ -336,6 +336,29 @@ def earth_sun_mars_big_boy() -> Scene:
     )
 
 
+def colliding_plummers(n: int, *, seed: int = 0, a: float = 1.0,
+                       separation: float = 6.0, v_rel: float = 0.5) -> Scene:
+    """Two Plummer spheres (each M=1/2, scale a) on a head-on approach —
+    a merger scene whose density structure changes qualitatively over the
+    rollout, the workload auto-recalibration exists for
+    (Simulation.maybe_recalibrate / --recalibrate-every). New in the TPU
+    build; natural units (G=1)."""
+    n1 = n // 2
+    s1 = plummer_sphere(n1, seed=seed, a=a)
+    s2 = plummer_sphere(n - n1, seed=seed + 1, a=a)
+    dx = np.array([separation / 2, 0.0, 0.0])
+    dv = np.array([v_rel / 2, 0.0, 0.0])
+    return Scene(
+        names=[f"a{k}" for k in range(n1)] + [f"b{k}" for k in range(n - n1)],
+        colors=np.concatenate([s1.colors, s2.colors]),
+        radii=np.concatenate([s1.radii, s2.radii]),
+        pos=np.concatenate([s1.pos - dx, s2.pos + dx]),
+        vel=np.concatenate([s1.vel + dv, s2.vel - dv]),
+        mass=np.concatenate([s1.mass, s2.mass]) * 0.5,
+        g=1.0,
+    )
+
+
 PRESETS = {
     "earth_sun_basic": earth_sun_basic,
     "earth_sun_mars": earth_sun_mars,
@@ -345,4 +368,5 @@ PRESETS = {
     "fixed_shell": fixed_shell,
     "random_cluster": random_cluster,
     "plummer_sphere": plummer_sphere,
+    "colliding_plummers": colliding_plummers,
 }

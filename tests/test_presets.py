@@ -177,3 +177,14 @@ def test_random_cluster_and_plummer():
 def test_registry():
     for name in ["fixed_cloud", "fixed_shell", "random_cluster"]:
         assert name in presets.PRESETS
+
+def test_colliding_plummers():
+    sc = presets.colliding_plummers(600, seed=3)
+    assert sc.n == 600
+    np.testing.assert_allclose(sc.mass.sum(), 1.0, rtol=1e-12)
+    # two clumps approaching each other along x, net momentum zero
+    np.testing.assert_allclose((sc.mass[:, None] * sc.vel).sum(0), 0.0,
+                               atol=1e-12)
+    a, b = sc.pos[:300], sc.pos[300:]
+    assert a[:, 0].mean() < -1.0 and b[:, 0].mean() > 1.0
+    assert sc.vel[:300, 0].mean() > 0.1 and sc.vel[300:, 0].mean() < -0.1
