@@ -48,8 +48,14 @@ class Exchange:
     (batch_request.rs:10-63): should_store (CAS), store/sample (snapshot),
     current_ticks, delta/set_delta (live dt)."""
 
-    def __init__(self, n_objects: int, delta: float = constants.DELTA):
-        self._sample = np.zeros((n_objects, 3), np.float32)
+    def __init__(self, n_objects: int, delta: float = constants.DELTA,
+                 initial=None):
+        # seed the snapshot with the initial positions when given: the
+        # frontend's first frame renders before the sim thread's first
+        # store, and a zeroed buffer would draw the scene as one dot
+        self._sample = (np.array(initial, np.float32, copy=True)
+                        if initial is not None
+                        else np.zeros((n_objects, 3), np.float32))
         self._lock = threading.Lock()
         self._should_sample = True
         self._tick = 0
@@ -168,7 +174,8 @@ class SimEngine:
                  delta: float = constants.DELTA,
                  check_interval: int = constants.CHECK_INTERVAL):
         self.sim = sim
-        self.exchange = Exchange(state.n, delta)
+        self.exchange = Exchange(state.n, delta,
+                                 initial=np.asarray(state.pos, np.float32))
         self._stop = threading.Event()
         self._state0 = state
         self.final_state: Optional[State] = None

@@ -346,13 +346,21 @@ def colliding_plummers(n: int, *, seed: int = 0, a: float = 1.0,
     n1 = n // 2
     s1 = plummer_sphere(n1, seed=seed, a=a)
     s2 = plummer_sphere(n - n1, seed=seed + 1, a=a)
+
+    def _truncate(pos, r_max=8.0 * a):
+        # truncate each halo (the Plummer tail is unbounded; standard
+        # practice for merger ICs, and it keeps the pair visually and
+        # dynamically distinct at the chosen separation)
+        r = np.linalg.norm(pos, axis=-1, keepdims=True)
+        return pos * np.minimum(1.0, r_max / np.maximum(r, 1e-12))
+
     dx = np.array([separation / 2, 0.0, 0.0])
     dv = np.array([v_rel / 2, 0.0, 0.0])
     return Scene(
         names=[f"a{k}" for k in range(n1)] + [f"b{k}" for k in range(n - n1)],
         colors=np.concatenate([s1.colors, s2.colors]),
         radii=np.concatenate([s1.radii, s2.radii]),
-        pos=np.concatenate([s1.pos - dx, s2.pos + dx]),
+        pos=np.concatenate([_truncate(s1.pos) - dx, _truncate(s2.pos) + dx]),
         vel=np.concatenate([s1.vel + dv, s2.vel - dv]),
         mass=np.concatenate([s1.mass, s2.mass]) * 0.5,
         g=1.0,

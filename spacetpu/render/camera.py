@@ -139,12 +139,18 @@ class Camera:
             rot = _axis_angle(self.up, ang)
             self.eye = self.target + rot @ (-look)
 
-    def frame_scene(self, positions: np.ndarray, fill: float = 0.7):
-        """Place the camera so the whole scene is visible (new — the
-        reference starts at eye=(0,0,2) regardless of scene extent,
-        camera.rs:44, leaving e.g. fixed_cloud mostly off-screen)."""
+    def frame_scene(self, positions: np.ndarray, fill: float = 0.7,
+                    quantile: float = 0.995):
+        """Place the camera so the scene's visible mass fills the frame
+        (new — the reference starts at eye=(0,0,2) regardless of scene
+        extent, camera.rs:44, leaving e.g. fixed_cloud mostly
+        off-screen). Frames to the `quantile` body radius rather than the
+        max: heavy-tailed scenes (a Plummer halo is unbounded) would
+        otherwise zoom out to their single farthest straggler and render
+        the cluster as one dot."""
         center = positions.mean(axis=0)
-        radius = float(np.linalg.norm(positions - center, axis=-1).max())
+        r = np.linalg.norm(positions - center, axis=-1)
+        radius = float(np.quantile(r, quantile)) if len(r) > 1 else float(r[0])
         radius = max(radius, 1e-6)
         # The projection scales y by e*aspect (camera.rs convention), so the
         # vertical half-FOV tangent is tan(fovy/2)/aspect: for aspect > 1

@@ -82,7 +82,10 @@ class FrameSource:
         self.colors = jnp.asarray(scene.colors, jnp.float32)
         self.radii = jnp.asarray(scene.radii, jnp.float32)
         self.info = InfoPanel()
-        self._latest_positions = np.zeros((scene.n, 3), np.float32)
+        # start from the scene's own positions: the first frames render
+        # before the sim thread publishes its first sample, and an
+        # all-zeros buffer would draw every body as one dot at the origin
+        self._latest_positions = np.asarray(scene.pos, np.float32).copy()
         if blend not in ("auto", "ordered", "additive"):
             raise ValueError(f"unknown blend mode {blend!r}")
         # depth-ordered alpha-over for few-body scenes (opaque planets);
