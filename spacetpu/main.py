@@ -98,12 +98,118 @@ def build_engine(cfg: RunConfig, scene: Scene, state: State) -> SimEngine:
     return SimEngine(sim, state, delta=cfg.dt)
 
 
+def _run_headless_sharded(cfg: RunConfig, scene: Scene, state: State):
+    """--frontend none --shard D: body-sharded batch run over a D-device
+    mesh — direct via the ppermute ring (parallel/ring.py), tree via the
+    O(N/D) sharded tree (parallel/tree2.py). N is zero-mass padded to the
+    shard grain (make_state pad_to); diagnostics run on the user-order
+    result, where padding bodies are massless and contribute nothing."""
+    import time
+
+    from spacetpu.ops import energy, tree as tree_ops
+    from spacetpu.parallel import ring, tree2
+    from spacetpu.state import make_state
+    from spacetpu.utils.metrics import ThroughputTracker, compute_elapsed_time
+
+    d = cfg.shard
+    mesh = ring.make_mesh(d)
+    algo = cfg.algorithm
+    if algo == "auto":
+        algo = "tree" if state.n > constants.BARNES_HUT_CUTOFF else "direct"
+    dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+    eps_diag = cfg.eps if cfg.eps is not None else 0.0
+    tree_kw = _cfg_tree_kwargs(cfg)
+    if algo == "tree":
+        order = cfg.multipole_order
+        if order == "auto":
+            order = 2 if cfg.softening == "plummer" else 1
+        n_pad = tree2.required_n(state.n, d, far_levels=2)
+        # pad to the SUPER grain when the 3-level far field will engage
+        # (mirrors tree2's far_levels="auto" resolution)
+        if str(cfg.far_levels) == "3" or (
+            cfg.far_levels == "auto" and int(order) == 2
+            and n_pad // tree_ops.LEAF >= tree_ops.FAR3_CUTOFF
+        ):
+            n_pad = tree2.required_n(state.n, d, far_levels=3)
+        sim = tree2.ShardedTreeSimulation(
+            mesh, n_pad, theta=cfg.theta, softening=cfg.softening,
+            eps=cfg.eps, g=scene.g, integrator=cfg.integrator,
+            backend=cfg.backend, multipole_order=cfg.multipole_order,
+            far_levels=cfg.far_levels,
+            k_near=tree_kw.get("k_near") if isinstance(
+                tree_kw.get("k_near"), int) else None,
+            run_chunk=cfg.run_chunk or None,
+        )
+    else:
+        n_pad = -(-state.n // d) * d
+        sim = ring.ShardedSimulation(
+            mesh, n_pad, softening=cfg.softening, eps=cfg.eps, g=scene.g,
+            integrator=cfg.integrator, backend=cfg.backend,
+        )
+    print(f"sharding N={state.n} (padded to {n_pad}) over {d} devices "
+          f"({algo})", flush=True)
+    st = make_state(state.pos, state.vel, state.mass, dtype=dtype,
+                    pad_to=n_pad)
+    e0 = float(energy.total_energy(st.pos, st.vel, st.mass,
+                                   softening=cfg.softening, eps=eps_diag,
+                                   g=scene.g))
+    t0 = time.perf_counter()
+    if algo == "tree":
+        ts = sim.prime(sim.shard_state(st))
+        done = 0
+        while done < cfg.steps:
+            todo = cfg.steps - done
+            if cfg.recalibrate_every:
+                boundary = ((done // cfg.recalibrate_every) + 1
+                            ) * cfg.recalibrate_every
+                todo = min(todo, boundary - done)
+            ts = sim.run(ts, cfg.dt, todo)
+            done += todo
+            if (cfg.recalibrate_every and done < cfg.steps
+                    and done % cfg.recalibrate_every == 0):
+                if sim.maybe_recalibrate(ts):
+                    print(f"  ... step {done}: scene outgrew the "
+                          f"calibrated caps — re-measured "
+                          f"(k_near={sim.k_near})", flush=True)
+        final = sim.user_order(ts)
+        telemetry = sim.diagnose(ts)
+    else:
+        st = sim.prime(sim.shard_state(st))
+        st = sim.run(st, cfg.dt, cfg.steps)
+        final = st
+        telemetry = None
+    e1 = float(energy.total_energy(final.pos, final.vel, final.mass,
+                                   softening=cfg.softening, eps=eps_diag,
+                                   g=scene.g))
+    wall = time.perf_counter() - t0
+    rate = ThroughputTracker(n_pad).rate(cfg.steps, wall)
+    print(f"{cfg.steps} steps of N={n_pad} on {d} devices in {wall:.2f}s "
+          f"({rate['steps_per_sec']:.2f} steps/s, "
+          f"{rate['pairs_per_sec']:.3e} pairs/s)")
+    if telemetry is not None:
+        print(f"tree telemetry: {telemetry}")
+    print(f"simulated: {compute_elapsed_time(cfg.steps, cfg.dt)}")
+    if e0 != 0.0:
+        print(f"relative energy drift: {(e1 - e0) / abs(e0):.3e}")
+    else:
+        print(f"absolute energy drift: {e1 - e0:.3e} (E0 = 0)")
+    if cfg.checkpoint:
+        # scene metadata is n-sized; skip it when the state was padded
+        checkpoint.save(cfg.checkpoint, final,
+                        scene=scene if n_pad == scene.n else None,
+                        extra={"steps": cfg.steps, "dt": cfg.dt})
+        print(f"checkpoint written to {cfg.checkpoint}")
+
+
 def run_headless(cfg: RunConfig, scene: Scene, state: State):
     """--frontend none: batch stepping with metrics, checkpoints, profile."""
     import time
 
     from spacetpu.ops import energy
     from spacetpu.utils.metrics import ThroughputTracker, compute_elapsed_time
+
+    if cfg.shard:
+        return _run_headless_sharded(cfg, scene, state)
 
     sim = make_simulation(
         state.n, algorithm=cfg.algorithm, backend=cfg.backend,

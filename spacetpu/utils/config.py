@@ -57,6 +57,7 @@ class RunConfig:
     restore: Optional[str] = None  # load path
     checkpoint_every: int = 0  # steps between checkpoints (0 = off)
     recalibrate_every: int = 0  # steps between cap-degradation checks (0 = off)
+    shard: int = 0  # headless: shard bodies over a D-device mesh (0 = off)
     profile_dir: Optional[str] = None  # jax.profiler trace directory
 
     def to_json(self) -> str:
@@ -120,6 +121,11 @@ def build_parser() -> argparse.ArgumentParser:
                    type=int, default=d.tree_refresh_every,
                    help="steps between tree sort/near-list rebuilds inside"
                         " run() (1 = every step)")
+    p.add_argument("--shard", type=int, default=d.shard,
+                   help="headless: run body-sharded over a D-device mesh"
+                        " (direct -> ppermute ring, tree -> the O(N/D)"
+                        " sharded tree; N is zero-mass padded to the"
+                        " shard grain; 0 = single-device)")
     p.add_argument("--recalibrate-every", dest="recalibrate_every",
                    type=int, default=d.recalibrate_every,
                    help="headless: every N steps check the tree overflow"

@@ -448,3 +448,23 @@ def test_window_viewer_headless():
 
 # needed by test_window_viewer_headless / test_frame_source tests
 from spacetpu.render.viewer import FrameSource  # noqa: E402
+
+
+def test_cli_sharded_headless():
+    """--shard D runs the body-sharded headless path end-to-end on the
+    virtual mesh: ppermute ring for direct, the O(N/D) sharded tree
+    (auto-calibrated, telemetry printed) for tree; N is zero-mass padded
+    to the shard grain."""
+    from spacetpu.main import main
+
+    main([
+        "--preset", "plummer_sphere", "--n", "250", "--frontend", "none",
+        "--steps", "3", "--algorithm", "direct", "--dt", "1e-3",
+        "--eps", "1e-2", "--shard", "8",
+    ])
+    main([
+        "--preset", "plummer_sphere", "--n", "1200", "--frontend", "none",
+        "--steps", "3", "--algorithm", "tree", "--k-near", "auto",
+        "--dt", "1e-3", "--eps", "1e-2", "--shard", "2",
+        "--recalibrate-every", "2",
+    ])
