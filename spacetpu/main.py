@@ -131,11 +131,15 @@ def _run_headless_sharded(cfg: RunConfig, scene: Scene, state: State):
             and n_pad // tree_ops.LEAF >= tree_ops.FAR3_CUTOFF
         ):
             n_pad = tree2.required_n(state.n, d, far_levels=3)
+        if cfg.leaf != "auto" or cfg.cluster_mode != "auto":
+            print("note: --leaf/--cluster-mode apply to the single-chip "
+                  "tree only; the sharded tree uses LEAF-body equal-count "
+                  "clusters", flush=True)
         sim = tree2.ShardedTreeSimulation(
             mesh, n_pad, theta=cfg.theta, softening=cfg.softening,
             eps=cfg.eps, g=scene.g, integrator=cfg.integrator,
             backend=cfg.backend, multipole_order=cfg.multipole_order,
-            far_levels=cfg.far_levels,
+            far_levels=cfg.far_levels, near_mode=cfg.near_mode,
             k_near=tree_kw.get("k_near") if isinstance(
                 tree_kw.get("k_near"), int) else None,
             run_chunk=cfg.run_chunk or None,
