@@ -113,6 +113,13 @@ def _run_headless_sharded(cfg: RunConfig, scene: Scene, state: State):
 
     d = cfg.shard
     mesh = ring.make_mesh(d)
+    if mesh.devices.size != d:
+        # make_mesh silently clamps to the available devices; padding and
+        # reporting would then all claim the wrong D
+        raise SystemExit(
+            f"--shard {d} but only {mesh.devices.size} devices are "
+            f"available ({[str(x) for x in jax.devices()]})"
+        )
     algo = cfg.algorithm
     if algo == "auto":
         algo = "tree" if state.n > constants.BARNES_HUT_CUTOFF else "direct"
@@ -153,20 +160,33 @@ def _run_headless_sharded(cfg: RunConfig, scene: Scene, state: State):
     print(f"sharding N={state.n} (padded to {n_pad}) over {d} devices "
           f"({algo})", flush=True)
     st = make_state(state.pos, state.vel, state.mass, dtype=dtype,
-                    pad_to=n_pad)
+                    pad_to=n_pad, compensated=cfg.compensated)
     e0 = float(energy.total_energy(st.pos, st.vel, st.mass,
                                    softening=cfg.softening, eps=eps_diag,
                                    g=scene.g))
+    if cfg.profile_dir:
+        jax.profiler.start_trace(cfg.profile_dir)
     t0 = time.perf_counter()
+
+    def next_todo(done):
+        todo = cfg.steps - done
+        for every in (cfg.recalibrate_every, cfg.checkpoint_every):
+            if every:
+                todo = min(todo, ((done // every) + 1) * every - done)
+        return todo
+
+    def at_boundaries(done, snapshot_fn):
+        if (cfg.checkpoint_every and done % cfg.checkpoint_every == 0
+                and done < cfg.steps):
+            checkpoint.save(f"{cfg.checkpoint or 'state'}_{done}.npz",
+                            snapshot_fn(), scene=None,
+                            extra={"steps": done, "dt": cfg.dt})
+
     if algo == "tree":
         ts = sim.prime(sim.shard_state(st))
         done = 0
         while done < cfg.steps:
-            todo = cfg.steps - done
-            if cfg.recalibrate_every:
-                boundary = ((done // cfg.recalibrate_every) + 1
-                            ) * cfg.recalibrate_every
-                todo = min(todo, boundary - done)
+            todo = next_todo(done)
             ts = sim.run(ts, cfg.dt, todo)
             done += todo
             if (cfg.recalibrate_every and done < cfg.steps
@@ -175,19 +195,30 @@ def _run_headless_sharded(cfg: RunConfig, scene: Scene, state: State):
                     print(f"  ... step {done}: scene outgrew the "
                           f"calibrated caps — re-measured "
                           f"(k_near={sim.k_near})", flush=True)
+            at_boundaries(done, lambda: sim.user_order(ts))
         final = sim.user_order(ts)
         telemetry = sim.diagnose(ts)
     else:
         st = sim.prime(sim.shard_state(st))
-        st = sim.run(st, cfg.dt, cfg.steps)
+        done = 0
+        while done < cfg.steps:
+            todo = next_todo(done)
+            st = sim.run(st, cfg.dt, todo)
+            done += todo
+            at_boundaries(done, lambda: st)
         final = st
         telemetry = None
     e1 = float(energy.total_energy(final.pos, final.vel, final.mass,
                                    softening=cfg.softening, eps=eps_diag,
                                    g=scene.g))
     wall = time.perf_counter() - t0
-    rate = ThroughputTracker(n_pad).rate(cfg.steps, wall)
-    print(f"{cfg.steps} steps of N={n_pad} on {d} devices in {wall:.2f}s "
+    if cfg.profile_dir:
+        jax.profiler.stop_trace()
+    # throughput against the REAL body count: padding bodies are dead
+    # weight, and the figure must stay comparable to the single-chip path
+    rate = ThroughputTracker(state.n).rate(cfg.steps, wall)
+    print(f"{cfg.steps} steps of N={state.n} (padded {n_pad}) on {d} "
+          f"devices in {wall:.2f}s "
           f"({rate['steps_per_sec']:.2f} steps/s, "
           f"{rate['pairs_per_sec']:.3e} pairs/s)")
     if telemetry is not None:

@@ -346,6 +346,11 @@ def colliding_plummers(n: int, *, seed: int = 0, a: float = 1.0,
     n1 = n // 2
     s1 = plummer_sphere(n1, seed=seed, a=a)
     s2 = plummer_sphere(n - n1, seed=seed + 1, a=a)
+    # each sphere's mass is halved below (total M=1), so its internal
+    # velocities must scale by sqrt(1/2) (v ~ sqrt(G*M)) to stay a bound
+    # virial equilibrium — at M=1 speeds each sphere would sit at
+    # 2T/|W| = 2 and evaporate during the approach
+    vscale = math.sqrt(0.5)
 
     def _truncate(pos, r_max=8.0 * a):
         # truncate each halo (the Plummer tail is unbounded; standard
@@ -361,7 +366,7 @@ def colliding_plummers(n: int, *, seed: int = 0, a: float = 1.0,
         colors=np.concatenate([s1.colors, s2.colors]),
         radii=np.concatenate([s1.radii, s2.radii]),
         pos=np.concatenate([_truncate(s1.pos) - dx, _truncate(s2.pos) + dx]),
-        vel=np.concatenate([s1.vel + dv, s2.vel - dv]),
+        vel=np.concatenate([s1.vel * vscale + dv, s2.vel * vscale - dv]),
         mass=np.concatenate([s1.mass, s2.mass]) * 0.5,
         g=1.0,
     )

@@ -343,6 +343,12 @@ class Simulation:
                     measure_mid=need_mid(gg_run),
                 )
             self._gg = gg_run
+        else:
+            # a RE-calibration may resolve back to "equal" after a prior
+            # adaptive pass; the shrunk adaptive cluster cap must not leak
+            # into the equal partition (stale-_gg bug: the equal rebuild
+            # would overflow a too-small cap and silently degrade forces)
+            self._gg = None
         if not isinstance(cfg.k_near, int):
             self._k_near = m["k_near"]
         self._near_tiles = m["near_tiles"]
@@ -377,11 +383,28 @@ class Simulation:
         caps can never go stale; this is the static-shape analogue."""
         if self.config.resolved_algorithm() != "tree":
             return False
+        if getattr(self, "_recal_exhausted", False):
+            return False
         h = self.health(state)
         gg = h.get("clusters") or 1
         if h.get("near_overflow", 0) <= frac * gg:
             return False
         self.calibrate(state)
+        # An explicit integer k_near is pinned (calibrate never widens
+        # it), so overflow driven by a too-small user cap cannot converge
+        # — detect that and stop re-triggering, or every later check
+        # would pay a full re-measure + re-compile for nothing.
+        h2 = self.health(state)
+        if h2.get("near_overflow", 0) > frac * (h2.get("clusters") or 1):
+            import warnings
+
+            warnings.warn(
+                "recalibration could not clear the near-list overflow "
+                f"(k_near={self._k_near} is explicit and pinned); "
+                "auto-recalibration disabled for this simulation",
+                stacklevel=2,
+            )
+            self._recal_exhausted = True
         return True
 
     def health(self, state: State) -> dict:

@@ -370,3 +370,30 @@ def test_maybe_recalibrate_after_scene_restructures():
     # direct sims have no caps to recalibrate
     d = make_simulation(64, algorithm="direct", backend="xla")
     assert d.maybe_recalibrate(ok) is False
+
+
+def test_recalibrate_adaptive_to_equal_resets_gg(monkeypatch):
+    """A RE-calibration that resolves cluster_mode auto back to "equal"
+    after a prior adaptive pass must drop the shrunk adaptive cluster
+    cap: a stale _gg would make the equal rebuild overflow a too-small
+    cap and silently degrade forces."""
+    from spacetpu import make_simulation
+
+    n = 4_000
+    eq_heavy = dict(k_near=16, near_tiles=32, near_tiles_q=8, n_clusters=16)
+    ad = dict(k_near=24, near_tiles=16, near_tiles_q=6, n_clusters=20)
+    monkeypatch.setattr(tree, "measure_near", _fake_measures(eq_heavy, ad))
+    sim = make_simulation(n, algorithm="tree", backend="xla", g=1.0,
+                          theta=0.5, cluster_mode="auto", near_mode="pairs",
+                          k_near="auto")
+    st = presets.fixed_cloud(n).state(dtype=jnp.float32)
+    sim.calibrate(st)
+    assert sim._cluster_mode == "adaptive" and sim._gg is not None
+
+    # the evolved scene measures equal-friendly (no heavy tail)
+    eq_light = dict(k_near=12, near_tiles=8, near_tiles_q=4, n_clusters=16)
+    monkeypatch.setattr(tree, "measure_near",
+                        _fake_measures(eq_light, eq_light))
+    sim.calibrate(st)
+    assert sim._cluster_mode == "equal"
+    assert sim._gg is None  # the adaptive cap must not leak
