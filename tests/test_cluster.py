@@ -397,3 +397,32 @@ def test_recalibrate_adaptive_to_equal_resets_gg(monkeypatch):
     sim.calibrate(st)
     assert sim._cluster_mode == "equal"
     assert sim._gg is None  # the adaptive cap must not leak
+
+
+def test_maybe_recalibrate_pinned_k_near_disables(monkeypatch):
+    """With an explicit (pinned) k_near, recalibration cannot widen the
+    cap, so an uncleared overflow must disable further auto checks
+    (warning once) instead of paying a re-measure + re-compile at every
+    boundary forever."""
+    import warnings
+
+    from spacetpu import make_simulation
+    from spacetpu.state import make_state
+
+    n = 30_000
+    rng = np.random.default_rng(17)
+    u = rng.normal(size=(n, 3))
+    u /= np.linalg.norm(u, axis=-1, keepdims=True)
+    r = rng.uniform(0, 1, size=(n, 1))
+    pos = u * r ** 3 * 4.0  # heavy core + sparse tail: dense near lists
+    st = make_state(pos, np.zeros((n, 3)), np.full(n, 1.0 / n),
+                    dtype=jnp.float32)
+    sim = make_simulation(n, algorithm="tree", backend="xla",
+                          softening="plummer", eps=1e-2, g=1.0, theta=0.5,
+                          k_near=8, near_mode="pairs")
+    assert sim.health(st)["near_overflow"] > 0
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert sim.maybe_recalibrate(st) is True  # ran, couldn't clear
+        assert any("pinned" in str(x.message) for x in w)
+    assert sim.maybe_recalibrate(st) is False  # disabled, no more churn
