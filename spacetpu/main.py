@@ -52,6 +52,23 @@ def resolve_state(cfg: RunConfig, scene: Scene) -> "tuple[State, Scene]":
     state, ck_scene, _ = checkpoint.load(cfg.restore, dtype=dtype)
     if ck_scene is not None:
         scene = ck_scene
+        if state.n > scene.n:
+            # a --shard run checkpoints its zero-mass pad rows (the state
+            # was padded to the shard grain); they are inert, so trim them
+            # back so engine/exchange/viewer sizing matches the scene
+            n_old, n_new = state.n, scene.n
+
+            def _trim(v):
+                if (v is not None and getattr(v, "ndim", 0) >= 1
+                        and v.shape[0] == n_old):
+                    return v[:n_new]
+                return v
+
+            state = State(pos=_trim(state.pos), vel=_trim(state.vel),
+                          mass=_trim(state.mass), acc=_trim(state.acc),
+                          pos_c=_trim(state.pos_c), vel_c=_trim(state.vel_c),
+                          time=state.time,
+                          n_active=jnp.asarray(n_new, jnp.int32))
     if state.n != scene.n:
         raise SystemExit(
             f"--restore state has {state.n} bodies but the scene "
@@ -229,9 +246,9 @@ def _run_headless_sharded(cfg: RunConfig, scene: Scene, state: State):
     else:
         print(f"absolute energy drift: {e1 - e0:.3e} (E0 = 0)")
     if cfg.checkpoint:
-        # scene metadata is n-sized; skip it when the state was padded
-        checkpoint.save(cfg.checkpoint, final,
-                        scene=scene if n_pad == scene.n else None,
+        # scene metadata stays n-sized; checkpoint.load trims the padded
+        # state rows back to the metadata length on restore
+        checkpoint.save(cfg.checkpoint, final, scene=scene,
                         extra={"steps": cfg.steps, "dt": cfg.dt})
         print(f"checkpoint written to {cfg.checkpoint}")
 

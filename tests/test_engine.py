@@ -468,3 +468,17 @@ def test_cli_sharded_headless():
         "--dt", "1e-3", "--eps", "1e-2", "--shard", "2",
         "--recalibrate-every", "2",
     ])
+
+
+def test_cli_sharded_checkpoint_restores_single_chip(tmp_path):
+    """A --shard run checkpoints its grain-padded state with the n-sized
+    scene metadata; restoring it single-chip must trim the inert zero-mass
+    pad rows back to the scene's body count and continue."""
+    from spacetpu.main import main
+
+    ck = str(tmp_path / "padded.npz")
+    common = ["--preset", "plummer_sphere", "--n", "1200", "--frontend",
+              "none", "--algorithm", "tree", "--k-near", "auto",
+              "--dt", "1e-3", "--eps", "1e-2"]
+    main(common + ["--steps", "2", "--shard", "2", "--checkpoint", ck])
+    main(common + ["--steps", "2", "--restore", ck])
