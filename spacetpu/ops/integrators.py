@@ -25,7 +25,7 @@ from spacetpu.state import State
 
 AccFn = Callable[..., jnp.ndarray]  # (pos, mass) -> acc
 
-INTEGRATORS = ("euler", "leapfrog")
+INTEGRATORS = ("euler", "leapfrog", "yoshida4")
 
 
 def _comp_add(x, c, dx):
@@ -76,6 +76,34 @@ def step_leapfrog(state: State, dt, acc_fn: AccFn) -> State:
     )
 
 
+# Yoshida (1990) 4th-order coefficients: the unique symmetric 3-stage
+# composition S(w1*dt) S(w0*dt) S(w1*dt) of a 2nd-order symmetric stepper
+# that cancels the leading error term. w1 + w0 + w1 == 1 exactly in reals
+# (w0 = 1 - 2*w1); the f32/f64 cast happens per-substep below.
+_Y4_W1 = 1.0 / (2.0 - 2.0 ** (1.0 / 3.0))   # ~ +1.3512071919596578
+_Y4_W0 = 1.0 - 2.0 * _Y4_W1                 # ~ -1.7024143839193153
+
+
+def step_yoshida4(state: State, dt, acc_fn: AccFn) -> State:
+    """4th-order symplectic (Yoshida) step: three leapfrog KDK substeps with
+    weights (w1, w0, w1). Costs 3 force evaluations per step but the energy
+    error scales as dt^4 (vs leapfrog's dt^2), so for tight drift budgets a
+    ~3x larger dt more than pays for the extra passes. Same acc-cache
+    contract as leapfrog: run `prime` before the first step of a rollout.
+
+    The middle substep integrates *backwards* (w0 < 0) — this is inherent
+    to all order>2 symplectic compositions (Suzuki's no-go theorem), not a
+    bug. Time is advanced by exactly ``dt`` (not the rounded sum of the
+    substep weights).
+    """
+    dt = jnp.asarray(dt, state.pos.dtype)
+    t0 = state.time
+    s = state if t0 is None else state._replace(time=None)
+    for w in (_Y4_W1, _Y4_W0, _Y4_W1):
+        s = step_leapfrog(s, dt * w, acc_fn)
+    return s if t0 is None else s._replace(time=t0 + dt)
+
+
 def prime(state: State, acc_fn: AccFn) -> State:
     """Populate ``state.acc`` with the acceleration at the current positions
     (needed before the first leapfrog step)."""
@@ -87,4 +115,6 @@ def get_stepper(name: str):
         return step_euler
     if name == "leapfrog":
         return step_leapfrog
+    if name == "yoshida4":
+        return step_yoshida4
     raise ValueError(f"unknown integrator {name!r} (want one of {INTEGRATORS})")

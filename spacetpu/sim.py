@@ -70,7 +70,7 @@ class SimConfig:
     n: int
     algorithm: str = "auto"  # direct | tree | auto (N-based, event_loop.rs:334-340)
     backend: str = "auto"  # pallas | xla | auto (platform-based)
-    integrator: str = "leapfrog"  # leapfrog | euler (reference-compatible)
+    integrator: str = "leapfrog"  # leapfrog | euler (ref-compatible) | yoshida4
     softening: str = "plummer"  # plummer | ref (reference-compatible)
     eps: float | None = None  # None -> COLLISION_EPSILON for "ref", 0 for plummer
     g: float = constants.G

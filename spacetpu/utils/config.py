@@ -84,7 +84,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", default=d.backend,
                    choices=["auto", "xla", "pallas"])
     p.add_argument("--integrator", default=d.integrator,
-                   choices=["leapfrog", "euler"])
+                   choices=["leapfrog", "euler", "yoshida4"])
     p.add_argument("--softening", default=d.softening,
                    choices=["plummer", "ref"])
     p.add_argument("--eps", type=float, default=None,

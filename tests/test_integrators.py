@@ -70,6 +70,58 @@ def test_leapfrog_two_body_energy():
     assert lf < eu / 10
 
 
+def _two_body_drift(integrator, dt, steps):
+    """|E(t_end)-E0|/|E0| for the eccentric (e=0.36) two-body orbit."""
+    pos = jnp.asarray([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0]], jnp.float64)
+    vel = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 0.8, 0.0]], jnp.float64)
+    mass = jnp.asarray([1.0, 1e-9], jnp.float64)
+    sim = make_simulation(
+        2, algorithm="direct", backend="xla", integrator=integrator,
+        softening="plummer", eps=0.0, g=1.0,
+    )
+    st = make_state(pos, vel, mass, dtype=jnp.float64)
+    st = sim.prime(st)
+    e0 = float(energy.total_energy(st.pos, st.vel, st.mass, g=1.0))
+    st = sim.run(st, dt, steps)
+    e1 = float(energy.total_energy(st.pos, st.vel, st.mass, g=1.0))
+    return abs((e1 - e0) / e0)
+
+
+def test_yoshida4_beats_leapfrog():
+    """At the same dt, the 4th-order composition's energy error must be
+    orders of magnitude below leapfrog's (dt^4 vs dt^2)."""
+    y4 = _two_body_drift("yoshida4", 4e-3, 1000)
+    lf = _two_body_drift("leapfrog", 4e-3, 1000)
+    assert y4 < lf / 100
+    assert y4 < 1e-9
+
+
+def test_yoshida4_convergence_order():
+    """Halving dt (same total time) must shrink the energy error ~16x;
+    accept anything clearly beyond leapfrog's 4x."""
+    coarse = _two_body_drift("yoshida4", 8e-3, 500)
+    fine = _two_body_drift("yoshida4", 4e-3, 1000)
+    assert coarse / max(fine, 1e-15) > 8
+
+
+def test_yoshida4_time_reversible_and_time_exact():
+    """The (w1, w0, w1) composition is symmetric, hence time-reversible,
+    and each step must advance state.time by exactly dt (not the rounded
+    substep-weight sum)."""
+    _, state = _cloud_state(20)
+    sim = make_simulation(
+        state.n, algorithm="direct", backend="xla", integrator="yoshida4",
+        softening="plummer", eps=0.01,
+    )
+    state = sim.prime(state)
+    start = np.asarray(state.pos).copy()
+    fwd = sim.run(state, 50.0, 20)
+    assert float(fwd.time) == pytest.approx(20 * 50.0, rel=0, abs=0)
+    rev = sim.prime(fwd._replace(vel=-fwd.vel))
+    back = sim.run(rev, 50.0, 20)
+    np.testing.assert_allclose(np.asarray(back.pos), start, rtol=0, atol=1e-8)
+
+
 def test_leapfrog_time_reversible():
     """Leapfrog is time-reversible: forward k steps, negate velocities,
     forward k steps -> back at the start (up to roundoff)."""
