@@ -22,7 +22,19 @@ def log(*a):
 
 
 def main():
-    platform = jax.devices()[0].platform
+    try:
+        platform = jax.devices()[0].platform
+        note = ""
+    except RuntimeError as e:
+        # axon tunnel outage: backend init raises after a long hang. Fall
+        # back to a CPU measurement rather than crashing with no JSON line
+        # at all — the metric string marks the fallback so the record can't
+        # be mistaken for a chip number (last good chip run: BENCH_r02.json
+        # / logs/r3_bench.log).
+        log(f"bench: TPU backend unavailable ({e}); falling back to CPU")
+        jax.config.update("jax_platforms", "cpu")
+        platform = jax.devices()[0].platform
+        note = " [CPU FALLBACK — TPU tunnel unavailable]"
     on_tpu = platform == "tpu"
     n = 262_144 if on_tpu else 8_192
     steps = 10 if on_tpu else 2
@@ -72,7 +84,8 @@ def main():
     )
 
     result = {
-        "metric": f"pair-interactions/sec/chip (all-pairs N={n}, f32, leapfrog)",
+        "metric": (f"pair-interactions/sec/chip (all-pairs N={n}, f32, "
+                   f"leapfrog){note}"),
         "value": rate["pairs_per_sec"],
         "unit": "pairs/s",
         "vs_baseline": rate["pairs_per_sec"] / 1e11,
