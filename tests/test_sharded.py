@@ -59,6 +59,25 @@ def test_sharded_rollout_matches_single_device(mesh8):
     )
 
 
+def test_sharded_yoshida4_matches_single_device(mesh8):
+    """The 4th-order integrator goes through get_stepper like the others —
+    pin the sharded/single-device rollout equality for it too."""
+    n = 128
+    sharded = ring.ShardedSimulation(
+        mesh8, n, softening="plummer", eps=0.05, g=1.0, integrator="yoshida4",
+        backend="xla",
+    )
+    single = make_simulation(
+        n, algorithm="direct", backend="xla", softening="plummer", eps=0.05,
+        g=1.0, integrator="yoshida4",
+    )
+    s_sh = sharded.run(sharded.prime(sharded.shard_state(_state(n))), 1e-3, 8)
+    s_si = single.run(single.prime(_state(n)), 1e-3, 8)
+    np.testing.assert_allclose(
+        np.asarray(s_sh.pos), np.asarray(s_si.pos), rtol=1e-9, atol=1e-12
+    )
+
+
 def test_sharded_step_compensated_f32(mesh8):
     n = 64
     sharded = ring.ShardedSimulation(
