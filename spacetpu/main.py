@@ -90,11 +90,13 @@ def _cfg_tree_kwargs(cfg: RunConfig) -> dict:
     """Tree-tuning flags shared by every Simulation construction site."""
     leaf = cfg.leaf if cfg.leaf == "auto" else int(cfg.leaf)
     far = cfg.far_levels if cfg.far_levels == "auto" else int(cfg.far_levels)
+    fast_cap = cfg.fast_cap if cfg.fast_cap == "auto" else int(cfg.fast_cap)
     return dict(
         k_near=_cfg_k_near(cfg), near_mode=cfg.near_mode,
         cluster_mode=cfg.cluster_mode, leaf=leaf, far_levels=far,
         tree_refresh_every=cfg.tree_refresh_every,
         run_chunk=cfg.run_chunk or None,
+        substeps=cfg.substeps, fast_cap=fast_cap,
     )
 
 
@@ -140,6 +142,9 @@ def _run_headless_sharded(cfg: RunConfig, scene: Scene, state: State):
     algo = cfg.algorithm
     if algo == "auto":
         algo = "tree" if state.n > constants.BARNES_HUT_CUTOFF else "direct"
+    if cfg.substeps > 1:
+        print("note: --substeps (multirate) applies to the single-chip "
+              "direct solver only; ignored under --shard", flush=True)
     dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
     eps_diag = cfg.eps if cfg.eps is not None else 0.0
     tree_kw = _cfg_tree_kwargs(cfg)

@@ -110,6 +110,12 @@ class SimConfig:
     # length when the calibrated near lists are dense — the escape hatch
     # for the scan x dense-k TPU runtime fault; see SAFE_DENSE_SCAN).
     run_chunk: int | None = None
+    # two-level multirate leapfrog (ops/multirate.py): the `fast_cap`
+    # bodies with the smallest dynamical time take `substeps` KDK substeps
+    # per outer dt via rectangular force passes. 1 = plain stepping.
+    # Direct solver + leapfrog only.
+    substeps: int = 1
+    fast_cap: object = "auto"  # "auto" = max(128, ~N/8 rounded to 128)
 
     def resolved_leaf(self) -> int:
         from spacetpu.ops import tree as tree_ops
@@ -153,6 +159,11 @@ class SimConfig:
             return self.eps
         return constants.COLLISION_EPSILON if self.softening == "ref" else 0.0
 
+    def resolved_fast_cap(self) -> int:
+        if self.fast_cap == "auto":
+            return min(self.n, max(128, -(-(self.n // 8) // 128) * 128))
+        return min(self.n, int(self.fast_cap))
+
 
 class Simulation:
     """Bound (force backend, integrator) pair with jitted step/run."""
@@ -183,9 +194,36 @@ class Simulation:
             or config.resolved_near_mode() == "pairs"
             or config.resolved_cluster_mode() == "adaptive"
         )
+        if config.substeps > 1:
+            if config.resolved_algorithm() != "direct":
+                raise ValueError(
+                    "substeps > 1 (multirate stepping) requires the direct "
+                    "solver; the tree's near/far structure is rebuilt per "
+                    "force pass and has no rectangular fast-target path"
+                )
+            if config.integrator != "leapfrog":
+                raise ValueError(
+                    "substeps > 1 is a leapfrog composition "
+                    f"(got integrator={config.integrator!r})"
+                )
         self.acc_fn = _build_acc_fn(config, self._k_near)
-        self._stepper = integrators.get_stepper(config.integrator)
+        self._stepper = self._make_stepper()
         self._build_jits()
+
+    def _make_stepper(self):
+        cfg = self.config
+        if cfg.substeps > 1:
+            from spacetpu.ops import multirate
+
+            def stepper(state, dt, acc_fn):
+                return multirate.step_multirate(
+                    state, dt, acc_fn, substeps=cfg.substeps,
+                    fast_cap=cfg.resolved_fast_cap(),
+                    softening=cfg.softening, eps=cfg.resolved_eps(), g=cfg.g,
+                )
+
+            return stepper
+        return integrators.get_stepper(cfg.integrator)
 
     def _build_jits(self):
         """(Re)wrap the jitted entry points. Must run after every
@@ -619,6 +657,8 @@ def make_simulation(
     near_mode: str = "auto",
     far_levels="auto",
     run_chunk: int | None = None,
+    substeps: int = 1,
+    fast_cap="auto",
 ) -> Simulation:
     return Simulation(
         SimConfig(
@@ -639,6 +679,8 @@ def make_simulation(
             near_mode=near_mode,
             far_levels=far_levels,
             run_chunk=run_chunk,
+            substeps=substeps,
+            fast_cap=fast_cap,
         )
     )
 

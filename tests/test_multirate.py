@@ -1,0 +1,136 @@
+"""Two-level multirate leapfrog (ops/multirate.py).
+
+The machinery has two exact limiting cases — fast_cap=N reduces to plain
+fine-stepped leapfrog, substeps=1 reduces to plain leapfrog at dt — and the
+useful regime (F < N) is pinned by accuracy/conservation measurements on a
+scene with a genuine timescale split.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spacetpu import make_simulation, make_state
+from spacetpu.models import presets
+from spacetpu.ops import energy
+
+
+def _binary_in_cloud(n_cloud=96, seed=3):
+    """A tight, eccentric binary embedded in a slow far-out cloud: the
+    binary needs ~30x the cloud's time resolution — the multirate target."""
+    rng = np.random.default_rng(seed)
+    # binary: total mass 2, separation 0.02, eccentric
+    pos = [[0.01, 0.0, 0.0], [-0.01, 0.0, 0.0]]
+    v = 0.8 * np.sqrt(1.0 / 0.02)  # sub-circular -> eccentric
+    vel = [[0.0, 0.5 * v, 0.0], [0.0, -0.5 * v, 0.0]]
+    mass = [1.0, 1.0]
+    # cloud: light bodies on a far shell, near-circular speeds
+    u = rng.normal(size=(n_cloud, 3))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    r = 4.0 + rng.uniform(0, 1, n_cloud)
+    cp = u * r[:, None]
+    axis = np.array([0.0, 0.0, 1.0])
+    tang = np.cross(axis, u)
+    tang /= np.maximum(np.linalg.norm(tang, axis=1, keepdims=True), 1e-9)
+    cv = tang * np.sqrt(2.0 / r)[:, None]
+    pos = np.concatenate([pos, cp])
+    vel = np.concatenate([vel, cv])
+    mass = np.concatenate([mass, np.full(n_cloud, 1e-6)])
+    return pos, vel, mass
+
+
+def _sim(n, *, substeps=1, fast_cap="auto", integrator="leapfrog",
+         compensated=False, dtype=jnp.float64, pos=None, vel=None, mass=None):
+    sim = make_simulation(
+        n, algorithm="direct", backend="xla", integrator=integrator,
+        softening="plummer", eps=1e-3, g=1.0, substeps=substeps,
+        fast_cap=fast_cap,
+    )
+    st = make_state(pos, vel, mass, dtype=dtype, compensated=compensated)
+    return sim, sim.prime(st)
+
+
+def test_fast_cap_n_equals_fine_stepping():
+    """fast_cap = N: every body substeps, so m outer steps of dt must match
+    m*substeps plain leapfrog steps of dt/substeps to roundoff (the
+    composition merges each pair of adjacent half-kicks into one full kick,
+    so agreement is at the rounding level, not bitwise)."""
+    pos, vel, mass = _binary_in_cloud(30)
+    n, m, dt = len(mass), 4, 2e-3
+    multi, s_m = _sim(n, substeps=m, fast_cap=n, pos=pos, vel=vel, mass=mass)
+    plain, s_p = _sim(n, pos=pos, vel=vel, mass=mass)
+    s_m = multi.run(s_m, dt, 10)
+    s_p = plain.run(s_p, dt / m, 10 * m)
+    np.testing.assert_allclose(
+        np.asarray(s_m.pos), np.asarray(s_p.pos), rtol=1e-10, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_m.vel), np.asarray(s_p.vel), rtol=1e-10, atol=1e-12
+    )
+
+
+def test_substeps_1_equals_plain_leapfrog():
+    pos, vel, mass = _binary_in_cloud(30)
+    n = len(mass)
+    multi, s_m = _sim(n, substeps=1, pos=pos, vel=vel, mass=mass)
+    plain, s_p = _sim(n, pos=pos, vel=vel, mass=mass)
+    s_m = multi.run(s_m, 1e-3, 12)
+    s_p = plain.run(s_p, 1e-3, 12)
+    np.testing.assert_allclose(
+        np.asarray(s_m.pos), np.asarray(s_p.pos), rtol=1e-13, atol=1e-15
+    )
+
+
+def test_multirate_recovers_fine_accuracy_on_binary():
+    """The binary-in-cloud scene at a dt the binary cannot survive: plain
+    leapfrog at dt blows the energy up; multirate with a small fast set
+    (the binary + margin) recovers nearly the fine-stepped accuracy at a
+    fraction of the pair evaluations."""
+    pos, vel, mass = _binary_in_cloud(96)
+    n, dt, steps, m = len(mass), 2e-3, 200, 16
+
+    def drift(sim, st, d, k):
+        e0 = float(energy.total_energy(st.pos, st.vel, st.mass, eps=1e-3,
+                                       g=1.0))
+        st = sim.run(st, d, k)
+        e1 = float(energy.total_energy(st.pos, st.vel, st.mass, eps=1e-3,
+                                       g=1.0))
+        return abs((e1 - e0) / e0)
+
+    coarse = drift(*_sim(n, pos=pos, vel=vel, mass=mass), dt, steps)
+    multi = drift(*_sim(n, substeps=m, fast_cap=8, pos=pos, vel=vel,
+                        mass=mass), dt, steps)
+    fine = drift(*_sim(n, pos=pos, vel=vel, mass=mass), dt / m, steps * m)
+    # the fast set must rescue the binary: orders of magnitude under coarse,
+    # within a small factor of full fine stepping
+    assert multi < coarse / 50
+    assert multi < max(10 * fine, 1e-8)
+
+
+def test_multirate_selects_the_binary():
+    from spacetpu.ops import multirate
+
+    pos, vel, mass = _binary_in_cloud(96)
+    n = len(mass)
+    sim, st = _sim(n, substeps=4, fast_cap=8, pos=pos, vel=vel, mass=mass)
+    idx = np.asarray(multirate.select_fast(st, 2))
+    assert set(idx.tolist()) == {0, 1}
+
+
+def test_multirate_compensated_f32_runs():
+    pos, vel, mass = _binary_in_cloud(30)
+    n = len(mass)
+    sim, st = _sim(n, substeps=4, fast_cap=8, compensated=True,
+                   dtype=jnp.float32, pos=pos, vel=vel, mass=mass)
+    st = sim.run(st, 1e-3, 5)
+    assert st.pos_c is not None
+    assert np.isfinite(np.asarray(st.pos)).all()
+    assert float(st.time) == pytest.approx(5e-3, rel=1e-6)
+
+
+def test_multirate_rejects_tree_and_non_leapfrog():
+    with pytest.raises(ValueError, match="direct"):
+        make_simulation(4096, algorithm="tree", substeps=2)
+    with pytest.raises(ValueError, match="leapfrog"):
+        make_simulation(64, algorithm="direct", integrator="euler",
+                        substeps=2)
