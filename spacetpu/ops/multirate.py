@@ -80,13 +80,23 @@ def select_fast(state: State, cap: int) -> jax.Array:
 
 
 def step_multirate(state: State, dt, acc_fn, *, substeps: int, fast_cap: int,
-                   softening: str, eps, g) -> State:
+                   softening: str, eps, g, backend: str = "xla") -> State:
     """One outer step of two-level multirate leapfrog (see module docstring).
 
     ``acc_fn(pos, mass) -> acc`` is the full force pass (any backend);
-    the rectangular fast-target passes use `direct.acc_cross` with the
-    given softening law.
+    the rectangular fast-target passes use the tiled Pallas cross kernel
+    on ``backend="pallas"`` (TPU) and `direct.acc_cross` otherwise.
     """
+    if backend == "pallas":
+        from spacetpu.ops import pallas_direct
+
+        def cross(pos_t, pos_s, mass_s):
+            return pallas_direct.acc_cross_pallas(
+                pos_t, pos_s, mass_s, softening=softening, eps=eps, g=g)
+    else:
+        def cross(pos_t, pos_s, mass_s):
+            return direct.acc_cross(
+                pos_t, pos_s, mass_s, softening=softening, eps=eps, g=g)
     m = int(substeps)
     cap = int(fast_cap)
     dt = jnp.asarray(dt, state.pos.dtype)
@@ -115,8 +125,7 @@ def step_multirate(state: State, dt, acc_fn, *, substeps: int, fast_cap: int,
         t = k.astype(dt.dtype) * h
         src = state.pos + v_half * t
         src = src.at[idx].set(pos_f)
-        a_f = direct.acc_cross(pos_f, src, state.mass,
-                               softening=softening, eps=eps, g=g)
+        a_f = cross(pos_f, src, state.mass)
         vel_f, vc_f = _comp_add(vel_f, vc_f, a_f * h)
         return (pos_f, vel_f, pc_f, vc_f), None
 

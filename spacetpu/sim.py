@@ -220,6 +220,7 @@ class Simulation:
                     state, dt, acc_fn, substeps=cfg.substeps,
                     fast_cap=cfg.resolved_fast_cap(),
                     softening=cfg.softening, eps=cfg.resolved_eps(), g=cfg.g,
+                    backend=cfg.resolved_backend(),
                 )
 
             return stepper
