@@ -1,4 +1,4 @@
-"""Two-level multirate (block-timestep) leapfrog for the direct solver.
+"""Two-level multirate (block-timestep) leapfrog.
 
 Astrophysical N-body systems are multi-scale: a handful of bodies in close
 encounters or tight orbits need a far smaller timestep than the bulk. The
@@ -49,6 +49,12 @@ Properties:
 
 Kahan compensation (``pos_c``/``vel_c``) is carried through both the slow
 step and the fast substeps when present.
+
+With the tree solver, the outer full pass keeps its multipole
+approximation while the fast set's substep forces are exact all-pairs
+rows — close encounters (exactly where theta-opening error hurts most)
+get both finer time resolution AND exact forces; only the final h/2 kick
+reuses the shared tree pass.
 """
 
 from __future__ import annotations

@@ -112,8 +112,9 @@ class SimConfig:
     run_chunk: int | None = None
     # two-level multirate leapfrog (ops/multirate.py): the `fast_cap`
     # bodies with the smallest dynamical time take `substeps` KDK substeps
-    # per outer dt via rectangular force passes. 1 = plain stepping.
-    # Direct solver + leapfrog only.
+    # per outer dt via rectangular (exact) force passes — with the tree
+    # solver, the outer full pass stays tree-approximate while the fast
+    # set's substep forces are exact all-pairs rows. Leapfrog only.
     substeps: int = 1
     fast_cap: object = "auto"  # "auto" = max(128, ~N/8 rounded to 128)
 
@@ -194,18 +195,11 @@ class Simulation:
             or config.resolved_near_mode() == "pairs"
             or config.resolved_cluster_mode() == "adaptive"
         )
-        if config.substeps > 1:
-            if config.resolved_algorithm() != "direct":
-                raise ValueError(
-                    "substeps > 1 (multirate stepping) requires the direct "
-                    "solver; the tree's near/far structure is rebuilt per "
-                    "force pass and has no rectangular fast-target path"
-                )
-            if config.integrator != "leapfrog":
-                raise ValueError(
-                    "substeps > 1 is a leapfrog composition "
-                    f"(got integrator={config.integrator!r})"
-                )
+        if config.substeps > 1 and config.integrator != "leapfrog":
+            raise ValueError(
+                "substeps > 1 is a leapfrog composition "
+                f"(got integrator={config.integrator!r})"
+            )
         self.acc_fn = _build_acc_fn(config, self._k_near)
         self._stepper = self._make_stepper()
         self._build_jits()

@@ -128,9 +128,33 @@ def test_multirate_compensated_f32_runs():
     assert float(st.time) == pytest.approx(5e-3, rel=1e-6)
 
 
-def test_multirate_rejects_tree_and_non_leapfrog():
-    with pytest.raises(ValueError, match="direct"):
-        make_simulation(4096, algorithm="tree", substeps=2)
+def test_multirate_rejects_non_leapfrog():
     with pytest.raises(ValueError, match="leapfrog"):
         make_simulation(64, algorithm="direct", integrator="euler",
                         substeps=2)
+
+
+def test_multirate_with_tree_outer_pass():
+    """Tree solver + substeps: the outer pass is multipole-approximate,
+    the fast substeps are exact rectangular rows. On the binary-in-cloud
+    scene the combination must rescue the binary just like the direct
+    variant (coarse tree stepping destroys it)."""
+    pos, vel, mass = _binary_in_cloud(96)
+    n, dt, steps, m = len(mass), 2e-3, 150, 16
+
+    def drift(substeps):
+        sim = make_simulation(
+            n, algorithm="tree", backend="xla", integrator="leapfrog",
+            softening="plummer", eps=1e-3, g=1.0, theta=0.4,
+            substeps=substeps, fast_cap=8, k_near="auto",
+        )
+        st = make_state(pos, vel, mass, dtype=jnp.float64)
+        st = sim.prime(st)
+        e0 = float(energy.total_energy(st.pos, st.vel, st.mass, eps=1e-3,
+                                       g=1.0))
+        st = sim.run(st, dt, steps)
+        e1 = float(energy.total_energy(st.pos, st.vel, st.mass, eps=1e-3,
+                                       g=1.0))
+        return abs((e1 - e0) / e0)
+
+    assert drift(m) < drift(1) / 50
