@@ -86,6 +86,35 @@ def acc_cross(pos_i, pos_j, mass_j, *, softening: str = "ref", eps=None, g=None)
     return jnp.einsum("ij,ijk->ik", w, rel)
 
 
+def acc_cross_chunked(pos_i, pos_j, mass_j, *, softening: str = "ref",
+                      eps=None, g=None, chunk: int = 8192):
+    """`acc_cross` with the SOURCE axis scanned in chunks: peak memory is
+    O(M * chunk) instead of O(M * K) — the safe form for a small target
+    set against a huge source set (the multirate fast-set substeps on the
+    XLA backend). Sources beyond a chunk multiple are handled by zero-mass
+    padding (massless sources contribute exactly zero under both laws)."""
+    k = pos_j.shape[0]
+    if k <= chunk:
+        return acc_cross(pos_i, pos_j, mass_j, softening=softening, eps=eps,
+                         g=g)
+    pad = (-k) % chunk
+    if pad:
+        pos_j = jnp.concatenate([pos_j, jnp.zeros((pad, 3), pos_j.dtype)])
+        mass_j = jnp.concatenate([mass_j, jnp.zeros((pad,), mass_j.dtype)])
+
+    def body(acc, sl):
+        pj, mj = sl
+        return acc + acc_cross(pos_i, pj, mj, softening=softening, eps=eps,
+                               g=g), None
+
+    acc0 = jnp.zeros_like(pos_i)
+    acc, _ = jax.lax.scan(
+        body, acc0,
+        (pos_j.reshape(-1, chunk, 3), mass_j.reshape(-1, chunk)),
+    )
+    return acc
+
+
 @functools.partial(jax.jit, static_argnames=("softening", "chunk"))
 def acc_direct_chunked(pos, mass, *, softening: str = "ref", eps=None, g=None,
                        chunk: int = 1024):

@@ -100,9 +100,15 @@ def step_multirate(state: State, dt, acc_fn, *, substeps: int, fast_cap: int,
             return pallas_direct.acc_cross_pallas(
                 pos_t, pos_s, mass_s, softening=softening, eps=eps, g=g)
     else:
+        # bound the broadcasted (F, chunk, 3) intermediate to ~2^28 elems
+        # (the Pallas path streams j-tiles and needs no such cap)
+        cap = int(fast_cap)
+        chunk = max(1024, (1 << 28) // max(3 * cap, 1))
+
         def cross(pos_t, pos_s, mass_s):
-            return direct.acc_cross(
-                pos_t, pos_s, mass_s, softening=softening, eps=eps, g=g)
+            return direct.acc_cross_chunked(
+                pos_t, pos_s, mass_s, softening=softening, eps=eps, g=g,
+                chunk=chunk)
     m = int(substeps)
     cap = int(fast_cap)
     dt = jnp.asarray(dt, state.pos.dtype)
