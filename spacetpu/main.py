@@ -356,6 +356,11 @@ def run_headless(cfg: RunConfig, scene: Scene, state: State):
 
 def main(argv=None):
     cfg = parse_args(argv)
+    if cfg.platform != "auto":
+        # Must be a config.update, not an env var: TPU plugins (axon)
+        # force-select their backend via jax.config at import time, which
+        # silently overrides JAX_PLATFORMS from the environment.
+        jax.config.update("jax_platforms", cfg.platform)
     if cfg.coordinator:
         # must happen before any device query (parallel/multihost.py)
         from spacetpu.parallel import multihost

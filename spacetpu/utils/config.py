@@ -18,6 +18,7 @@ from spacetpu import constants
 
 @dataclasses.dataclass
 class RunConfig:
+    platform: str = "auto"  # auto | cpu | tpu (jax_platforms override)
     preset: str = "fixed_cloud"  # the reference default (main.rs:61)
     n: int = 10000
     seed: int = 0
@@ -76,6 +77,13 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native gravitational N-body simulator",
     )
     d = RunConfig()
+    p.add_argument("--platform", default=d.platform,
+                   choices=["auto", "cpu", "tpu"],
+                   help="JAX platform; 'cpu' forces the host backend even"
+                        " where a TPU plugin force-selects itself (the"
+                        " JAX_PLATFORMS env var alone is ignored by such"
+                        " plugins) — useful when the TPU is busy or its"
+                        " tunnel is down")
     p.add_argument("--preset", default=d.preset,
                    help="scene preset (see spacetpu.models.presets.PRESETS)")
     p.add_argument("--n", type=int, default=d.n,
