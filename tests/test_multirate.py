@@ -128,6 +128,30 @@ def test_multirate_compensated_f32_runs():
     assert float(st.time) == pytest.approx(5e-3, rel=1e-6)
 
 
+def test_multirate_momentum_error_bounded():
+    """F < N breaks exact momentum conservation (the slow bodies feel the
+    fast set's intra-step motion only at the endpoint kicks). Measure it:
+    the error must stay orders of magnitude below the system's momentum
+    scale (sum |m v|), while plain leapfrog stays at roundoff."""
+    pos, vel, mass = _binary_in_cloud(96)
+    n = len(mass)
+
+    def dp(substeps, fast_cap):
+        sim, st = _sim(n, substeps=substeps, fast_cap=fast_cap,
+                       pos=pos, vel=vel, mass=mass)
+        p0 = np.asarray(energy.momentum(st.vel, st.mass))
+        st = sim.run(st, 2e-3, 100)
+        p1 = np.asarray(energy.momentum(st.vel, st.mass))
+        scale = float(np.sum(np.asarray(st.mass)[:, None]
+                             * np.abs(np.asarray(st.vel))))
+        return float(np.max(np.abs(p1 - p0))) / scale
+
+    plain = dp(1, "auto")
+    multi = dp(16, 8)
+    assert plain < 1e-13
+    assert multi < 1e-6
+
+
 def test_multirate_rejects_non_leapfrog():
     with pytest.raises(ValueError, match="leapfrog"):
         make_simulation(64, algorithm="direct", integrator="euler",
