@@ -96,8 +96,44 @@ def _cfg_tree_kwargs(cfg: RunConfig) -> dict:
         cluster_mode=cfg.cluster_mode, leaf=leaf, far_levels=far,
         tree_refresh_every=cfg.tree_refresh_every,
         run_chunk=cfg.run_chunk or None,
-        substeps=cfg.substeps, fast_cap=fast_cap,
+        substeps=int(cfg.substeps), fast_cap=fast_cap,
     )
+
+
+def _resolve_auto_substeps(cfg: RunConfig, scene: Scene, state: State) -> State:
+    """--substeps auto: prime a probe simulation (plain stepping, same
+    force configuration) and let suggest_substeps pick (m, fast_cap) from
+    the measured timescale spread at --dt. Mutates cfg in place; returns
+    the primed state (prime donates its input)."""
+    if cfg.integrator != "leapfrog":
+        print("note: --substeps auto requires the leapfrog integrator; "
+              "plain stepping", flush=True)
+        cfg.substeps = "1"
+        return state
+    cfg.substeps = "1"  # so _cfg_tree_kwargs parses while we probe
+    kw = _cfg_tree_kwargs(cfg)
+    kw.update(substeps=1, fast_cap="auto")
+    probe = make_simulation(
+        state.n, algorithm=cfg.algorithm, backend=cfg.backend,
+        integrator=cfg.integrator, softening=cfg.softening, eps=cfg.eps,
+        theta=cfg.theta, g=scene.g, multipole_order=cfg.multipole_order,
+        **kw,
+    )
+    state = probe.prime(state)
+    m, f, reason = probe.suggest_substeps(state, cfg.dt)
+    if m > 1:
+        print(f"auto substeps: m={m}, fast_cap={f} (measured timescale "
+              f"spread at dt={cfg.dt})", flush=True)
+    elif reason == "lower-dt":
+        print("auto substeps: MOST bodies are under-resolved at this dt — "
+              "multirate cannot pay; lower --dt instead", flush=True)
+    else:
+        print("auto substeps: scene is uniform at this dt — plain "
+              "stepping", flush=True)
+    cfg.substeps = str(m)
+    if m > 1:
+        cfg.fast_cap = str(f)
+    return state
 
 
 def build_engine(cfg: RunConfig, scene: Scene, state: State) -> SimEngine:
@@ -379,6 +415,11 @@ def main(argv=None):
           f"(platform={devs[0].platform})")
     print(f"Running with {scene.n} objects "
           f"({cfg.preset}, dt={cfg.dt}s, {cfg.frontend})")
+    if cfg.substeps == "auto":
+        if cfg.shard:
+            cfg.substeps = "1"  # sharded paths step uniformly (note below)
+        else:
+            state = _resolve_auto_substeps(cfg, scene, state)
 
     if cfg.frontend == "none":
         run_headless(cfg, scene, state)

@@ -440,6 +440,45 @@ class Simulation:
             self._recal_exhausted = True
         return True
 
+    def suggest_substeps(self, state: State, dt, *, eta: float = 0.02,
+                         max_substeps: int = 64) -> tuple[int, int]:
+        """Measure the scene's dynamical-time distribution and suggest
+        (substeps, fast_cap) for multirate stepping at outer step ``dt``.
+
+        A body is adequately resolved when its effective step is at most
+        ``eta * tau`` (tau = |v|/|a|, the same metric select_fast ranks
+        by). The suggestion is the smallest power of two m that resolves
+        the 99.9th percentile of per-body need (hard-capped, so one
+        pathological body cannot demand an absurd m), and a fast capacity
+        covering every under-resolved body with 25% headroom, rounded up
+        to 128. Requires a primed state (the cached acc is the input).
+
+        Returns (substeps, fast_cap, reason): (1, 0, "uniform") when every
+        body is already resolved at this dt, (1, 0, "lower-dt") when MOST
+        of the scene is under-resolved (fast set would exceed N/4 —
+        multirate would then cost more than plain fine-stepping, and the
+        right fix is a smaller dt), else (m, F, "multirate")."""
+        import numpy as np
+
+        v = np.linalg.norm(np.asarray(state.vel, np.float64), axis=-1)
+        a = np.linalg.norm(np.asarray(state.acc, np.float64), axis=-1)
+        tau = v / np.maximum(a, 1e-300)
+        if state.n_active is not None:
+            tau = tau[: int(state.n_active)]
+        need = float(dt) / (eta * np.maximum(tau, 1e-300))
+        m = float(np.quantile(need, 0.999))
+        if m <= 1.0:
+            return 1, 0, "uniform"
+        m = min(1 << max(0, int(np.ceil(np.log2(m)))), max_substeps)
+        raw = int(np.sum(need > 1.0) * 1.25)
+        # the cost guard uses the RAW under-resolved count — the tile-
+        # alignment floor below would otherwise veto small scenes where
+        # the fast work is negligible anyway
+        if raw > self.config.n // 4:
+            return 1, 0, "lower-dt"
+        f = min(self.config.n, max(128, -(-raw // 128) * 128))
+        return m, f, "multirate"
+
     def health(self, state: State) -> dict:
         """Tree telemetry (near-list overflow) computed with THIS
         simulation's calibrated partition and caps — a generic

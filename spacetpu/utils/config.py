@@ -36,7 +36,7 @@ class RunConfig:
     far_levels: str = "auto"  # auto | 2 | 3: tree far-field levels
     tree_refresh_every: int = 1  # steps between tree structure rebuilds
     run_chunk: int = 0  # max device-scan length per run() call (0 = auto)
-    substeps: int = 1  # multirate: fast-set KDK substeps per outer dt
+    substeps: str = "1"  # multirate KDK substeps per outer dt (auto | <int>)
     fast_cap: str = "auto"  # multirate fast-set capacity (auto | <int>)
     dt: float = constants.DELTA
     auto_frame: bool = True  # frame the camera to the scene at startup
@@ -147,10 +147,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="max device-side scan length per run() call (0 ="
                         " auto: safe chunking around the TPU scan-x-dense-"
                         "near-list fault; see sim.Simulation.scan_chunk)")
-    p.add_argument("--substeps", type=int, default=d.substeps,
+    p.add_argument("--substeps", default=d.substeps,
                    help="two-level multirate leapfrog: the fastest bodies"
                         " take this many KDK substeps per outer dt"
-                        " (direct solver; 1 = plain stepping)")
+                        " (1 = plain stepping; 'auto' measures the scene's"
+                        " timescale spread at --dt and picks m and the"
+                        " fast capacity)")
     p.add_argument("--fast-cap", dest="fast_cap", default=d.fast_cap,
                    help="multirate fast-set capacity: 'auto' (~N/8) or an"
                         " integer body count")

@@ -152,6 +152,21 @@ def test_multirate_momentum_error_bounded():
     assert multi < 1e-6
 
 
+def test_suggest_substeps_regimes():
+    """suggest_substeps: a timescale-split scene at a dt only the binary
+    outgrows -> multirate; tiny dt -> uniform; huge dt (whole scene
+    under-resolved) -> lower-dt fallback."""
+    pos, vel, mass = _binary_in_cloud(96)
+    n = len(mass)
+    sim, st = _sim(n, pos=pos, vel=vel, mass=mass)
+    m, f, reason = sim.suggest_substeps(st, 2e-3)
+    assert reason == "multirate" and m > 1 and 0 < f <= n
+    m1, _, r1 = sim.suggest_substeps(st, 1e-7)
+    assert (m1, r1) == (1, "uniform")
+    m2, _, r2 = sim.suggest_substeps(st, 10.0)
+    assert (m2, r2) == (1, "lower-dt")
+
+
 def test_multirate_rejects_non_leapfrog():
     with pytest.raises(ValueError, match="leapfrog"):
         make_simulation(64, algorithm="direct", integrator="euler",
