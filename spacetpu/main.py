@@ -178,9 +178,9 @@ def _run_headless_sharded(cfg: RunConfig, scene: Scene, state: State):
     algo = cfg.algorithm
     if algo == "auto":
         algo = "tree" if state.n > constants.BARNES_HUT_CUTOFF else "direct"
-    if cfg.substeps > 1:
+    if int(cfg.substeps) > 1:
         print("note: --substeps (multirate) applies to the single-chip "
-              "direct solver only; ignored under --shard", flush=True)
+              "solvers only; ignored under --shard", flush=True)
     dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
     eps_diag = cfg.eps if cfg.eps is not None else 0.0
     tree_kw = _cfg_tree_kwargs(cfg)
