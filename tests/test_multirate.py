@@ -167,6 +167,34 @@ def test_suggest_substeps_regimes():
     assert (m2, r2) == (1, "lower-dt")
 
 
+def test_multirate_through_the_engine():
+    """The interactive sim thread steps a multirate Simulation like any
+    other (SimEngine -> run_sim_loop -> sim.step)."""
+    import threading
+    import time
+
+    from spacetpu.engine import Exchange, run_sim_loop
+
+    pos, vel, mass = _binary_in_cloud(30)
+    sim, st = _sim(len(mass), substeps=4, fast_cap=8, dtype=jnp.float32,
+                   pos=pos, vel=vel, mass=mass)
+    ex = Exchange(len(mass), delta=1e-3)
+    stop = threading.Event()
+    out = {}
+    t = threading.Thread(
+        target=lambda: out.setdefault("s", run_sim_loop(sim, st, ex, stop)))
+    t.start()
+    deadline = time.time() + 30
+    while ex.current_ticks() < 3 and time.time() < deadline:
+        ex.sample()
+        time.sleep(0.01)
+    stop.set()
+    t.join(30)
+    assert not t.is_alive()
+    assert ex.current_ticks() >= 3
+    assert np.isfinite(np.asarray(out["s"].pos)).all()
+
+
 def test_multirate_rejects_non_leapfrog():
     with pytest.raises(ValueError, match="leapfrog"):
         make_simulation(64, algorithm="direct", integrator="euler",
