@@ -312,6 +312,17 @@ def run_headless(cfg: RunConfig, scene: Scene, state: State):
     )
     state = sim.prime(state)
     eps_diag = cfg.eps if cfg.eps is not None else 0.0
+
+    def report_encounters(tag):
+        if not cfg.report_encounters:
+            return
+        from spacetpu.ops import encounters
+
+        d, i, j = encounters.min_separation(state.pos)
+        print(f"min separation ({tag}): {float(d):.6e} "
+              f"(bodies {int(i)} <-> {int(j)})", flush=True)
+
+    report_encounters("start")
     # Drift diagnostic. For --softening ref the force law's true potential
     # has no closed form; total_energy uses the bare 1/r approximation
     # (see ops/energy.py), so printed "ref" drift is approximate — exact
@@ -379,6 +390,7 @@ def run_headless(cfg: RunConfig, scene: Scene, state: State):
             print(f"tree health: 0/{health['clusters']} near-list "
                   f"overflows (k_near={health['k_near']})")
     print(f"simulated: {compute_elapsed_time(cfg.steps, cfg.dt)}")
+    report_encounters("end")
     if e0 != 0.0:
         print(f"relative energy drift: {(e1 - e0) / abs(e0):.3e}")
     else:

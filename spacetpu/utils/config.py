@@ -61,6 +61,7 @@ class RunConfig:
     checkpoint_every: int = 0  # steps between checkpoints (0 = off)
     recalibrate_every: int = 0  # steps between cap-degradation checks (0 = off)
     shard: int = 0  # headless: shard bodies over a D-device mesh (0 = off)
+    report_encounters: bool = False  # headless: min-separation telemetry
     profile_dir: Optional[str] = None  # jax.profiler trace directory
 
     def to_json(self) -> str:
@@ -199,6 +200,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace here")
+    p.add_argument("--report-encounters", dest="report_encounters",
+                   action="store_true", default=d.report_encounters,
+                   help="headless: report the global minimum separation"
+                        " before and after the run (O(N^2) pass)")
     p.add_argument("--list-presets", action="store_true",
                    help="list available scene presets and exit")
     return p
