@@ -346,20 +346,34 @@ def run_headless(cfg: RunConfig, scene: Scene, state: State):
                   f"({rate:.2f} steps/s incl. compile)", flush=True)
             last_report[0] = now
 
+    radii_dev = None
+    merged_total = 0
+    if cfg.merge_collisions:
+        radii_dev = jnp.asarray(scene.radii, state.pos.dtype)
     while done < cfg.steps:
         # sim.run chunks its device scans internally (the scan x dense-k
         # fence, Simulation.scan_chunk); the host loop here only stops at
-        # checkpoint boundaries.
+        # checkpoint/recalibration/merge boundaries.
         todo = cfg.steps - done
-        if cfg.checkpoint_every:
-            boundary = ((done // cfg.checkpoint_every) + 1) * cfg.checkpoint_every
-            todo = min(todo, boundary - done)
-        if cfg.recalibrate_every:
-            boundary = ((done // cfg.recalibrate_every) + 1) * cfg.recalibrate_every
-            todo = min(todo, boundary - done)
+        for every in (cfg.checkpoint_every, cfg.recalibrate_every,
+                      cfg.merge_collisions):
+            if every:
+                todo = min(todo, ((done // every) + 1) * every - done)
         base[0] = done
         state = sim.run(state, cfg.dt, todo, progress=report)
         done += todo
+        if (cfg.merge_collisions and done % cfg.merge_collisions == 0
+                and done < cfg.steps):
+            from spacetpu.ops import collisions
+
+            state, radii_dev, k = collisions.merge_all_overlapping(
+                state, radii_dev)
+            if k:
+                merged_total += k
+                # the merged rows' acc cache was zeroed; refresh it
+                state = sim.prime(state)
+                print(f"  ... step {done}: merged {k} overlapping pair(s) "
+                      f"({merged_total} total)", flush=True)
         if (cfg.recalibrate_every and done % cfg.recalibrate_every == 0
                 and done < cfg.steps):
             if sim.maybe_recalibrate(state):
@@ -391,6 +405,9 @@ def run_headless(cfg: RunConfig, scene: Scene, state: State):
                   f"overflows (k_near={health['k_near']})")
     print(f"simulated: {compute_elapsed_time(cfg.steps, cfg.dt)}")
     report_encounters("end")
+    if merged_total:
+        alive = int(jnp.sum(jnp.asarray(radii_dev) > 0))
+        print(f"collisions: {merged_total} merger(s); {alive} bodies remain")
     if e0 != 0.0:
         print(f"relative energy drift: {(e1 - e0) / abs(e0):.3e}")
     else:

@@ -62,6 +62,7 @@ class RunConfig:
     recalibrate_every: int = 0  # steps between cap-degradation checks (0 = off)
     shard: int = 0  # headless: shard bodies over a D-device mesh (0 = off)
     report_encounters: bool = False  # headless: min-separation telemetry
+    merge_collisions: int = 0  # headless: steps between merge checks (0=off)
     profile_dir: Optional[str] = None  # jax.profiler trace directory
 
     def to_json(self) -> str:
@@ -204,6 +205,12 @@ def build_parser() -> argparse.ArgumentParser:
                    action="store_true", default=d.report_encounters,
                    help="headless: report the global minimum separation"
                         " before and after the run (O(N^2) pass)")
+    p.add_argument("--merge-collisions", dest="merge_collisions", type=int,
+                   default=d.merge_collisions, metavar="EVERY",
+                   help="headless: every EVERY steps, merge overlapping"
+                        " bodies (perfectly inelastic, barycentric;"
+                        " collision radii = the scene's body radii;"
+                        " 0 = off)")
     p.add_argument("--list-presets", action="store_true",
                    help="list available scene presets and exit")
     return p
