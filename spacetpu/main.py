@@ -15,6 +15,7 @@ import sys
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from spacetpu import constants
 from spacetpu.engine import SimEngine, make_engine_for
@@ -181,6 +182,9 @@ def _run_headless_sharded(cfg: RunConfig, scene: Scene, state: State):
     if int(cfg.substeps) > 1:
         print("note: --substeps (multirate) applies to the single-chip "
               "solvers only; ignored under --shard", flush=True)
+    if cfg.merge_collisions or cfg.report_encounters:
+        print("note: --merge-collisions/--report-encounters are single-"
+              "chip features; ignored under --shard", flush=True)
     dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
     eps_diag = cfg.eps if cfg.eps is not None else 0.0
     tree_kw = _cfg_tree_kwargs(cfg)
@@ -313,12 +317,13 @@ def run_headless(cfg: RunConfig, scene: Scene, state: State):
     state = sim.prime(state)
     eps_diag = cfg.eps if cfg.eps is not None else 0.0
 
-    def report_encounters(tag):
+    def report_encounters(tag, radii_now=None):
         if not cfg.report_encounters:
             return
         from spacetpu.ops import encounters
 
-        d, i, j = encounters.min_separation(state.pos)
+        mask = None if radii_now is None else jnp.asarray(radii_now) > 0
+        d, i, j = encounters.min_separation(state.pos, mask=mask)
         print(f"min separation ({tag}): {float(d):.6e} "
               f"(bodies {int(i)} <-> {int(j)})", flush=True)
 
@@ -348,7 +353,11 @@ def run_headless(cfg: RunConfig, scene: Scene, state: State):
 
     radii_dev = None
     merged_total = 0
+    energy_lost = 0.0
     if cfg.merge_collisions:
+        # scene.radii is the persistent owner: a --restore of a merged
+        # run's checkpoint carries the post-merge radii (absorbed bodies
+        # at radius 0), so dead tracers can never phantom-re-merge
         radii_dev = jnp.asarray(scene.radii, state.pos.dtype)
     while done < cfg.steps:
         # sim.run chunks its device scans internally (the scan x dense-k
@@ -362,18 +371,21 @@ def run_headless(cfg: RunConfig, scene: Scene, state: State):
         base[0] = done
         state = sim.run(state, cfg.dt, todo, progress=report)
         done += todo
-        if (cfg.merge_collisions and done % cfg.merge_collisions == 0
-                and done < cfg.steps):
+        if cfg.merge_collisions and done % cfg.merge_collisions == 0:
             from spacetpu.ops import collisions
 
-            state, radii_dev, k = collisions.merge_all_overlapping(
+            state, radii_dev, k, de = collisions.merge_all_overlapping(
                 state, radii_dev)
             if k:
                 merged_total += k
+                energy_lost += de
+                # persist through scene metadata (checkpoints save it)
+                scene.radii = np.asarray(radii_dev, np.float32)
                 # the merged rows' acc cache was zeroed; refresh it
                 state = sim.prime(state)
                 print(f"  ... step {done}: merged {k} overlapping pair(s) "
-                      f"({merged_total} total)", flush=True)
+                      f"({merged_total} total; inelastic KE loss "
+                      f"{energy_lost:.3e})", flush=True)
         if (cfg.recalibrate_every and done % cfg.recalibrate_every == 0
                 and done < cfg.steps):
             if sim.maybe_recalibrate(state):
@@ -404,10 +416,12 @@ def run_headless(cfg: RunConfig, scene: Scene, state: State):
             print(f"tree health: 0/{health['clusters']} near-list "
                   f"overflows (k_near={health['k_near']})")
     print(f"simulated: {compute_elapsed_time(cfg.steps, cfg.dt)}")
-    report_encounters("end")
+    report_encounters("end", radii_dev)
     if merged_total:
         alive = int(jnp.sum(jnp.asarray(radii_dev) > 0))
-        print(f"collisions: {merged_total} merger(s); {alive} bodies remain")
+        print(f"collisions: {merged_total} merger(s); {alive} bodies "
+              f"remain; inelastic KE loss {energy_lost:.3e} (part of the "
+              f"drift figure below)")
     if e0 != 0.0:
         print(f"relative energy drift: {(e1 - e0) / abs(e0):.3e}")
     else:

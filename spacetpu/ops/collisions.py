@@ -8,23 +8,28 @@ N-body treatment on static TPU shapes:
 - a pair overlaps when its separation is below the sum of its collision
   radii (by default the scene's body radii);
 - the merge is perfectly inelastic: mass-weighted barycentric position
-  and velocity (momentum-conserving by construction; the relative-motion
-  kinetic energy is physically lost and reported), summed mass, and a
-  volume-additive radius ``(r_i^3 + r_j^3)^(1/3)``;
+  and velocity (momentum-conserving by construction), summed mass, and a
+  volume-additive radius ``(r_i^3 + r_j^3)^(1/3)``; the relative-motion
+  kinetic energy ``0.5 * mi*mj/(mi+mj) * |vi-vj|^2`` is physically lost
+  and returned as ``energy_lost`` (run_headless prints the running sum,
+  so the drift report's inelastic jumps are attributable);
 - shapes never change: the absorbed body keeps riding along as a
   massless tracer at the merged barycenter with zero radius (invisible
   to the renderer, inert to the dynamics — massless sources contribute
-  exactly zero under both softening laws).
+  exactly zero under both softening laws). Zero-radius rows are MASKED
+  OUT of the pair search, so a dead tracer sitting at d=0 on its host
+  can never shadow real encounters.
 
 One merge is applied per call (the globally closest overlapping pair);
-callers check at their host-chunk cadence (`run_headless
---merge-collisions`), which resolves cascades a pair at a time — the
-astrophysically relevant rate is far below one merge per chunk.
+`merge_all_overlapping` loops until no overlap remains (each merge
+changes the geometry, so pairs are re-searched), and callers check at
+their host-chunk cadence (`run_headless --merge-collisions`).
 """
 
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -33,20 +38,26 @@ from spacetpu.ops import encounters
 from spacetpu.state import State
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
-def merge_closest(state: State, radii, *, chunk: int = 4096):
-    """Merge the globally closest overlapping pair, if any.
+class MergeResult(NamedTuple):
+    state: State
+    radii: jax.Array
+    merged: jax.Array  # bool scalar
+    i: jax.Array  # examined pair (meaningful when merged)
+    j: jax.Array
+    energy_lost: jax.Array  # relative-motion KE of the merged pair, else 0
 
-    radii: (N,) collision radii (0 disables a body — absorbed bodies get
-    exactly that). Returns (state, radii, merged, i, j) with `merged` a
-    traced bool scalar and i, j the pair examined (meaningful when
-    merged). Kahan compensation rows of an absorbed body are zeroed with
-    it."""
-    d, i, j = encounters.min_separation(state.pos, chunk=chunk)
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def merge_closest(state: State, radii, *, chunk: int = 4096) -> MergeResult:
+    """Merge the globally closest overlapping pair of live bodies, if any.
+
+    radii: (N,) collision radii; rows with radius 0 are dead (that is
+    what absorbed bodies become) and are excluded from the pair search.
+    Kahan compensation rows of an absorbed body are zeroed with it."""
     radii = jnp.asarray(radii, state.pos.dtype)
-    # zero-radius rows never merge (that is what absorbed bodies become);
-    # massless tracers with a radius still do (they can be absorbed).
-    merged = (d < radii[i] + radii[j]) & (radii[i] > 0) & (radii[j] > 0)
+    alive = radii > 0
+    d, i, j = encounters.min_separation(state.pos, mask=alive, chunk=chunk)
+    merged = d < radii[i] + radii[j]
 
     mi, mj = state.mass[i], state.mass[j]
     mtot = mi + mj
@@ -57,13 +68,19 @@ def merge_closest(state: State, radii, *, chunk: int = 4096):
     pos_m = wi * state.pos[i] + wj * state.pos[j]
     vel_m = wi * state.vel[i] + wj * state.vel[j]
     r_m = (radii[i] ** 3 + radii[j] ** 3) ** (1.0 / 3.0)
+    dv = state.vel[i] - state.vel[j]
+    de = jnp.where(
+        merged,
+        0.5 * mi * mj / jnp.where(mtot > 0, mtot, 1.0) * jnp.sum(dv * dv),
+        jnp.zeros((), state.pos.dtype),
+    )
 
-    def apply(val, row_i, row_j, keep_j=None):
+    def apply(val, row_i, row_j):
         """val[i] := row_i, val[j] := row_j when merged."""
         out = val.at[i].set(jnp.where(merged, row_i, val[i]))
-        rj = row_j if keep_j is None else keep_j
-        return out.at[j].set(jnp.where(merged, rj, out[j]))
+        return out.at[j].set(jnp.where(merged, row_j, out[j]))
 
+    zero3 = jnp.zeros(3, state.pos.dtype)
     new = state._replace(
         pos=apply(state.pos, pos_m, pos_m),
         vel=apply(state.vel, vel_m, vel_m),
@@ -71,28 +88,27 @@ def merge_closest(state: State, radii, *, chunk: int = 4096):
         # the acc cache is stale for the merged rows; refreshing it is the
         # caller's job (prime) — but zero it so a leapfrog first kick
         # cannot apply the pre-merge acceleration to the merged body
-        acc=apply(state.acc, jnp.zeros(3, state.pos.dtype),
-                  jnp.zeros(3, state.pos.dtype)),
-        pos_c=None if state.pos_c is None else apply(
-            state.pos_c, jnp.zeros(3, state.pos.dtype),
-            jnp.zeros(3, state.pos.dtype)),
-        vel_c=None if state.vel_c is None else apply(
-            state.vel_c, jnp.zeros(3, state.pos.dtype),
-            jnp.zeros(3, state.pos.dtype)),
+        acc=apply(state.acc, zero3, zero3),
+        pos_c=None if state.pos_c is None else apply(state.pos_c, zero3,
+                                                     zero3),
+        vel_c=None if state.vel_c is None else apply(state.vel_c, zero3,
+                                                     zero3),
     )
     new_radii = apply(radii, r_m, jnp.zeros((), radii.dtype))
-    return new, new_radii, merged, i, j
+    return MergeResult(new, new_radii, merged, i, j, de)
 
 
 def merge_all_overlapping(state: State, radii, *, max_merges: int = 8,
                           chunk: int = 4096):
     """Resolve up to max_merges overlapping pairs (host loop of
-    merge_closest — each merge changes the geometry, so pairs are
-    re-searched). Returns (state, radii, n_merged)."""
+    merge_closest). Returns (state, radii, n_merged, energy_lost)."""
     n_merged = 0
+    e_lost = 0.0
     for _ in range(max_merges):
-        state, radii, merged, _, _ = merge_closest(state, radii, chunk=chunk)
-        if not bool(merged):
+        r = merge_closest(state, radii, chunk=chunk)
+        if not bool(r.merged):
             break
+        state, radii = r.state, r.radii
+        e_lost += float(r.energy_lost)
         n_merged += 1
-    return state, radii, n_merged
+    return state, radii, n_merged, e_lost

@@ -21,12 +21,14 @@ import jax.numpy as jnp
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
-def nearest_neighbor(pos, *, chunk: int = 4096):
+def nearest_neighbor(pos, *, mask=None, chunk: int = 4096):
     """Per-body nearest neighbour: (dist, idx), each (N,).
 
-    Self-pairs are excluded. Bodies are compared by position only — a
-    massless tracer is a neighbour like any other (encounters are
-    geometric, not dynamical)."""
+    Self-pairs are excluded. ``mask`` (N,) bool excludes rows entirely
+    (dead/absorbed bodies): a masked row is skipped as a source and gets
+    dist=+inf as a target. Bodies are otherwise compared by position
+    only — a massless tracer is a neighbour like any other (encounters
+    are geometric, not dynamical)."""
     n = pos.shape[0]
     dtype = pos.dtype
     rows = jnp.arange(n, dtype=jnp.int32)
@@ -34,19 +36,26 @@ def nearest_neighbor(pos, *, chunk: int = 4096):
         rel = pos[None, :, :] - pos[:, None, :]
         r2 = jnp.sum(rel * rel, axis=-1)
         r2 = jnp.where(jnp.eye(n, dtype=bool), jnp.inf, r2)
-        return jnp.sqrt(jnp.min(r2, axis=1)), jnp.argmin(r2, axis=1).astype(
-            jnp.int32)
+        if mask is not None:
+            r2 = jnp.where(mask[None, :], r2, jnp.inf)
+        dist = jnp.sqrt(jnp.min(r2, axis=1))
+        if mask is not None:
+            dist = jnp.where(mask, dist, jnp.inf)
+        return dist, jnp.argmin(r2, axis=1).astype(jnp.int32)
 
     pad = (-n) % chunk
-    pos_p = jnp.concatenate([pos, jnp.full((pad, 3), jnp.inf, dtype)])
+    pos_p = jnp.concatenate([pos, jnp.zeros((pad, 3), dtype)])
+    mask_full = jnp.ones((n,), bool) if mask is None else mask
+    mask_p = jnp.concatenate([mask_full, jnp.zeros((pad,), bool)])
 
     def body(carry, sl):
         best2, best_j = carry
-        pj, j0 = sl
+        pj, mj, j0 = sl
         rel = pj[None, :, :] - pos[:, None, :]  # (N, chunk, 3)
         r2 = jnp.sum(rel * rel, axis=-1)
         jidx = j0 + jnp.arange(chunk, dtype=jnp.int32)
-        r2 = jnp.where(rows[:, None] == jidx[None, :], jnp.inf, r2)
+        drop = (rows[:, None] == jidx[None, :]) | ~mj[None, :]
+        r2 = jnp.where(drop, jnp.inf, r2)
         m = jnp.min(r2, axis=1)
         a = jidx[jnp.argmin(r2, axis=1)]
         take = m < best2
@@ -56,14 +65,18 @@ def nearest_neighbor(pos, *, chunk: int = 4096):
     (best2, best_j), _ = jax.lax.scan(
         body,
         (jnp.full((n,), jnp.inf, dtype), jnp.zeros((n,), jnp.int32)),
-        (pos_p.reshape(-1, chunk, 3), starts),
+        (pos_p.reshape(-1, chunk, 3), mask_p.reshape(-1, chunk), starts),
     )
-    return jnp.sqrt(best2), best_j
+    dist = jnp.sqrt(best2)
+    if mask is not None:
+        dist = jnp.where(mask, dist, jnp.inf)
+    return dist, best_j
 
 
-def min_separation(pos, *, chunk: int = 4096):
-    """Global minimum separation: (distance, i, j) with i the body whose
-    nearest neighbour j is closest. Host-returnable scalars."""
-    dist, idx = nearest_neighbor(pos, chunk=chunk)
+def min_separation(pos, *, mask=None, chunk: int = 4096):
+    """Global minimum separation among unmasked rows: (distance, i, j)
+    with i the body whose nearest neighbour j is closest. distance=+inf
+    when fewer than two rows are unmasked."""
+    dist, idx = nearest_neighbor(pos, mask=mask, chunk=chunk)
     i = jnp.argmin(dist)
     return dist[i], i.astype(jnp.int32), idx[i]

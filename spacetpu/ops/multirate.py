@@ -66,18 +66,31 @@ from spacetpu.ops import direct
 from spacetpu.ops.integrators import _comp_add
 from spacetpu.state import State
 
-#: floor added to |a| when forming tau = |v|/|a| — keeps padding rows
-#: (v=0, a=0) and force-free bodies at a huge, well-defined tau (slow)
+#: denominator floor for tau = v_eff/|a| (avoids 0/0 on padding rows)
 _TINY = 1e-30
+
+
+def dynamical_time(vel, acc):
+    """Per-body timescale ``tau = (|v| + 1e-3 * mean|v|) / |a|``.
+
+    The speed floor (a small fraction of the mean speed) keeps bodies at
+    an instantaneous turning point — or a stationary central mass with a
+    near-zero net force — from registering tau=0 and flooding the fast
+    set: with v=0 the ranking falls back to 1/|a|, so only genuinely
+    large accelerations still rank fast. Rows with v=0 AND a=0 (padding)
+    get tau=+inf (slow)."""
+    v = jnp.linalg.norm(vel, axis=-1)
+    a = jnp.linalg.norm(acc, axis=-1)
+    v_eff = v + 1e-3 * jnp.mean(v)
+    tau = v_eff / (a + jnp.asarray(_TINY, a.dtype))
+    return jnp.where((v == 0) & (a == 0), jnp.inf, tau)
 
 
 def select_fast(state: State, cap: int) -> jax.Array:
     """Indices of the `cap` bodies with the smallest dynamical time
-    ``tau = |v| / |a|`` (computed from the cached acceleration — no force
-    pass). Padding rows (>= n_active) are forced slow."""
-    v = jnp.linalg.norm(state.vel, axis=-1)
-    a = jnp.linalg.norm(state.acc, axis=-1)
-    tau = v / (a + jnp.asarray(_TINY, a.dtype))
+    (computed from the cached acceleration — no force pass). Padding
+    rows (>= n_active) are forced slow."""
+    tau = dynamical_time(state.vel, state.acc)
     if state.n_active is not None:
         rows = jnp.arange(state.n, dtype=jnp.int32)
         tau = jnp.where(rows < state.n_active, tau, jnp.inf)
@@ -93,6 +106,8 @@ def step_multirate(state: State, dt, acc_fn, *, substeps: int, fast_cap: int,
     the rectangular fast-target passes use the tiled Pallas cross kernel
     on ``backend="pallas"`` (TPU) and `direct.acc_cross` otherwise.
     """
+    m = int(substeps)
+    cap = int(fast_cap)
     if backend == "pallas":
         from spacetpu.ops import pallas_direct
 
@@ -102,15 +117,12 @@ def step_multirate(state: State, dt, acc_fn, *, substeps: int, fast_cap: int,
     else:
         # bound the broadcasted (F, chunk, 3) intermediate to ~2^28 elems
         # (the Pallas path streams j-tiles and needs no such cap)
-        cap = int(fast_cap)
         chunk = max(1024, (1 << 28) // max(3 * cap, 1))
 
         def cross(pos_t, pos_s, mass_s):
             return direct.acc_cross_chunked(
                 pos_t, pos_s, mass_s, softening=softening, eps=eps, g=g,
                 chunk=chunk)
-    m = int(substeps)
-    cap = int(fast_cap)
     dt = jnp.asarray(dt, state.pos.dtype)
     h = dt / m
 

@@ -462,7 +462,12 @@ class Simulation:
 
         v = np.linalg.norm(np.asarray(state.vel, np.float64), axis=-1)
         a = np.linalg.norm(np.asarray(state.acc, np.float64), axis=-1)
-        tau = v / np.maximum(a, 1e-300)
+        # same metric as multirate.dynamical_time: a speed floor keeps
+        # turning-point / stationary-center bodies (v ~ 0) from posting
+        # tau ~ 0 and forcing max_substeps on an otherwise-resolved scene
+        v_eff = v + 1e-3 * float(np.mean(v))
+        tau = np.where((v == 0) & (a == 0), np.inf,
+                       v_eff / np.maximum(a, 1e-300))
         if state.n_active is not None:
             tau = tau[: int(state.n_active)]
         need = float(dt) / (eta * np.maximum(tau, 1e-300))

@@ -19,7 +19,7 @@ def test_merge_overlapping_pair_conserves_momentum():
                 [2.0, 1.0, 5.0])
     radii = jnp.asarray([0.04, 0.04, 0.01], jnp.float64)
     p0 = np.asarray(energy.momentum(st.vel, st.mass))
-    out, r2, merged, i, j = collisions.merge_closest(st, radii)
+    out, r2, merged, i, j, de = collisions.merge_closest(st, radii)
     assert bool(merged) and {int(i), int(j)} == {0, 1}
     p1 = np.asarray(energy.momentum(out.vel, out.mass))
     np.testing.assert_allclose(p1, p0, atol=1e-14)
@@ -36,13 +36,15 @@ def test_merge_overlapping_pair_conserves_momentum():
     np.testing.assert_allclose(np.asarray(out.pos[other]),
                                np.asarray(out.pos[k]))
     assert float(jnp.sum(jnp.abs(out.acc[k]))) == 0.0
+    # inelastic loss: 0.5 * mi*mj/mtot * |dv|^2 = 0.5 * (2/3) * 4
+    np.testing.assert_allclose(float(de), 4.0 / 3.0, rtol=1e-12)
 
 
 def test_no_merge_when_separated():
     st = _state([[0.0, 0, 0], [1.0, 0, 0]], [[0.0, 0, 0], [0, 0, 0]],
                 [1.0, 1.0])
     radii = jnp.asarray([0.1, 0.1], jnp.float64)
-    out, r2, merged, _, _ = collisions.merge_closest(st, radii)
+    out, r2, merged, _, _, de = collisions.merge_closest(st, radii)
     assert not bool(merged)
     np.testing.assert_array_equal(np.asarray(out.mass), [1.0, 1.0])
     np.testing.assert_array_equal(np.asarray(r2), [0.1, 0.1])
@@ -52,11 +54,24 @@ def test_absorbed_bodies_never_remerge():
     st = _state([[0.0, 0, 0], [0.05, 0, 0]], [[0.0, 0, 0], [0, 0, 0]],
                 [1.0, 1.0])
     radii = jnp.asarray([0.1, 0.1], jnp.float64)
-    st, radii, n = collisions.merge_all_overlapping(st, radii)
+    st, radii, n, _ = collisions.merge_all_overlapping(st, radii)
     assert n == 1
     # the tracer sits at the merged body (d=0) but has radius 0: no merge
-    _, _, merged, _, _ = collisions.merge_closest(st, radii)
+    _, _, merged, _, _, _ = collisions.merge_closest(st, radii)
     assert not bool(merged)
+
+
+def test_dead_tracer_does_not_shadow_other_encounters():
+    """Regression: after a merge, the absorbed tracer sits at d=0 on its
+    host — it must be excluded from the pair search so OTHER overlapping
+    pairs still merge (two independent overlapping pairs here)."""
+    st = _state([[0.0, 0, 0], [0.05, 0, 0], [10.0, 0, 0], [10.06, 0, 0]],
+                [[0.0, 0, 0]] * 4, [1.0, 1.0, 1.0, 1.0])
+    radii = jnp.asarray([0.04, 0.04, 0.04, 0.04], jnp.float64)
+    st, radii, n, _ = collisions.merge_all_overlapping(st, radii)
+    assert n == 2
+    masses = sorted(float(m) for m in np.asarray(st.mass))
+    assert masses == [0.0, 0.0, 2.0, 2.0]
 
 
 def test_collision_course_rollout_merges():
@@ -74,7 +89,7 @@ def test_collision_course_rollout_merges():
     merged_at = None
     for step in range(200):
         st = sim.step(st, 2e-2)
-        st, radii, merged, _, _ = collisions.merge_closest(st, radii)
+        st, radii, merged, _, _, _ = collisions.merge_closest(st, radii)
         if bool(merged):
             merged_at = step
             st = sim.prime(st)

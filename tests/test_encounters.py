@@ -39,6 +39,23 @@ def test_min_separation_finds_planted_pair():
     np.testing.assert_allclose(float(d), 1e-4, rtol=1e-6)
 
 
+def test_mask_excludes_dead_rows():
+    rng = np.random.default_rng(11)
+    pos = rng.normal(size=(400, 3)) * 10
+    pos[50] = pos[10]  # dead tracer riding body 10 at d=0
+    mask = np.ones(400, bool)
+    mask[50] = False
+    d, i, j = encounters.min_separation(jnp.asarray(pos),
+                                        mask=jnp.asarray(mask))
+    assert 50 not in (int(i), int(j))
+    assert float(d) > 0
+    # chunked path agrees
+    d2, i2, j2 = encounters.min_separation(jnp.asarray(pos),
+                                           mask=jnp.asarray(mask), chunk=128)
+    np.testing.assert_allclose(float(d), float(d2), rtol=1e-12)
+    assert (int(i), int(j)) == (int(i2), int(j2))
+
+
 def test_cli_report_encounters(capsys):
     from spacetpu.main import main
 
