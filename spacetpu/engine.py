@@ -114,6 +114,9 @@ def run_sim_loop(
     stop: threading.Event,
     *,
     check_interval: int = constants.CHECK_INTERVAL,
+    merge_every: int = 0,
+    radii=None,
+    on_merge=None,
 ) -> State:
     """The tick loop (event_loop.rs:305-327): step check_interval ticks,
     publish a snapshot iff the UI asked, re-read dt, exit on the token."""
@@ -129,6 +132,14 @@ def run_sim_loop(
     refresh = sim.config.tree_refresh_every
     use_cache = refresh > 1 and sim.config.resolved_algorithm() == "tree"
     structure = None
+    # collision merging (merge_every > 0): check at batch cadence; the
+    # merged radii flow back to the renderer via on_merge
+    radii_dev = None
+    last_merge_tick = 0
+    if merge_every and radii is not None:
+        import jax.numpy as jnp
+
+        radii_dev = jnp.asarray(radii, state.pos.dtype)
     with DEVICE_LOCK:
         state = sim.prime(state)
     while True:
@@ -141,6 +152,17 @@ def run_sim_loop(
                 else:
                     state = sim.step(state, delta)
                 tick += 1
+            if radii_dev is not None and tick - last_merge_tick >= merge_every:
+                from spacetpu.ops import collisions
+
+                last_merge_tick = tick
+                state, radii_dev, k, _ = collisions.merge_all_overlapping(
+                    state, radii_dev)
+                if k:
+                    state = sim.prime(state)  # merged rows' acc was zeroed
+                    structure = None  # cached tree structure is stale too
+                    if on_merge is not None:
+                        on_merge(np.asarray(radii_dev, np.float32))
             # Scalar readback: bounds the async dispatch queue so a later
             # framebuffer transfer from the UI thread never sits behind an
             # unbounded backlog of enqueued steps.
@@ -172,10 +194,17 @@ class SimEngine:
 
     def __init__(self, sim: Simulation, state: State, *,
                  delta: float = constants.DELTA,
-                 check_interval: int = constants.CHECK_INTERVAL):
+                 check_interval: int = constants.CHECK_INTERVAL,
+                 merge_every: int = 0, radii=None):
         self.sim = sim
         self.exchange = Exchange(state.n, delta,
                                  initial=np.asarray(state.pos, np.float32))
+        self._merge_every = merge_every
+        self._radii0 = radii
+        #: latest post-merge radii (np.float32), swapped atomically by the
+        #: sim thread; frontends re-read it each frame when merging is on
+        self.radii_snapshot = (None if radii is None
+                               else np.asarray(radii, np.float32))
         self._stop = threading.Event()
         self._state0 = state
         self.final_state: Optional[State] = None
@@ -191,9 +220,14 @@ class SimEngine:
     def start(self):
         def run():
             try:
+                def on_merge(radii_np):
+                    self.radii_snapshot = radii_np  # atomic reference swap
+
                 self.final_state = run_sim_loop(
                     self.sim, self._state0, self.exchange, self._stop,
                     check_interval=self._check_interval,
+                    merge_every=self._merge_every, radii=self._radii0,
+                    on_merge=on_merge,
                 )
             except BaseException as e:  # noqa: BLE001 - surfaced to the UI
                 self.error = e
@@ -226,12 +260,14 @@ def make_engine_for(
     delta: float = constants.DELTA,
     cutoff: int = constants.BARNES_HUT_CUTOFF,
     theta: float = constants.BARNES_HUT_THETA,
+    engine_kwargs: Optional[dict] = None,
     **sim_kwargs,
 ) -> SimEngine:
     """Algorithm auto-select by N, matching run_sim_loop_erased
     (event_loop.rs:329-341): tree (theta=BARNES_HUT_COEFF) iff N > cutoff,
-    else brute force."""
+    else brute force. engine_kwargs are forwarded to SimEngine
+    (merge_every/radii for collision merging)."""
     n = scene_state.n
     algorithm = "tree" if n > cutoff else "direct"
     sim = make_simulation(n, algorithm=algorithm, theta=theta, **sim_kwargs)
-    return SimEngine(sim, scene_state, delta=delta)
+    return SimEngine(sim, scene_state, delta=delta, **(engine_kwargs or {}))

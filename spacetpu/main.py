@@ -138,12 +138,14 @@ def _resolve_auto_substeps(cfg: RunConfig, scene: Scene, state: State) -> State:
 
 
 def build_engine(cfg: RunConfig, scene: Scene, state: State) -> SimEngine:
+    merge_kw = dict(merge_every=cfg.merge_collisions,
+                    radii=scene.radii if cfg.merge_collisions else None)
     if cfg.algorithm == "auto":
         return make_engine_for(
             state, delta=cfg.dt, theta=cfg.theta, backend=cfg.backend,
             integrator=cfg.integrator, softening=cfg.softening, eps=cfg.eps,
             g=scene.g, multipole_order=cfg.multipole_order,
-            **_cfg_tree_kwargs(cfg),
+            engine_kwargs=merge_kw, **_cfg_tree_kwargs(cfg),
         )
     sim = make_simulation(
         state.n, algorithm=cfg.algorithm, backend=cfg.backend,
@@ -151,7 +153,7 @@ def build_engine(cfg: RunConfig, scene: Scene, state: State) -> SimEngine:
         theta=cfg.theta, g=scene.g, multipole_order=cfg.multipole_order,
         **_cfg_tree_kwargs(cfg),
     )
-    return SimEngine(sim, state, delta=cfg.dt)
+    return SimEngine(sim, state, delta=cfg.dt, **merge_kw)
 
 
 def _run_headless_sharded(cfg: RunConfig, scene: Scene, state: State):
@@ -486,6 +488,8 @@ def main(argv=None):
         else:
             TerminalViewer(source, graphics=cfg.term_graphics).run(max_frames=cfg.frames)
     if cfg.checkpoint and engine.final_state is not None:
+        if cfg.merge_collisions and engine.radii_snapshot is not None:
+            scene.radii = engine.radii_snapshot  # persist merged radii
         checkpoint.save(cfg.checkpoint, engine.final_state, scene=scene)
         print(f"checkpoint written to {cfg.checkpoint}")
     print("Task completed")

@@ -81,6 +81,7 @@ class FrameSource:
         self.trails = trails.make_trails(scene.n, t=trail_length)
         self.colors = jnp.asarray(scene.colors, jnp.float32)
         self.radii = jnp.asarray(scene.radii, jnp.float32)
+        self._radii_src = None  # last engine.radii_snapshot reference seen
         self.info = InfoPanel()
         # start from the scene's own positions: the first frames render
         # before the sim thread publishes its first sample, and an
@@ -114,6 +115,12 @@ class FrameSource:
         Returns a host (H, W, 3) uint8 frame; all device work happens under
         the engine DEVICE_LOCK so it never races the sim thread's queue."""
         self.engine.check_health()  # surface a dead sim thread immediately
+        # collision merging shrinks/zeroes radii mid-run: re-read the sim
+        # thread's latest snapshot (atomic reference swap) when it changes
+        snap_r = getattr(self.engine, "radii_snapshot", None)
+        if snap_r is not None and snap_r is not self._radii_src:
+            self._radii_src = snap_r
+            self.radii = jnp.asarray(snap_r, jnp.float32)
         snapshot = self.engine.exchange.sample()
         self._latest_positions = snapshot
         self.camera.track_focus(snapshot)

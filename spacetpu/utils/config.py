@@ -207,9 +207,10 @@ def build_parser() -> argparse.ArgumentParser:
                         " before and after the run (O(N^2) pass)")
     p.add_argument("--merge-collisions", dest="merge_collisions", type=int,
                    default=d.merge_collisions, metavar="EVERY",
-                   help="headless: every EVERY steps, merge overlapping"
-                        " bodies (perfectly inelastic, barycentric;"
-                        " collision radii = the scene's body radii;"
+                   help="every EVERY steps, merge overlapping bodies"
+                        " (perfectly inelastic, barycentric; collision"
+                        " radii = the scene's body radii; works headless"
+                        " and in the interactive/offline frontends;"
                         " 0 = off)")
     p.add_argument("--list-presets", action="store_true",
                    help="list available scene presets and exit")

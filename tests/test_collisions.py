@@ -104,6 +104,37 @@ def test_collision_course_rollout_merges():
     np.testing.assert_allclose(p, 0.0, atol=1e-10)
 
 
+def test_engine_loop_merges_and_publishes_radii():
+    """The interactive sim loop merges at batch cadence and hands the
+    post-merge radii to the frontend via on_merge/radii_snapshot."""
+    import threading
+    import time
+
+    from spacetpu.engine import Exchange, SimEngine
+
+    st = make_state(
+        np.array([[-0.5, 0, 0], [0.5, 0, 0]]),
+        np.array([[0.25, 0, 0], [-0.25, 0, 0]]),
+        np.array([1.0, 1.0]), dtype=jnp.float64)
+    sim = make_simulation(2, algorithm="direct", backend="xla",
+                          softening="plummer", eps=1e-3, g=1.0)
+    radii = np.array([0.05, 0.05])
+    eng = SimEngine(sim, st, delta=2e-2, merge_every=2, radii=radii)
+    with eng:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            eng.check_health()
+            if float(eng.radii_snapshot.max()) > 0.055:  # volume-additive
+                break
+            time.sleep(0.05)
+    assert eng.final_state is not None
+    masses = sorted(float(m) for m in np.asarray(eng.final_state.mass))
+    assert masses == [0.0, 2.0]
+    r = sorted(float(x) for x in eng.radii_snapshot)
+    np.testing.assert_allclose(r[1], (2 * 0.05 ** 3) ** (1 / 3), rtol=1e-5)
+    assert r[0] == 0.0
+
+
 def test_cli_merge_collisions_flag():
     from spacetpu.main import main
 
