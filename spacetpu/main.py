@@ -98,6 +98,8 @@ def _cfg_tree_kwargs(cfg: RunConfig) -> dict:
         tree_refresh_every=cfg.tree_refresh_every,
         run_chunk=cfg.run_chunk or None,
         substeps=int(cfg.substeps), fast_cap=fast_cap,
+        pm_grid=(cfg.pm_grid if cfg.pm_grid == "auto" else int(cfg.pm_grid)),
+        pm_margin=cfg.pm_margin,
     )
 
 
@@ -179,6 +181,11 @@ def _run_headless_sharded(cfg: RunConfig, scene: Scene, state: State):
             f"available ({[str(x) for x in jax.devices()]})"
         )
     algo = cfg.algorithm
+    if algo == "pm":
+        raise SystemExit(
+            "--algorithm pm is single-chip for now (a body-sharded deposit "
+            "+ psum'd mesh is the natural multi-chip form; drop --shard)"
+        )
     if algo == "auto":
         algo = "tree" if state.n > constants.BARNES_HUT_CUTOFF else "direct"
     if int(cfg.substeps) > 1:
@@ -391,9 +398,10 @@ def run_headless(cfg: RunConfig, scene: Scene, state: State):
         if (cfg.recalibrate_every and done % cfg.recalibrate_every == 0
                 and done < cfg.steps):
             if sim.maybe_recalibrate(state):
+                what = (f"box h={sim._pm['h']:.3g}" if sim._pm is not None
+                        else f"k_near={sim._k_near}")
                 print(f"  ... step {done}: scene outgrew the calibrated "
-                      f"caps — re-measured (k_near={sim._k_near})",
-                      flush=True)
+                      f"caps — re-measured ({what})", flush=True)
         if cfg.checkpoint_every and done % cfg.checkpoint_every == 0:
             checkpoint.save(f"{cfg.checkpoint or 'state'}_{done}.npz", state,
                             scene=scene)
@@ -417,6 +425,16 @@ def run_headless(cfg: RunConfig, scene: Scene, state: State):
         else:
             print(f"tree health: 0/{health['clusters']} near-list "
                   f"overflows (k_near={health['k_near']})")
+    elif sim.config.resolved_algorithm() == "pm":
+        health = sim.health(state)
+        if health.get("out_of_box"):
+            print(f"WARNING: {health['out_of_box']} of {state.n} bodies "
+                  f"left the calibrated mesh box (deposit face-clamped — "
+                  f"re-run with --recalibrate-every or a larger "
+                  f"--pm-margin)")
+        else:
+            print(f"pm health: 0/{state.n} bodies out of the "
+                  f"{health['grid']}^3 mesh box")
     print(f"simulated: {compute_elapsed_time(cfg.steps, cfg.dt)}")
     report_encounters("end", radii_dev)
     if merged_total:

@@ -30,7 +30,7 @@ from spacetpu import constants
 from spacetpu.ops import direct, integrators
 from spacetpu.state import State
 
-ALGORITHMS = ("auto", "direct", "tree")
+ALGORITHMS = ("auto", "direct", "tree", "pm")
 BACKENDS = ("auto", "xla", "pallas")
 
 #: Host-side rollout chunking (see Simulation.run). The axon TPU runtime
@@ -117,6 +117,12 @@ class SimConfig:
     # set's substep forces are exact all-pairs rows. Leapfrog only.
     substeps: int = 1
     fast_cap: object = "auto"  # "auto" = max(128, ~N/8 rounded to 128)
+    # particle-mesh solver (algorithm="pm", ops/pm.py): mesh size per axis
+    # ("auto" = ~N^(1/3) clamped to [32, 128]) and the bounding-box margin
+    # measured at prime time (evolving scenes get headroom before bodies
+    # hit the faces; out-of-box deposit is clamped + counted by health()).
+    pm_grid: object = "auto"
+    pm_margin: float = 2.0
 
     def resolved_leaf(self) -> int:
         from spacetpu.ops import tree as tree_ops
@@ -165,6 +171,13 @@ class SimConfig:
             return min(self.n, max(128, -(-(self.n // 8) // 128) * 128))
         return min(self.n, int(self.fast_cap))
 
+    def resolved_pm_grid(self) -> int:
+        from spacetpu.ops import pm as pm_ops
+
+        if self.pm_grid == "auto":
+            return pm_ops.default_grid(self.n)
+        return int(self.pm_grid)
+
 
 class Simulation:
     """Bound (force backend, integrator) pair with jitted step/run."""
@@ -188,17 +201,30 @@ class Simulation:
         #: calibrated clustering choice for cluster_mode="auto" (None until
         #: calibrate() has compared the measured partitions).
         self._cluster_mode: str | None = None
+        #: PM calibration products (algorithm="pm"): box_min/h/kernel_hat.
+        self._pm: dict | None = None
         # pairs/adaptive modes want measured capacities (they run with
         # worst-case caps otherwise); k_near="auto" always calibrates.
-        self._needs_calibration = config.resolved_algorithm() == "tree" and (
-            config.k_near == "auto"
-            or config.resolved_near_mode() == "pairs"
-            or config.resolved_cluster_mode() == "adaptive"
-        )
+        # The PM solver always calibrates: its mesh box + FFT'd kernel
+        # come from the primed state's bounding box.
+        self._needs_calibration = (
+            config.resolved_algorithm() == "tree"
+            and (
+                config.k_near == "auto"
+                or config.resolved_near_mode() == "pairs"
+                or config.resolved_cluster_mode() == "adaptive"
+            )
+        ) or config.resolved_algorithm() == "pm"
         if config.substeps > 1 and config.integrator != "leapfrog":
             raise ValueError(
                 "substeps > 1 is a leapfrog composition "
                 f"(got integrator={config.integrator!r})"
+            )
+        if config.substeps > 1 and config.resolved_algorithm() == "pm":
+            raise ValueError(
+                "substeps > 1 is unsupported with algorithm='pm': the "
+                "multirate fast-set substeps use exact pair forces, which "
+                "are inconsistent with the mesh-softened PM force law"
             )
         self.acc_fn = _build_acc_fn(config, self._k_near)
         self._stepper = self._make_stepper()
@@ -310,7 +336,13 @@ class Simulation:
         high-density-contrast scenes (Plummer spheres) need far larger
         caps than the geometric default — see tree.measure_near. Must run
         before the jitted step/run first trace (prime() does this
-        automatically)."""
+        automatically).
+
+        algorithm="pm" calibrates its mesh instead: the bounding box is
+        measured from this state (margin-padded) and the open-BC Green's
+        function is FFT'd once host-side (ops/pm.py)."""
+        if self.config.resolved_algorithm() == "pm":
+            return self._calibrate_pm(state)
         from spacetpu.ops import tree as tree_ops
 
         cfg = self.config
@@ -401,6 +433,30 @@ class Simulation:
         self._build_jits()
         self._needs_calibration = False
 
+    def _calibrate_pm(self, state: State):
+        """Measure the scene's bounding box and bake the PM mesh: box_min,
+        cell size h, and the FFT'd kernel become device constants of the
+        rebuilt acc closure. Re-runs (maybe_recalibrate) re-measure the box
+        around the evolved positions — always convergent, since the new box
+        covers every body by construction."""
+        from spacetpu.ops import pm as pm_ops
+
+        cfg = self.config
+        grid = cfg.resolved_pm_grid()
+        box_min, h = pm_ops.measure_box(state.pos, grid=grid,
+                                        margin=cfg.pm_margin)
+        kernel_hat = pm_ops.pm_kernel_hat(
+            grid, h, eps=cfg.resolved_eps(), g=cfg.g, dtype=state.pos.dtype
+        )
+        self._pm = dict(box_min=box_min, h=h, grid=grid,
+                        kernel_hat=kernel_hat)
+        self.acc_fn = functools.partial(
+            pm_ops.acc_pm, kernel_hat=kernel_hat, box_min=box_min, h=h,
+            grid=grid,
+        )
+        self._build_jits()
+        self._needs_calibration = False
+
     def maybe_recalibrate(self, state: State, *, frac: float = 0.02) -> bool:
         """Re-measure the scene and rebuild the step closures iff the
         current caps have degraded: the near-overflow telemetry exceeds
@@ -413,8 +469,19 @@ class Simulation:
         re-trace costs one compile, so the threshold should stay well
         above zero. Returns True when a re-calibration ran. The reference
         rebuilds its octree every tick (barnes_hut/mod.rs:13-14), so its
-        caps can never go stale; this is the static-shape analogue."""
-        if self.config.resolved_algorithm() != "tree":
+        caps can never go stale; this is the static-shape analogue.
+
+        For algorithm="pm" the degradation signal is the out-of-box count
+        (face-clamped deposits) and the fix is a re-measured box — always
+        convergent, so no pinned-cap exhaustion logic is needed."""
+        algo = self.config.resolved_algorithm()
+        if algo == "pm":
+            h = self.health(state)
+            if h.get("out_of_box", 0) <= frac * self.config.n:
+                return False
+            self.calibrate(state)
+            return True
+        if algo != "tree":
             return False
         if getattr(self, "_recal_exhausted", False):
             return False
@@ -492,6 +559,16 @@ class Simulation:
         from spacetpu.ops import tree as tree_ops
 
         cfg = self.config
+        if cfg.resolved_algorithm() == "pm":
+            if self._pm is None:
+                return {}
+            from spacetpu.ops import pm as pm_ops
+
+            n_out = int(pm_ops.count_out_of_box(
+                jnp.asarray(state.pos), self._pm["box_min"], self._pm["h"],
+                self._pm["grid"],
+            ))
+            return {"out_of_box": n_out, "grid": self._pm["grid"]}
         if cfg.resolved_algorithm() != "tree":
             return {}
         p = self._tree_params()
@@ -629,6 +706,18 @@ def _build_acc_fn(config: SimConfig, k_near: int | None = None, *,
     algo = config.resolved_algorithm()
     backend = config.resolved_backend()
     eps = config.resolved_eps()
+    if algo == "pm":
+        # the real closure is built by Simulation._calibrate_pm (it needs
+        # the primed state's bounding box); this placeholder catches a
+        # step() before prime()/calibrate()
+        def _pm_uncalibrated(pos, mass):
+            raise RuntimeError(
+                "PM solver is uncalibrated — call prime() (or calibrate()) "
+                "before step/run: the mesh box and FFT'd kernel are "
+                "measured from the first state"
+            )
+
+        return _pm_uncalibrated
     if algo == "direct":
         if backend == "pallas":
             from spacetpu.ops import pallas_direct
@@ -698,6 +787,8 @@ def make_simulation(
     run_chunk: int | None = None,
     substeps: int = 1,
     fast_cap="auto",
+    pm_grid="auto",
+    pm_margin: float = 2.0,
 ) -> Simulation:
     return Simulation(
         SimConfig(
@@ -720,6 +811,8 @@ def make_simulation(
             run_chunk=run_chunk,
             substeps=substeps,
             fast_cap=fast_cap,
+            pm_grid=pm_grid,
+            pm_margin=pm_margin,
         )
     )
 

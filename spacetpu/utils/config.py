@@ -38,6 +38,8 @@ class RunConfig:
     run_chunk: int = 0  # max device-scan length per run() call (0 = auto)
     substeps: str = "1"  # multirate KDK substeps per outer dt (auto | <int>)
     fast_cap: str = "auto"  # multirate fast-set capacity (auto | <int>)
+    pm_grid: str = "auto"  # particle-mesh size per axis (auto | <int>)
+    pm_margin: float = 2.0  # PM bounding-box margin factor
     dt: float = constants.DELTA
     auto_frame: bool = True  # frame the camera to the scene at startup
     dtype: str = "float32"
@@ -92,7 +94,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="body count for parameterized presets")
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--algorithm", default=d.algorithm,
-                   choices=["auto", "direct", "tree"])
+                   choices=["auto", "direct", "tree", "pm"])
     p.add_argument("--backend", default=d.backend,
                    choices=["auto", "xla", "pallas"])
     p.add_argument("--integrator", default=d.integrator,
@@ -158,6 +160,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fast-cap", dest="fast_cap", default=d.fast_cap,
                    help="multirate fast-set capacity: 'auto' (~N/8) or an"
                         " integer body count")
+    p.add_argument("--pm-grid", dest="pm_grid", default=d.pm_grid,
+                   help="particle-mesh size per axis for --algorithm pm:"
+                        " 'auto' (~N^(1/3), clamped to [32, 128]) or an"
+                        " integer (powers of two FFT fastest)")
+    p.add_argument("--pm-margin", dest="pm_margin", type=float,
+                   default=d.pm_margin,
+                   help="PM bounding-box margin factor measured at startup"
+                        " (bodies leaving the box are face-clamped +"
+                        " counted; --recalibrate-every re-measures)")
     p.add_argument("--no-auto-frame", dest="auto_frame",
                    action="store_false", default=d.auto_frame,
                    help="keep the reference's fixed camera at (0,0,2)")
