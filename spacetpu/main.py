@@ -181,11 +181,6 @@ def _run_headless_sharded(cfg: RunConfig, scene: Scene, state: State):
             f"available ({[str(x) for x in jax.devices()]})"
         )
     algo = cfg.algorithm
-    if algo == "pm":
-        raise SystemExit(
-            "--algorithm pm is single-chip for now (a body-sharded deposit "
-            "+ psum'd mesh is the natural multi-chip form; drop --shard)"
-        )
     if algo == "auto":
         algo = "tree" if state.n > constants.BARNES_HUT_CUTOFF else "direct"
     if int(cfg.substeps) > 1:
@@ -221,6 +216,16 @@ def _run_headless_sharded(cfg: RunConfig, scene: Scene, state: State):
             k_near=tree_kw.get("k_near") if isinstance(
                 tree_kw.get("k_near"), int) else None,
             run_chunk=cfg.run_chunk or None,
+        )
+    elif algo == "pm":
+        from spacetpu.parallel import pmshard
+
+        n_pad = -(-state.n // d) * d
+        sim = pmshard.ShardedPMSimulation(
+            mesh, n_pad,
+            grid=(cfg.pm_grid if cfg.pm_grid == "auto" else int(cfg.pm_grid)),
+            margin=cfg.pm_margin, softening=cfg.softening, eps=cfg.eps,
+            g=scene.g, integrator=cfg.integrator,
         )
     else:
         n_pad = -(-state.n // d) * d
@@ -276,9 +281,14 @@ def _run_headless_sharded(cfg: RunConfig, scene: Scene, state: State):
             todo = next_todo(done)
             st = sim.run(st, cfg.dt, todo)
             done += todo
+            if (algo == "pm" and cfg.recalibrate_every and done < cfg.steps
+                    and done % cfg.recalibrate_every == 0):
+                if sim.maybe_recalibrate(st):
+                    print(f"  ... step {done}: bodies left the mesh box — "
+                          f"re-measured (h={sim._pm['h']:.3g})", flush=True)
             at_boundaries(done, lambda: st)
         final = st
-        telemetry = None
+        telemetry = sim.health(st) if algo == "pm" else None
     e1 = float(energy.total_energy(final.pos, final.vel, final.mass,
                                    softening=cfg.softening, eps=eps_diag,
                                    g=scene.g))
@@ -293,7 +303,7 @@ def _run_headless_sharded(cfg: RunConfig, scene: Scene, state: State):
           f"({rate['steps_per_sec']:.2f} steps/s, "
           f"{rate['pairs_per_sec']:.3e} pairs/s)")
     if telemetry is not None:
-        print(f"tree telemetry: {telemetry}")
+        print(f"{'pm' if algo == 'pm' else 'tree'} telemetry: {telemetry}")
     print(f"simulated: {compute_elapsed_time(cfg.steps, cfg.dt)}")
     if e0 != 0.0:
         print(f"relative energy drift: {(e1 - e0) / abs(e0):.3e}")

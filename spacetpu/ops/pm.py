@@ -171,24 +171,18 @@ def potential_mesh(mass_mesh, kernel_hat, grid: int):
     return jnp.fft.irfftn(rho_hat * kernel_hat, s=(g2, g2, g2))
 
 
-def acc_pm(pos, mass, *, kernel_hat, box_min, h, grid: int):
-    """PM acceleration (N, 3): deposit -> FFT solve -> central-difference
-    gradient -> CIC gather. Matches the integrators' AccFn contract
-    (close over the calibration products with functools.partial).
+def acc_from_mesh(pos, mass_mesh, *, kernel_hat, box_min, inv_h, grid: int):
+    """Solve + gather stage: FFT Poisson on an already-deposited mass
+    mesh, central-difference gradient, CIC gather at ``pos``. Shared by
+    the single-chip path and the body-sharded path (where the mesh is the
+    psum of per-device local deposits).
 
     The jnp.roll in the gradient wraps the doubled mesh; under the
     min-image kernel the wrapped neighbor IS the correct open-space
     potential sample (|d|_min stays the true distance one node beyond the
     source region), so the boundary needs no special casing.
     """
-    pos = jnp.asarray(pos)
-    dt_r = pos.dtype
-    box_min = jnp.asarray(box_min, dt_r)
-    h = jnp.asarray(h, dt_r)
-    inv_h = 1.0 / h
-    mesh = deposit_cic(pos, jnp.asarray(mass, dt_r), box_min=box_min,
-                       inv_h=inv_h, grid=grid)
-    phi = potential_mesh(mesh, kernel_hat, grid)
+    phi = potential_mesh(mass_mesh, kernel_hat, grid)
     # a = -grad phi; central difference: a[i] = (phi[i-1] - phi[i+1])/(2h)
     half_inv = 0.5 * inv_h
     grads = jnp.stack(
@@ -203,6 +197,20 @@ def acc_pm(pos, mass, *, kernel_hat, box_min, h, grid: int):
         lin = ((i0[:, 0] + dx) * g2 + (i0[:, 1] + dy)) * g2 + (i0[:, 2] + dz)
         acc = acc + w[:, None] * grads[lin]
     return acc
+
+
+def acc_pm(pos, mass, *, kernel_hat, box_min, h, grid: int):
+    """PM acceleration (N, 3): deposit -> FFT solve -> central-difference
+    gradient -> CIC gather. Matches the integrators' AccFn contract
+    (close over the calibration products with functools.partial)."""
+    pos = jnp.asarray(pos)
+    dt_r = pos.dtype
+    box_min = jnp.asarray(box_min, dt_r)
+    inv_h = 1.0 / jnp.asarray(h, dt_r)
+    mesh = deposit_cic(pos, jnp.asarray(mass, dt_r), box_min=box_min,
+                       inv_h=inv_h, grid=grid)
+    return acc_from_mesh(pos, mesh, kernel_hat=kernel_hat, box_min=box_min,
+                         inv_h=inv_h, grid=grid)
 
 
 def pm_self_kernel(h: float, *, eps: float = 0.0, g: float = None) -> float:

@@ -196,18 +196,24 @@ class ShardedSimulation:
     def shard_state(self, state: State) -> State:
         """Place a host/single-device state onto the mesh with the body axis
         sharded."""
-        def put(leaf, spec):
-            if leaf is None:
-                return None
-            return jax.device_put(leaf, NamedSharding(self.mesh, spec))
+        return shard_state(self.mesh, state)
 
-        return State(
-            pos=put(state.pos, P(AXIS)),
-            vel=put(state.vel, P(AXIS)),
-            mass=put(state.mass, P(AXIS)),
-            acc=put(state.acc, P(AXIS)),
-            pos_c=put(state.pos_c, P(AXIS)),
-            vel_c=put(state.vel_c, P(AXIS)),
-            time=put(state.time, P()),
-            n_active=put(state.n_active, P()),
-        )
+
+def shard_state(mesh: Mesh, state: State) -> State:
+    """Place a host/single-device state onto ``mesh`` with the body axis
+    sharded (shared by every body-sharded simulation façade)."""
+    def put(leaf, spec):
+        if leaf is None:
+            return None
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return State(
+        pos=put(state.pos, P(AXIS)),
+        vel=put(state.vel, P(AXIS)),
+        mass=put(state.mass, P(AXIS)),
+        acc=put(state.acc, P(AXIS)),
+        pos_c=put(state.pos_c, P(AXIS)),
+        vel_c=put(state.vel_c, P(AXIS)),
+        time=put(state.time, P()),
+        n_active=put(state.n_active, P()),
+    )

@@ -165,6 +165,52 @@ def test_pm_multirate_rejected():
         sim_mod.make_simulation(n=128, algorithm="pm", substeps=4)
 
 
+def test_sharded_pm_matches_single_device():
+    from spacetpu.parallel import pmshard, ring
+
+    pos, mass = _plummer_cloud(512, seed=11)
+    vel = np.zeros_like(pos)
+    single = sim_mod.make_simulation(n=512, algorithm="pm", backend="xla",
+                                     g=1.0, pm_grid=32)
+    s1 = single.prime(make_state(pos, vel, mass, dtype=jnp.float64))
+    s1 = single.run(s1, 1e-3, 10)
+
+    mesh = ring.make_mesh(8)
+    sh = pmshard.ShardedPMSimulation(mesh, 512, grid=32, g=1.0)
+    ts = sh.shard_state(make_state(pos, vel, mass, dtype=jnp.float64))
+    ts = sh.prime(ts)
+    assert sh._pm["h"] == pytest.approx(single._pm["h"], rel=1e-12)
+    ts = sh.run(ts, 1e-3, 10)
+
+    np.testing.assert_allclose(np.asarray(ts.pos), np.asarray(s1.pos),
+                               rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(ts.vel), np.asarray(s1.vel),
+                               rtol=1e-8, atol=1e-12)
+    assert sh.health(ts)["out_of_box"] == 0
+
+
+def test_sharded_pm_recalibrate():
+    from spacetpu.parallel import pmshard, ring
+
+    pos, mass = _plummer_cloud(256, seed=12)
+    mesh = ring.make_mesh(8)
+    sh = pmshard.ShardedPMSimulation(mesh, 256, grid=32, g=1.0, margin=1.2)
+    ts = sh.prime(sh.shard_state(
+        make_state(pos, np.zeros_like(pos), mass, dtype=jnp.float64)))
+    assert not sh.maybe_recalibrate(ts)
+    moved = np.asarray(ts.pos).copy()
+    moved[:30] *= 80.0
+    ts2 = ts._replace(pos=jnp.asarray(moved))
+    old_h = sh._pm["h"]
+    assert sh.maybe_recalibrate(ts2)
+    assert sh._pm["h"] > old_h
+    # the rebuilt jits must still run on the mesh
+    ts2 = sh.shard_state(make_state(moved, np.zeros_like(moved),
+                                    np.asarray(ts.mass), dtype=jnp.float64))
+    ts2 = sh.prime(ts2)
+    assert sh.health(ts2)["out_of_box"] == 0
+
+
 def test_default_grid_bounds():
     assert pm.default_grid(10) == pm.PM_GRID_MIN
     assert pm.default_grid(10 ** 9) == pm.PM_GRID_MAX
