@@ -100,6 +100,7 @@ def _cfg_tree_kwargs(cfg: RunConfig) -> dict:
         substeps=int(cfg.substeps), fast_cap=fast_cap,
         pm_grid=(cfg.pm_grid if cfg.pm_grid == "auto" else int(cfg.pm_grid)),
         pm_margin=cfg.pm_margin,
+        pm_rs_cells=cfg.pm_rs_cells, pm_rcut_rs=cfg.pm_rcut_rs,
     )
 
 
@@ -226,6 +227,12 @@ def _run_headless_sharded(cfg: RunConfig, scene: Scene, state: State):
             grid=(cfg.pm_grid if cfg.pm_grid == "auto" else int(cfg.pm_grid)),
             margin=cfg.pm_margin, softening=cfg.softening, eps=cfg.eps,
             g=scene.g, integrator=cfg.integrator,
+        )
+    elif algo == "treepm":
+        raise SystemExit(
+            "--shard with --algorithm treepm is not implemented yet; use "
+            "--algorithm tree (O(N/D) sharded tree) or pm (psum'd mesh) "
+            "for sharded runs"
         )
     else:
         n_pad = -(-state.n // d) * d

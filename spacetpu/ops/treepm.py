@@ -1,0 +1,479 @@
+"""TreePM hybrid force solver: PM long-range + exact short-range pairs.
+
+The fourth force-solver family, combining the strengths of the other
+three: the smooth long-range field comes from the particle-mesh solve
+(ops/pm.py — three dense XLA primitives, O(M^3 log M)), and the
+mesh-unresolvable short-range part comes from exact pair interactions
+within a cutoff radius, evaluated over Hilbert-clustered pair tiles with
+the same static-shape machinery as the treecode's near phase
+(ops/tree.py). This is the production design of the large-scale
+cosmology codes (Bagla 2002; Springel 2005, Gadget-2 §5) — the reference
+has no counterpart (its families are `/root/reference/space/src/sim/
+direct.rs` and `barnes_hut/`); TreePM extends the framework past
+reference parity for very large N at near-exact accuracy.
+
+Force split (Gaussian/Ewald form). The Plummer-softened pair weight
+(a_i = sum_j w(r) * rel_ij * m_j * G) splits exactly as
+
+    w_plummer(r) = w_short(r) + w_long(r),
+    w_long(r)    = [erf(u) - (2/sqrt(pi)) u e^(-u^2)] / r^3,  u = r/(2 rs),
+    w_short(r)   = w_plummer(r) - w_long(r),
+
+where w_long is the force weight of the smoothed potential
+phi_long(r) = -G erf(r/(2 rs))/r. phi_long is C^inf with NO 1/r
+singularity (phi_long(0) = -G/(sqrt(pi) rs)), so a mesh with cell size
+h <= rs/RS_CELLS represents it accurately — the PM pass computes it for
+ALL pairs by sampling phi_long at the min-image node distances
+(pm_kernel_hat_long), reusing the deposit/FFT/gather pipeline unchanged.
+w_short decays like erfc: at the cutoff r_cut = RCUT_RS * rs the
+truncated tail is erfc(RCUT_RS/2) ~ 1.5e-3 of the Newtonian force at
+that radius and falls exponentially beyond, so evaluating w_short only
+for pairs within r_cut (cluster pair tiles) loses nothing measurable.
+No double counting by construction: PM carries the erf part of every
+pair including the near ones; the pair pass adds only the complement.
+
+Short-range pair structure: bodies are Hilbert-sorted into equal-count
+clusters (ops/morton.py + ops/cluster.py); cluster near lists accept
+source clusters with com-distance <= r_cut + r_tgt_i + r_tgt_j — a
+symmetric criterion that provably contains every body pair within r_cut
+(body-pair distance >= com distance - r_tgt_i - r_tgt_j). The lists
+flatten into the treecode's pair tiles (tree.near_pair_segments) and
+evaluate through a Pallas VPU kernel (TPU) or a lax.map fallback (CPU
+tests), with the same counted-overflow telemetry: targets whose lists
+exceed the calibrated caps degrade to PM-only accuracy for the dropped
+clusters — counted, never silent.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from spacetpu import constants
+from spacetpu.ops import cluster as cluster_ops
+from spacetpu.ops import direct, morton
+from spacetpu.ops import pm as pm_ops
+from spacetpu.ops import tree as tree_ops
+
+#: Gaussian split scale in mesh cells: rs = RS_CELLS * h. Gadget-2's
+#: ASMTH default is 1.25; measured against the exact force on a uniform
+#: cloud (N=4096, grid 32/64), 1.75 cells halves the p99 error (3.4e-2
+#: -> 1.5e-2 at grid=64) for ~2.7x the — still small — short-range pair
+#: volume, so 1.75 is the default here (pm_rs_cells overrides).
+RS_CELLS = 1.75
+
+#: short-range cutoff in split scales: r_cut = RCUT_RS * rs. erfc(2.25)
+#: ~ 1.5e-3 relative force truncation at the cutoff, exponentially less
+#: beyond (Gadget-2 RCUT default is 4.5).
+RCUT_RS = 4.5
+
+_TWO_OVER_SQRTPI = 2.0 / math.sqrt(math.pi)
+
+
+def split_params(h: float, *, rs_cells: float = RS_CELLS,
+                 rcut_rs: float = RCUT_RS) -> tuple[float, float]:
+    """(rs, r_cut) for a mesh cell size h."""
+    rs = float(rs_cells) * float(h)
+    return rs, float(rcut_rs) * rs
+
+
+def pm_kernel_hat_long(grid: int, h: float, rs: float, *, g: float = None,
+                       dtype=jnp.float32):
+    """rFFT of the LONG-RANGE Green's function on the doubled mesh:
+    K[d] = -G erf(r/(2 rs))/r sampled at the min-image node distance,
+    K[0] = -G/(sqrt(pi) rs) (the r->0 limit). Host-side f64, like
+    pm.pm_kernel_hat — same shape contract ((2G, 2G, G+1) real)."""
+    if g is None:
+        g = constants.G
+    from scipy.special import erf as _erf  # host-side only
+
+    g2 = 2 * grid
+    idx = np.arange(g2, dtype=np.float64)
+    d = np.minimum(idx, g2 - idx)
+    r = float(h) * np.sqrt(
+        d[:, None, None] ** 2 + d[None, :, None] ** 2
+        + d[None, None, :] ** 2
+    )
+    rs = float(rs)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        kern = np.where(r > 0.0, _erf(r / (2.0 * rs)) / np.maximum(r, 1e-300),
+                        1.0 / (math.sqrt(math.pi) * rs))
+    kern = -float(g) * kern
+    k_hat = np.fft.rfftn(kern).real
+    real_dtype = jnp.zeros((), dtype).dtype
+    return jnp.asarray(k_hat, real_dtype)
+
+
+def _w_long(r2, rs, r_dtype):
+    """Long-range force weight [erf(u) - (2/sqrt(pi)) u e^(-u^2)] / r^3
+    (exact erf; XLA path). Zero at r = 0 (the numerator ~ u^3 and the
+    pair's rel vector is zero anyway)."""
+    inv_r = jnp.where(r2 > 0, jax.lax.rsqrt(jnp.maximum(r2, 1e-38)),
+                      jnp.zeros((), r_dtype))
+    r = r2 * inv_r
+    u = r / (2.0 * rs)
+    num = jax.scipy.special.erf(u) - _TWO_OVER_SQRTPI * u * jnp.exp(-u * u)
+    return num * inv_r * inv_r * inv_r
+
+
+def w_short(r2, r_dtype, softening: str, eps, rs):
+    """Short-range pair weight: the chosen softened law minus the erf
+    long-range part the mesh already carries."""
+    return direct._pair_weight(r2, r_dtype, softening, eps) - _w_long(
+        r2, rs, r_dtype
+    )
+
+
+def acc_cross_short(pos_i, pos_j, mass_j, *, softening: str = "plummer",
+                    eps=None, rs: float = 1.0, g=None):
+    """Short-range acceleration of targets `pos_i` from sources
+    `pos_j`/`mass_j` — `direct.acc_cross` with the split weight."""
+    dtype = pos_i.dtype
+    if eps is None:
+        eps = constants.COLLISION_EPSILON if softening == "ref" else 0.0
+    if g is None:
+        g = constants.G
+    eps = jnp.asarray(eps, dtype)
+    g = jnp.asarray(g, dtype)
+    rel = pos_j[None, :, :] - pos_i[:, None, :]
+    r2 = jnp.sum(rel * rel, axis=-1)
+    w = w_short(r2, dtype, softening, eps, jnp.asarray(rs, dtype))
+    w = w * mass_j[None, :] * g
+    return jnp.einsum("ij,ijk->ik", w, rel)
+
+
+# ---------------------------------------------------------------------------
+# Pallas short-range pair kernel
+# ---------------------------------------------------------------------------
+
+# Abramowitz & Stegun 7.1.26 rational erf approximation (|err| < 1.5e-7,
+# i.e. f32 roundoff) — used inside the Pallas kernel so the lowering never
+# depends on a Mosaic erf primitive; needs only exp and a reciprocal.
+_AS_P = 0.3275911
+_AS_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+
+
+def _erf_as(x):
+    """erf(x) for x >= 0 via A&S 7.1.26 (kernel-safe: exp + rationals)."""
+    t = 1.0 / (1.0 + _AS_P * x)
+    poly = t * (_AS_A[0] + t * (_AS_A[1] + t * (
+        _AS_A[2] + t * (_AS_A[3] + t * _AS_A[4]))))
+    return 1.0 - poly * jnp.exp(-x * x)
+
+
+def _kernel_pairs_short(tgt_ref, vfirst_ref, tcols_ref, strip_ref, accin_ref,
+                        out_ref, *, softening: str, eps: float, rs: float):
+    """Pair-tile kernel for the short-range pass — `tree._kernel_pairs`
+    with the split weight (softened pair law minus the erf long-range
+    part). u = r/(2 rs) is always >= 0, so the one-sided A&S erf form
+    applies directly."""
+    del tgt_ref  # consumed by the index maps
+    xi = tcols_ref[:, 0:1]
+    yi = tcols_ref[:, 1:2]
+    zi = tcols_ref[:, 2:3]
+    xj = strip_ref[0:1, :]
+    yj = strip_ref[1:2, :]
+    zj = strip_ref[2:3, :]
+    gmj = strip_ref[3:4, :]
+    dx = xj - xi
+    dy = yj - yi
+    dz = zj - zi
+    r2 = dx * dx + dy * dy + dz * dz
+    if softening == "plummer":
+        d2 = r2 + eps * eps
+        inv = jax.lax.rsqrt(d2)
+        w_pair = inv * inv * inv
+        if eps == 0.0:
+            w_pair = jnp.where(d2 > 0.0, w_pair, 0.0)
+    elif softening == "ref":
+        denom = r2 * jnp.sqrt(r2) + eps
+        w_pair = jnp.where(denom > 0.0, 1.0 / denom, 0.0)
+    else:
+        raise ValueError(f"unknown softening {softening!r}")
+    inv_r = jnp.where(r2 > 0.0, jax.lax.rsqrt(jnp.maximum(r2, 1e-38)), 0.0)
+    r = r2 * inv_r
+    u = r * (0.5 / rs)
+    num = _erf_as(u) - _TWO_OVER_SQRTPI * u * jnp.exp(-u * u)
+    w = gmj * (w_pair - num * inv_r * inv_r * inv_r)
+    ax = jnp.sum(w * dx, axis=1, keepdims=True)
+    ay = jnp.sum(w * dy, axis=1, keepdims=True)
+    az = jnp.sum(w * dz, axis=1, keepdims=True)
+    zero = jnp.zeros_like(ax)
+    tile = jnp.concatenate([ax, ay, az, zero, zero, zero, zero, zero], axis=1)
+    tree_ops._pairs_prologue(vfirst_ref, accin_ref, out_ref, tile)
+
+
+def _near_pairs_short_pallas(pos_g, srows, flat_src, tile_tgt, *, softening,
+                             eps, rs, interpret, n_tiles=None):
+    """Short-range pair-tile pass on the Pallas path. srows from
+    tree._pack_augmented(monopole_pseudo=False) — raw bodies with
+    g-scaled masses and a massless pseudo slot. Returns (G, leaf, 3)."""
+    gg, leaf = pos_g.shape[:2]
+    block = leaf + 1
+    tcols_ext = tree_ops._append_dummy_block(
+        tree_ops._pack_targets(pos_g), block
+    )
+    srows3 = srows.reshape(8, srows.shape[1] // block, block)
+    acc = tree_ops._near_pairs_call(
+        functools.partial(_kernel_pairs_short, softening=softening,
+                          eps=float(eps), rs=float(rs)),
+        tcols_ext, srows3, flat_src, tile_tgt,
+        block=block, rows=8, interpret=bool(interpret),
+        chunk=tree_ops.NEAR_PAIRS_CHUNK, n_tiles=n_tiles,
+    )
+    return acc[: gg * block].reshape(gg, block, 8)[:, :leaf, :3]
+
+
+def _near_pairs_short_xla(pos_g, aug_pos, aug_gm, flat_src, tile_tgt, *,
+                          softening, eps, rs):
+    """XLA fallback for the short-range pair pass (CPU tests)."""
+    gg, leaf = pos_g.shape[:2]
+    pj = flat_src.shape[0] // tile_tgt.shape[0]
+    pos_ext = jnp.concatenate(
+        [pos_g, jnp.zeros((1, leaf, 3), pos_g.dtype)], axis=0
+    )
+    aug_pos = jnp.concatenate(
+        [aug_pos, jnp.zeros((1,) + aug_pos.shape[1:], aug_pos.dtype)], axis=0
+    )
+    aug_gm = jnp.concatenate(
+        [aug_gm, jnp.zeros((1,) + aug_gm.shape[1:], aug_gm.dtype)], axis=0
+    )
+
+    def one_tile(args):
+        tgt_id, src_ids = args
+        tgt = pos_ext[tgt_id]
+        sp = aug_pos[src_ids].reshape(-1, 3)
+        sm = aug_gm[src_ids].reshape(-1)
+        return acc_cross_short(tgt, sp, sm, softening=softening, eps=eps,
+                               rs=rs, g=1.0)
+
+    contrib = jax.lax.map(one_tile, (tile_tgt, flat_src.reshape(-1, pj)))
+    acc = jax.ops.segment_sum(contrib, tile_tgt, num_segments=gg + 1)
+    return acc[:gg]
+
+
+# ---------------------------------------------------------------------------
+# Cutoff near lists + calibration
+# ---------------------------------------------------------------------------
+
+
+def near_lists_rcut(com, m_tot, r_tgt, rcut, k_near: int,
+                    row_chunk: int = 1024):
+    """(G, K) indices of clusters within the short-range cutoff, +
+    overflow count. Symmetric acceptance (com distance <= rcut + r_tgt_i
+    + r_tgt_j, using the all-body radius on BOTH sides) keeps the pair
+    forces antisymmetric apart from counted overflow drops; zero-mass
+    sources are skipped (they exert nothing). Chunked over target rows:
+    O(row_chunk * G) peak memory."""
+    g = com.shape[0]
+    cand = jnp.arange(g, dtype=jnp.int32)
+    rcut = jnp.asarray(rcut, com.dtype)
+
+    def rows(args):
+        com_t, r_t = args
+        dist = jnp.linalg.norm(com_t[:, None, :] - com[None, :, :], axis=-1)
+        near = dist <= rcut + r_t[:, None] + r_tgt[None, :]
+        near = jnp.logical_and(near, m_tot[None, :] > 0)
+        overflow = jnp.sum(jnp.sum(near, axis=1) > k_near)
+        masked = jnp.where(near, dist, jnp.inf)
+        c = jnp.broadcast_to(cand[None, :], masked.shape)
+        return tree_ops._smallest_k(masked, c, k_near, g), overflow
+
+    if g <= row_chunk:
+        return rows((com, r_tgt))
+    pad = (-g) % row_chunk
+    com_p = jnp.concatenate([com, jnp.zeros((pad, 3), com.dtype)])
+    # padding rows get r = -inf so they accept nothing (not even self)
+    r_p = jnp.concatenate(
+        [r_tgt, jnp.full((pad,), -jnp.inf, r_tgt.dtype)]
+    )
+    idx, over = jax.lax.map(
+        rows,
+        (com_p.reshape(-1, row_chunk, 3), r_p.reshape(-1, row_chunk)),
+    )
+    return idx.reshape(-1, k_near)[:g], jnp.sum(over)
+
+
+def measure_near_rcut(pos, mass, *, rcut: float, gg: int, leaf: int,
+                      headroom: float = 1.25) -> dict:
+    """Measure the scene's cutoff near-list shape for static sizing
+    (the TreePM analogue of tree.measure_near): k_near = max accepted
+    clusters per row, near_tiles = total pair tiles, both with
+    `headroom`. One O(G^2) distance pass in row chunks — runs once at
+    calibrate time."""
+    n = pos.shape[0]
+    perm, _ = morton.morton_order(jnp.asarray(pos))
+    stats = tree_ops.tree_sorted_stats(
+        jnp.asarray(pos), jnp.asarray(mass), perm, gg, leaf
+    )
+    com, m_tot, r_tgt = stats["com"], stats["m_tot"], stats["r_tgt"]
+    rcut_t = jnp.asarray(rcut, com.dtype)
+
+    @jax.jit
+    def counts():
+        def rows(args):
+            com_t, r_t = args
+            dist = jnp.linalg.norm(
+                com_t[:, None, :] - com[None, :, :], axis=-1
+            )
+            near = (dist <= rcut_t + r_t[:, None] + r_tgt[None, :]) & (
+                m_tot[None, :] > 0
+            )
+            return jnp.sum(near, axis=1)
+
+        chunk = 1024
+        pad = (-gg) % chunk
+        com_p = jnp.concatenate([com, jnp.zeros((pad, 3), com.dtype)])
+        r_p = jnp.concatenate(
+            [r_tgt, jnp.full((pad,), -jnp.inf, r_tgt.dtype)]
+        )
+        k_i = jax.lax.map(
+            rows, (com_p.reshape(-1, chunk, 3), r_p.reshape(-1, chunk))
+        ).reshape(-1)[:gg]
+        return jnp.max(k_i), k_i
+
+    k_max, k_i = counts()
+    k_near = max(int(math.ceil(float(k_max) * headroom)), 2)
+    k_near = min(k_near, gg)
+    pj = tree_ops.NEAR_TILE_J // (leaf + 1)
+    tiles = np.maximum(-(-np.asarray(k_i, np.int64) // pj), 1).sum()
+    near_tiles = int(math.ceil(float(tiles) * headroom)) + 8
+    return dict(k_near=k_near, near_tiles=near_tiles, n_clusters=gg,
+                mean_near=float(jnp.mean(k_i)), n=n)
+
+
+# ---------------------------------------------------------------------------
+# Structure build + full solver
+# ---------------------------------------------------------------------------
+
+#: tree_prep-style keys that stay valid across steps (see
+#: tree.STRUCTURE_KEYS): the sort, the gather plan and the flattened
+#: cutoff pair tiles. Cluster statistics are recomputed every call.
+STRUCTURE_KEYS = ("perm", "inv", "clusters", "near_flat", "near_tile_tgt",
+                  "near_ntiles", "near_overflow")
+
+
+def treepm_prep(pos, mass, *, rcut: float, k_near: int, gg: int, leaf: int,
+                near_tiles: int | None = None):
+    """Sort + cluster + cutoff near lists + flattened pair tiles."""
+    perm, inv = morton.morton_order(pos)
+    clusters = cluster_ops.equal_clusters(pos.shape[0], leaf, gg)
+    stats = tree_ops.tree_sorted_stats(pos, mass, perm, gg, leaf)
+    idx, overflow = near_lists_rcut(
+        stats["com"], stats["m_tot"], stats["r_tgt"], rcut, k_near
+    )
+    block = leaf + 1
+    if tree_ops.NEAR_TILE_J % block:
+        raise ValueError(
+            f"TreePM pair tiles need leaf+1 to divide "
+            f"{tree_ops.NEAR_TILE_J}, got leaf={leaf}"
+        )
+    pj = tree_ops.NEAR_TILE_J // block
+    if near_tiles is None:
+        near_tiles = gg * max(-(-k_near // pj), 1)
+    flat, ttgt, ntiles, dropped = tree_ops.near_pair_segments(
+        idx, gg, pj, near_tiles
+    )
+    return dict(perm=perm, inv=inv, clusters=clusters, near_flat=flat,
+                near_tile_tgt=ttgt, near_ntiles=ntiles,
+                near_overflow=overflow + dropped, **stats)
+
+
+def treepm_structure(pos, mass, *, rcut: float, k_near: int, gg: int,
+                     leaf: int, near_tiles: int | None = None):
+    """The cacheable part (STRUCTURE_KEYS) of `treepm_prep`."""
+    p = treepm_prep(pos, mass, rcut=rcut, k_near=k_near, gg=gg, leaf=leaf,
+                    near_tiles=near_tiles)
+    return {k: p[k] for k in STRUCTURE_KEYS}
+
+
+def _short_eval(prep: dict, *, softening: str, eps, g, rs: float,
+                backend: str, interpret=None):
+    """Short-range pair pass over the prep's tile list -> (G, leaf, 3)
+    accelerations in slot order."""
+    pos_g, mass_g = prep["pos_g"], prep["mass_g"]
+    if interpret is None:
+        from spacetpu.ops.pallas_direct import _default_interpret
+
+        interpret = _default_interpret()
+    if backend == "pallas":
+        srows = tree_ops._pack_augmented(
+            pos_g, mass_g, prep["com"], prep["m_tot"], g,
+            monopole_pseudo=False,
+        )
+        return _near_pairs_short_pallas(
+            pos_g, srows, prep["near_flat"], prep["near_tile_tgt"],
+            softening=softening, eps=eps, rs=rs, interpret=interpret,
+            n_tiles=prep["near_ntiles"],
+        )
+    aug_pos = jnp.concatenate([pos_g, prep["com"][:, None, :]], axis=1)
+    aug_gm = jnp.concatenate(
+        [mass_g * g, jnp.zeros((pos_g.shape[0], 1), pos_g.dtype)], axis=1
+    )
+    return _near_pairs_short_xla(
+        pos_g, aug_pos, aug_gm, prep["near_flat"], prep["near_tile_tgt"],
+        softening=softening, eps=eps, rs=rs,
+    )
+
+
+def acc_treepm(pos, mass, *, kernel_hat, box_min, h, grid: int, rs: float,
+               rcut: float, softening: str = "plummer", eps=None, g=None,
+               k_near: int = 64, gg: int | None = None,
+               leaf: int = None, near_tiles: int | None = None,
+               backend: str = "xla", interpret=None):
+    """TreePM acceleration: (N, 3), (N,) -> (N, 3).
+
+    kernel_hat must be the LONG-RANGE kernel (pm_kernel_hat_long) for the
+    same (grid, h, rs, g) — the PM pass evaluates the erf-smoothed field
+    of ALL bodies, the pair pass adds the exact-minus-erf complement for
+    pairs within rcut."""
+    if eps is None:
+        eps = constants.COLLISION_EPSILON if softening == "ref" else 0.0
+    if g is None:
+        g = constants.G
+    if leaf is None:
+        leaf = tree_ops.LEAF
+    n = pos.shape[0]
+    if gg is None:
+        gg = -(-n // leaf)
+    prep = treepm_prep(pos, mass, rcut=rcut, k_near=k_near, gg=gg,
+                       leaf=leaf, near_tiles=near_tiles)
+    acc_short = _short_eval(prep, softening=softening, eps=eps, g=g, rs=rs,
+                            backend=backend, interpret=interpret)
+    acc_short = cluster_ops.unsort_slots(
+        acc_short.reshape(gg * leaf, 3), prep["clusters"], prep["inv"]
+    )
+    acc_long = pm_ops.acc_pm(pos, mass, kernel_hat=kernel_hat,
+                             box_min=box_min, h=h, grid=grid)
+    return acc_short + acc_long
+
+
+def acc_treepm_cached(pos, mass, structure, *, kernel_hat, box_min, h,
+                      grid: int, rs: float, softening: str = "plummer",
+                      eps=None, g=None, backend: str = "xla",
+                      interpret=None):
+    """acc_treepm with a cached `treepm_structure` dict: the sort and
+    cutoff pair tiles are reused, cluster statistics track the current
+    positions (Simulation tree_refresh_every semantics)."""
+    if eps is None:
+        eps = constants.COLLISION_EPSILON if softening == "ref" else 0.0
+    if g is None:
+        g = constants.G
+    clusters = structure["clusters"]
+    gg, leaf = clusters.slot.shape
+    stats = tree_ops.tree_sorted_stats(pos, mass, structure["perm"], gg,
+                                       leaf)
+    prep = dict(structure, **stats)
+    acc_short = _short_eval(prep, softening=softening, eps=eps, g=g, rs=rs,
+                            backend=backend, interpret=interpret)
+    acc_short = cluster_ops.unsort_slots(
+        acc_short.reshape(gg * leaf, 3), clusters, structure["inv"]
+    )
+    acc_long = pm_ops.acc_pm(pos, mass, kernel_hat=kernel_hat,
+                             box_min=box_min, h=h, grid=grid)
+    return acc_short + acc_long

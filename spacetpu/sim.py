@@ -30,7 +30,7 @@ from spacetpu import constants
 from spacetpu.ops import direct, integrators
 from spacetpu.state import State
 
-ALGORITHMS = ("auto", "direct", "tree", "pm")
+ALGORITHMS = ("auto", "direct", "tree", "pm", "treepm")
 BACKENDS = ("auto", "xla", "pallas")
 
 #: Host-side rollout chunking (see Simulation.run). The axon TPU runtime
@@ -123,6 +123,14 @@ class SimConfig:
     # hit the faces; out-of-box deposit is clamped + counted by health()).
     pm_grid: object = "auto"
     pm_margin: float = 2.0
+    # TreePM split (algorithm="treepm", ops/treepm.py): Gaussian split
+    # scale in mesh cells (rs = pm_rs_cells * h) and the short-range
+    # cutoff in split scales (r_cut = pm_rcut_rs * rs). None = module
+    # defaults (RS_CELLS measured against the exact force: 1.75 cells
+    # halves the p99 error of the Gadget-classic 1.25 for ~2.7x the —
+    # still tiny — pair volume; RCUT_RS = 4.5, erfc tail ~1.5e-3).
+    pm_rs_cells: float | None = None
+    pm_rcut_rs: float | None = None
 
     def resolved_leaf(self) -> int:
         from spacetpu.ops import tree as tree_ops
@@ -178,6 +186,16 @@ class SimConfig:
             return pm_ops.default_grid(self.n)
         return int(self.pm_grid)
 
+    def resolved_split(self) -> tuple[float, float]:
+        """(rs_cells, rcut_rs) for the TreePM force split."""
+        from spacetpu.ops import treepm as treepm_ops
+
+        rs_cells = (treepm_ops.RS_CELLS if self.pm_rs_cells is None
+                    else float(self.pm_rs_cells))
+        rcut_rs = (treepm_ops.RCUT_RS if self.pm_rcut_rs is None
+                   else float(self.pm_rcut_rs))
+        return rs_cells, rcut_rs
+
 
 class Simulation:
     """Bound (force backend, integrator) pair with jitted step/run."""
@@ -214,7 +232,7 @@ class Simulation:
                 or config.resolved_near_mode() == "pairs"
                 or config.resolved_cluster_mode() == "adaptive"
             )
-        ) or config.resolved_algorithm() == "pm"
+        ) or config.resolved_algorithm() in ("pm", "treepm")
         if config.substeps > 1 and config.integrator != "leapfrog":
             raise ValueError(
                 "substeps > 1 is a leapfrog composition "
@@ -279,6 +297,16 @@ class Simulation:
             return self.config.run_chunk
         if self.config.resolved_backend() != "pallas":
             return None
+        if self.config.resolved_algorithm() == "treepm":
+            # same pairs-tile machinery as the tree's near phase — apply
+            # the same scan x dense-near-work fence from the calibrated
+            # tile count (cutoff lists are usually far below the tree's)
+            tiles = self._near_tiles or 0
+            if tiles > DENSE_TILES_SINGLE_STEP:
+                return 1
+            if (self._k_near or 0) > DENSE_K_NEAR:
+                return SAFE_DENSE_SCAN
+            return DEFAULT_RUN_CHUNK
         if self.config.resolved_algorithm() == "tree":
             k = self._k_near or 0
             if k > DENSE_K_NEAR:
@@ -343,6 +371,8 @@ class Simulation:
         function is FFT'd once host-side (ops/pm.py)."""
         if self.config.resolved_algorithm() == "pm":
             return self._calibrate_pm(state)
+        if self.config.resolved_algorithm() == "treepm":
+            return self._calibrate_treepm(state)
         from spacetpu.ops import tree as tree_ops
 
         cfg = self.config
@@ -457,6 +487,46 @@ class Simulation:
         self._build_jits()
         self._needs_calibration = False
 
+    def _calibrate_treepm(self, state: State):
+        """TreePM calibration: the PM mesh box + LONG-RANGE kernel (erf
+        split at rs = pm_rs_cells * h) plus the measured cutoff near-list
+        caps for the short-range pair pass (ops/treepm.py)."""
+        from spacetpu.ops import pm as pm_ops
+        from spacetpu.ops import treepm as treepm_ops
+
+        cfg = self.config
+        grid = cfg.resolved_pm_grid()
+        leaf = cfg.resolved_leaf()
+        box_min, h = pm_ops.measure_box(state.pos, grid=grid,
+                                        margin=cfg.pm_margin)
+        rs_cells, rcut_rs = cfg.resolved_split()
+        rs, rcut = treepm_ops.split_params(h, rs_cells=rs_cells,
+                                           rcut_rs=rcut_rs)
+        kernel_hat = treepm_ops.pm_kernel_hat_long(
+            grid, h, rs, g=cfg.g, dtype=state.pos.dtype
+        )
+        gg = -(-cfg.n // leaf)
+        m = treepm_ops.measure_near_rcut(
+            state.pos, state.mass, rcut=rcut, gg=gg, leaf=leaf
+        )
+        if isinstance(cfg.k_near, int):
+            self._k_near = cfg.k_near  # pinned (overflow telemetry counts)
+        else:
+            self._k_near = m["k_near"]
+        self._near_tiles = m["near_tiles"]
+        self._gg = gg
+        self._pm = dict(box_min=box_min, h=h, grid=grid,
+                        kernel_hat=kernel_hat, rs=rs, rcut=rcut)
+        self.acc_fn = functools.partial(
+            treepm_ops.acc_treepm, kernel_hat=kernel_hat, box_min=box_min,
+            h=h, grid=grid, rs=rs, rcut=rcut, softening=cfg.softening,
+            eps=cfg.resolved_eps(), g=cfg.g, k_near=self._k_near, gg=gg,
+            leaf=leaf, near_tiles=self._near_tiles,
+            backend=cfg.resolved_backend(),
+        )
+        self._build_jits()
+        self._needs_calibration = False
+
     def maybe_recalibrate(self, state: State, *, frac: float = 0.02) -> bool:
         """Re-measure the scene and rebuild the step closures iff the
         current caps have degraded: the near-overflow telemetry exceeds
@@ -480,6 +550,29 @@ class Simulation:
             if h.get("out_of_box", 0) <= frac * self.config.n:
                 return False
             self.calibrate(state)
+            return True
+        if algo == "treepm":
+            if getattr(self, "_recal_exhausted", False):
+                return False
+            h = self.health(state)
+            bad = (h.get("out_of_box", 0) > frac * self.config.n
+                   or h.get("near_overflow", 0) > frac * (self._gg or 1))
+            if not bad:
+                return False
+            self.calibrate(state)
+            h2 = self.health(state)
+            if (isinstance(self.config.k_near, int)
+                    and h2.get("near_overflow", 0)
+                    > frac * (self._gg or 1)):
+                import warnings
+
+                warnings.warn(
+                    "recalibration could not clear the TreePM near-list "
+                    f"overflow (k_near={self._k_near} is explicit and "
+                    "pinned); auto-recalibration disabled",
+                    stacklevel=2,
+                )
+                self._recal_exhausted = True
             return True
         if algo != "tree":
             return False
@@ -569,6 +662,24 @@ class Simulation:
                 self._pm["grid"],
             ))
             return {"out_of_box": n_out, "grid": self._pm["grid"]}
+        if cfg.resolved_algorithm() == "treepm":
+            if self._pm is None:
+                return {}
+            from spacetpu.ops import pm as pm_ops
+            from spacetpu.ops import treepm as treepm_ops
+
+            n_out = int(pm_ops.count_out_of_box(
+                jnp.asarray(state.pos), self._pm["box_min"], self._pm["h"],
+                self._pm["grid"],
+            ))
+            prep = treepm_ops.treepm_prep(
+                jnp.asarray(state.pos), jnp.asarray(state.mass),
+                rcut=self._pm["rcut"], k_near=self._k_near, gg=self._gg,
+                leaf=cfg.resolved_leaf(), near_tiles=self._near_tiles,
+            )
+            return {"out_of_box": n_out, "grid": self._pm["grid"],
+                    "near_overflow": int(prep["near_overflow"]),
+                    "clusters": self._gg, "k_near": self._k_near}
         if cfg.resolved_algorithm() != "tree":
             return {}
         p = self._tree_params()
@@ -603,7 +714,7 @@ class Simulation:
     def _run(self, state: State, dt, steps: int) -> State:
         self._check(state)
         r = self.config.tree_refresh_every
-        if r > 1 and self.config.resolved_algorithm() == "tree":
+        if r > 1 and self.config.resolved_algorithm() in ("tree", "treepm"):
             return self._run_tree_cached(state, dt, steps)
 
         def body(s, _):
@@ -633,10 +744,19 @@ class Simulation:
         )
 
     def _build_structure(self, state: State):
-        """The cacheable part of tree construction (tree_structure) with
-        this Simulation's calibrated caps."""
+        """The cacheable part of tree construction (tree_structure /
+        treepm_structure) with this Simulation's calibrated caps."""
         from spacetpu.ops import tree as tree_ops
 
+        if self.config.resolved_algorithm() == "treepm":
+            from spacetpu.ops import treepm as treepm_ops
+
+            return treepm_ops.treepm_structure(
+                state.pos, state.mass, rcut=self._pm["rcut"],
+                k_near=self._k_near, gg=self._gg,
+                leaf=self.config.resolved_leaf(),
+                near_tiles=self._near_tiles,
+            )
         p = self._tree_params()
         return tree_ops.tree_structure(
             state.pos, state.mass, theta=self.config.theta,
@@ -652,6 +772,18 @@ class Simulation:
 
         from spacetpu.ops import tree as tree_ops
 
+        if self.config.resolved_algorithm() == "treepm":
+            from spacetpu.ops import treepm as treepm_ops
+
+            pm = self._pm
+            return _ft.partial(
+                treepm_ops.acc_treepm_cached, structure=structure,
+                kernel_hat=pm["kernel_hat"], box_min=pm["box_min"],
+                h=pm["h"], grid=pm["grid"], rs=pm["rs"],
+                softening=self.config.softening,
+                eps=self.config.resolved_eps(), g=self.config.g,
+                backend=self.config.resolved_backend(),
+            )
         p = self._tree_params()
         return _ft.partial(
             tree_ops.acc_tree_cached, structure=structure,
@@ -706,15 +838,15 @@ def _build_acc_fn(config: SimConfig, k_near: int | None = None, *,
     algo = config.resolved_algorithm()
     backend = config.resolved_backend()
     eps = config.resolved_eps()
-    if algo == "pm":
-        # the real closure is built by Simulation._calibrate_pm (it needs
-        # the primed state's bounding box); this placeholder catches a
-        # step() before prime()/calibrate()
+    if algo in ("pm", "treepm"):
+        # the real closure is built by Simulation._calibrate_pm /
+        # _calibrate_treepm (it needs the primed state's bounding box);
+        # this placeholder catches a step() before prime()/calibrate()
         def _pm_uncalibrated(pos, mass):
             raise RuntimeError(
-                "PM solver is uncalibrated — call prime() (or calibrate()) "
-                "before step/run: the mesh box and FFT'd kernel are "
-                "measured from the first state"
+                f"{algo} solver is uncalibrated — call prime() (or "
+                "calibrate()) before step/run: the mesh box and FFT'd "
+                "kernel are measured from the first state"
             )
 
         return _pm_uncalibrated
@@ -789,6 +921,8 @@ def make_simulation(
     fast_cap="auto",
     pm_grid="auto",
     pm_margin: float = 2.0,
+    pm_rs_cells: float | None = None,
+    pm_rcut_rs: float | None = None,
 ) -> Simulation:
     return Simulation(
         SimConfig(
@@ -813,6 +947,8 @@ def make_simulation(
             fast_cap=fast_cap,
             pm_grid=pm_grid,
             pm_margin=pm_margin,
+            pm_rs_cells=pm_rs_cells,
+            pm_rcut_rs=pm_rcut_rs,
         )
     )
 

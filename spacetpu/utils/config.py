@@ -40,6 +40,8 @@ class RunConfig:
     fast_cap: str = "auto"  # multirate fast-set capacity (auto | <int>)
     pm_grid: str = "auto"  # particle-mesh size per axis (auto | <int>)
     pm_margin: float = 2.0  # PM bounding-box margin factor
+    pm_rs_cells: Optional[float] = None  # TreePM split scale in cells
+    pm_rcut_rs: Optional[float] = None  # TreePM cutoff in split scales
     dt: float = constants.DELTA
     auto_frame: bool = True  # frame the camera to the scene at startup
     dtype: str = "float32"
@@ -94,7 +96,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="body count for parameterized presets")
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--algorithm", default=d.algorithm,
-                   choices=["auto", "direct", "tree", "pm"])
+                   choices=["auto", "direct", "tree", "pm", "treepm"])
     p.add_argument("--backend", default=d.backend,
                    choices=["auto", "xla", "pallas"])
     p.add_argument("--integrator", default=d.integrator,
@@ -169,6 +171,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="PM bounding-box margin factor measured at startup"
                         " (bodies leaving the box are face-clamped +"
                         " counted; --recalibrate-every re-measures)")
+    p.add_argument("--pm-rs-cells", dest="pm_rs_cells", type=float,
+                   default=d.pm_rs_cells,
+                   help="TreePM Gaussian split scale in mesh cells"
+                        " (rs = cells * h; default ops/treepm.RS_CELLS)")
+    p.add_argument("--pm-rcut-rs", dest="pm_rcut_rs", type=float,
+                   default=d.pm_rcut_rs,
+                   help="TreePM short-range cutoff in split scales"
+                        " (r_cut = x * rs; default ops/treepm.RCUT_RS)")
     p.add_argument("--no-auto-frame", dest="auto_frame",
                    action="store_false", default=d.auto_frame,
                    help="keep the reference's fixed camera at (0,0,2)")

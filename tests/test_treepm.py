@@ -1,0 +1,182 @@
+"""TreePM hybrid solver tests (ops/treepm.py).
+
+The invariants: the erf force split is algebraically exact (short + long
+== softened pair law), the mesh+pair total tracks the exact direct force
+to mesh accuracy, momentum is conserved to roundoff (antisymmetric pair
+pass + momentum-conserving PM), the Pallas kernel agrees with the XLA
+fallback, cap overflow is counted not silent, and the Simulation facade
+(calibrate/run/health/cached structure) works end to end.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from spacetpu.ops import direct, energy, pm as pm_ops, treepm
+from spacetpu.ops import tree as tree_ops
+from spacetpu.sim import make_simulation
+from spacetpu.state import make_state
+
+
+def _cloud(n, seed=0, dtype=jnp.float64):
+    rng = np.random.default_rng(seed)
+    pos = jnp.asarray(rng.uniform(-1, 1, (n, 3)), dtype)
+    mass = jnp.asarray(rng.uniform(0.5, 1.0, (n,)), dtype)
+    return pos, mass
+
+
+def _calibrated(pos, mass, *, grid=32, gg, leaf=255, g=1.0,
+                dtype=jnp.float64):
+    box_min, h = pm_ops.measure_box(pos, grid=grid, margin=1.1)
+    rs, rcut = treepm.split_params(h)
+    khat = treepm.pm_kernel_hat_long(grid, h, rs, g=g, dtype=dtype)
+    m = treepm.measure_near_rcut(pos, mass, rcut=rcut, gg=gg, leaf=leaf)
+    return dict(kernel_hat=khat, box_min=box_min, h=h, grid=grid, rs=rs,
+                rcut=rcut, g=g, k_near=m["k_near"], gg=gg, leaf=leaf,
+                near_tiles=m["near_tiles"])
+
+
+def test_split_exact():
+    """w_short + w_long == the softened pair weight (the split is an
+    algebraic identity, independent of rs)."""
+    r2 = jnp.asarray(np.geomspace(1e-6, 1e2, 64), jnp.float64)
+    for softening, eps in (("plummer", 0.05), ("plummer", 0.0),
+                           ("ref", 1e-3)):
+        w_pair = direct._pair_weight(r2, jnp.float64, softening,
+                                     jnp.float64(eps))
+        rs = jnp.float64(0.3)
+        w_sum = treepm.w_short(r2, jnp.float64, softening,
+                               jnp.float64(eps), rs) + treepm._w_long(
+            r2, rs, jnp.float64)
+        np.testing.assert_allclose(np.asarray(w_sum), np.asarray(w_pair),
+                                   rtol=1e-12)
+
+
+def test_erf_approx_accuracy():
+    """The kernel-safe A&S 7.1.26 erf stays within f32 roundoff of the
+    exact erf over the full short-range argument span."""
+    from scipy.special import erf as ref_erf
+
+    x = jnp.asarray(np.linspace(0.0, 6.0, 2001), jnp.float64)
+    approx = np.asarray(treepm._erf_as(x))
+    assert np.max(np.abs(approx - ref_erf(np.asarray(x)))) < 2e-7
+
+
+def test_acc_treepm_matches_direct():
+    """Total TreePM force tracks the exact softened direct force to mesh
+    accuracy on a uniform cloud."""
+    pos, mass = _cloud(4096, seed=0)
+    kw = _calibrated(pos, mass, grid=32, gg=17)
+    acc = treepm.acc_treepm(pos, mass, softening="plummer", eps=1e-3,
+                            backend="xla", **kw)
+    ref = direct.acc_direct(pos, mass, softening="plummer", eps=1e-3, g=1.0)
+    err = np.linalg.norm(np.asarray(acc - ref), axis=1) / np.linalg.norm(
+        np.asarray(ref), axis=1)
+    assert np.median(err) < 1.5e-2, np.median(err)
+    assert np.percentile(err, 99) < 6e-2, np.percentile(err, 99)
+
+
+def test_momentum_conserved():
+    """Antisymmetric pair pass + momentum-conserving PM: sum(m*a) is
+    roundoff-zero (the property the matched CIC deposit/gather buys)."""
+    pos, mass = _cloud(2048, seed=1)
+    kw = _calibrated(pos, mass, grid=32, gg=9)
+    acc = treepm.acc_treepm(pos, mass, softening="plummer", eps=1e-3,
+                            backend="xla", **kw)
+    p = np.asarray(jnp.sum(mass[:, None] * acc, axis=0))
+    scale = float(jnp.sum(mass[:, None] * jnp.abs(acc)))
+    assert np.max(np.abs(p)) < 1e-12 * scale
+
+
+def test_pallas_interpret_matches_xla(monkeypatch):
+    """The short-range Pallas pair kernel agrees with the XLA fallback
+    (small launch chunk: interpret mode runs the grid as a host loop)."""
+    monkeypatch.setattr(tree_ops, "NEAR_PAIRS_CHUNK", 16)
+    pos, mass = _cloud(1024, seed=2, dtype=jnp.float32)
+    kw = _calibrated(pos, mass, grid=32, gg=5, dtype=jnp.float32)
+    common = dict(softening="plummer", eps=np.float32(1e-2), **kw)
+    a_x = treepm.acc_treepm(pos, mass, backend="xla", **common)
+    a_p = treepm.acc_treepm(pos, mass, backend="pallas", interpret=True,
+                            **common)
+    scale = float(jnp.max(jnp.abs(a_x)))
+    np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_x),
+                               atol=5e-5 * scale)
+
+
+def test_overflow_counted_and_finite():
+    """A too-small pinned k_near truncates near lists: counted by the
+    prep telemetry, and the forces stay finite (dropped clusters degrade
+    to PM-only accuracy — never a hole)."""
+    pos, mass = _cloud(2048, seed=3)
+    kw = _calibrated(pos, mass, grid=32, gg=9)
+    kw["k_near"] = 2  # everything is near at this scene scale
+    prep = treepm.treepm_prep(pos, mass, rcut=kw["rcut"], k_near=2,
+                              gg=9, leaf=255)
+    assert int(prep["near_overflow"]) > 0
+    acc = treepm.acc_treepm(pos, mass, softening="plummer", eps=1e-3,
+                            backend="xla", **kw)
+    assert np.isfinite(np.asarray(acc)).all()
+
+
+def test_simulation_end_to_end():
+    """Simulation facade: calibrate at prime, leapfrog rollout with
+    bounded energy drift, health telemetry, maybe_recalibrate no-op on a
+    healthy scene."""
+    rng = np.random.default_rng(4)
+    n = 2048
+    pos = rng.uniform(-1, 1, (n, 3))
+    vel = rng.normal(0, 0.05, (n, 3))
+    mass = rng.uniform(0.5, 1.0, n)
+    sim = make_simulation(n, algorithm="treepm", backend="xla", eps=1e-2,
+                          g=1.0, pm_grid=32)
+    st = sim.prime(make_state(pos, vel, mass, dtype=jnp.float64))
+    h = sim.health(st)
+    assert h["near_overflow"] == 0 and h["out_of_box"] == 0
+    e0 = float(energy.total_energy(st.pos, st.vel, st.mass,
+                                   softening="plummer", eps=1e-2, g=1.0))
+    st = sim.run(st, 1e-4, 20)
+    e1 = float(energy.total_energy(st.pos, st.vel, st.mass,
+                                   softening="plummer", eps=1e-2, g=1.0))
+    assert abs(e1 - e0) / abs(e0) < 1e-3
+    assert sim.maybe_recalibrate(st) is False
+
+
+def test_cached_structure_rollout_matches():
+    """tree_refresh_every reuses the sort + cutoff pair tiles between
+    rebuilds; the trajectory must track the fresh-build rollout closely
+    (bodies move a tiny fraction of a cluster radius per step)."""
+    rng = np.random.default_rng(5)
+    n = 1024
+    pos = rng.uniform(-1, 1, (n, 3))
+    vel = rng.normal(0, 0.05, (n, 3))
+    mass = rng.uniform(0.5, 1.0, n)
+
+    def run(refresh):
+        sim = make_simulation(n, algorithm="treepm", backend="xla",
+                              eps=1e-2, g=1.0, pm_grid=32,
+                              tree_refresh_every=refresh)
+        st = sim.prime(make_state(pos, vel, mass, dtype=jnp.float64))
+        st = sim.run(st, 1e-4, 16)
+        return np.asarray(st.pos)
+
+    np.testing.assert_allclose(run(4), run(1), atol=1e-9)
+
+
+def test_out_of_box_recalibration():
+    """Bodies expanding past the calibrated box trigger a re-measured
+    mesh through maybe_recalibrate (the PM-style degradation loop)."""
+    rng = np.random.default_rng(6)
+    n = 1024
+    pos = rng.uniform(-1, 1, (n, 3))
+    mass = rng.uniform(0.5, 1.0, n)
+    sim = make_simulation(n, algorithm="treepm", backend="xla", eps=1e-2,
+                          g=1.0, pm_grid=32, pm_margin=1.05)
+    st = sim.prime(make_state(pos, np.zeros((n, 3)), mass,
+                              dtype=jnp.float64))
+    # teleport the cloud outward: half the bodies leave the box
+    st2 = make_state(np.asarray(st.pos) * 3.0, np.zeros((n, 3)), mass,
+                     dtype=jnp.float64)
+    assert sim.health(st2)["out_of_box"] > 0
+    assert sim.maybe_recalibrate(st2) is True
+    assert sim.health(st2)["out_of_box"] == 0
