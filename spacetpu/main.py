@@ -229,10 +229,18 @@ def _run_headless_sharded(cfg: RunConfig, scene: Scene, state: State):
             g=scene.g, integrator=cfg.integrator,
         )
     elif algo == "treepm":
-        raise SystemExit(
-            "--shard with --algorithm treepm is not implemented yet; use "
-            "--algorithm tree (O(N/D) sharded tree) or pm (psum'd mesh) "
-            "for sharded runs"
+        from spacetpu.parallel import treepmshard
+
+        n_pad = treepmshard.required_n(state.n, d)
+        sim = treepmshard.ShardedTreePMSimulation(
+            mesh, n_pad,
+            grid=(cfg.pm_grid if cfg.pm_grid == "auto" else int(cfg.pm_grid)),
+            margin=cfg.pm_margin, rs_cells=cfg.pm_rs_cells,
+            rcut_rs=cfg.pm_rcut_rs, softening=cfg.softening, eps=cfg.eps,
+            g=scene.g, integrator=cfg.integrator, backend=cfg.backend,
+            k_near=tree_kw.get("k_near") if isinstance(
+                tree_kw.get("k_near"), int) else None,
+            run_chunk=cfg.run_chunk or None,
         )
     else:
         n_pad = -(-state.n // d) * d
@@ -265,7 +273,7 @@ def _run_headless_sharded(cfg: RunConfig, scene: Scene, state: State):
                             snapshot_fn(), scene=None,
                             extra={"steps": done, "dt": cfg.dt})
 
-    if algo == "tree":
+    if algo in ("tree", "treepm"):
         ts = sim.prime(sim.shard_state(st))
         done = 0
         while done < cfg.steps:
@@ -277,7 +285,8 @@ def _run_headless_sharded(cfg: RunConfig, scene: Scene, state: State):
                 if sim.maybe_recalibrate(ts):
                     print(f"  ... step {done}: scene outgrew the "
                           f"calibrated caps — re-measured "
-                          f"(k_near={sim.k_near})", flush=True)
+                          f"(k_near={getattr(sim, '_k_near', sim.k_near)})",
+                          flush=True)
             at_boundaries(done, lambda: sim.user_order(ts))
         final = sim.user_order(ts)
         telemetry = sim.diagnose(ts)
@@ -310,7 +319,7 @@ def _run_headless_sharded(cfg: RunConfig, scene: Scene, state: State):
           f"({rate['steps_per_sec']:.2f} steps/s, "
           f"{rate['pairs_per_sec']:.3e} pairs/s)")
     if telemetry is not None:
-        print(f"{'pm' if algo == 'pm' else 'tree'} telemetry: {telemetry}")
+        print(f"{algo} telemetry: {telemetry}")
     print(f"simulated: {compute_elapsed_time(cfg.steps, cfg.dt)}")
     if e0 != 0.0:
         print(f"relative energy drift: {(e1 - e0) / abs(e0):.3e}")

@@ -257,55 +257,99 @@ def _near_pairs_short_xla(pos_g, aug_pos, aug_gm, flat_src, tile_tgt, *,
     return acc[:gg]
 
 
+def near_pairs_short(pos_g_t, pool_pos_g, pool_mass_g, pool_com, flat_src,
+                     tile_tgt, *, softening, eps, rs, g, backend: str,
+                     interpret=None, n_tiles=None):
+    """Short-range pair pass with SEPARATE target and source cluster
+    tables — the sharded TreePM's near phase, where sources are the
+    [local | halo | null] pool from tree2's halo exchange and flat_src
+    indexes pool slots. Returns (G_t, leaf, 3) slot-order accelerations.
+    (The single-chip `_short_eval` is the pool == targets special case.)"""
+    if interpret is None:
+        from spacetpu.ops.pallas_direct import _default_interpret
+
+        interpret = _default_interpret()
+    g = jnp.asarray(g, pos_g_t.dtype)
+    if backend == "pallas":
+        pool_m = jnp.sum(pool_mass_g, axis=1)
+        srows = tree_ops._pack_augmented(
+            pool_pos_g, pool_mass_g, pool_com, pool_m, g,
+            monopole_pseudo=False,
+        )
+        return _near_pairs_short_pallas(
+            pos_g_t, srows, flat_src, tile_tgt, softening=softening,
+            eps=eps, rs=rs, interpret=interpret, n_tiles=n_tiles,
+        )
+    aug_pos = jnp.concatenate([pool_pos_g, pool_com[:, None, :]], axis=1)
+    aug_gm = jnp.concatenate(
+        [pool_mass_g * g,
+         jnp.zeros((pool_pos_g.shape[0], 1), pool_pos_g.dtype)], axis=1
+    )
+    return _near_pairs_short_xla(
+        pos_g_t, aug_pos, aug_gm, flat_src, tile_tgt, softening=softening,
+        eps=eps, rs=rs,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Cutoff near lists + calibration
 # ---------------------------------------------------------------------------
 
 
 def near_lists_rcut(com, m_tot, r_tgt, rcut, k_near: int,
-                    row_chunk: int = 1024):
-    """(G, K) indices of clusters within the short-range cutoff, +
+                    row_chunk: int = 1024, t0=None, n_t: int | None = None):
+    """(G_t, K) indices of clusters within the short-range cutoff, +
     overflow count. Symmetric acceptance (com distance <= rcut + r_tgt_i
     + r_tgt_j, using the all-body radius on BOTH sides) keeps the pair
     forces antisymmetric apart from counted overflow drops; zero-mass
     sources are skipped (they exert nothing). Chunked over target rows:
-    O(row_chunk * G) peak memory."""
+    O(row_chunk * G) peak memory. t0/n_t (traced start, static count)
+    restrict the TARGET rows to a slice — the sharded TreePM builds lists
+    only for its own clusters (sources stay global); default all G."""
     g = com.shape[0]
+    com_t, r_t_rows = com, r_tgt
+    if t0 is not None:
+        com_t = jax.lax.dynamic_slice_in_dim(com, t0, n_t, 0)
+        r_t_rows = jax.lax.dynamic_slice_in_dim(r_tgt, t0, n_t, 0)
+    g_t = com_t.shape[0]
     cand = jnp.arange(g, dtype=jnp.int32)
     rcut = jnp.asarray(rcut, com.dtype)
 
     def rows(args):
-        com_t, r_t = args
-        dist = jnp.linalg.norm(com_t[:, None, :] - com[None, :, :], axis=-1)
-        near = dist <= rcut + r_t[:, None] + r_tgt[None, :]
+        com_r, r_r = args
+        dist = jnp.linalg.norm(com_r[:, None, :] - com[None, :, :], axis=-1)
+        near = dist <= rcut + r_r[:, None] + r_tgt[None, :]
         near = jnp.logical_and(near, m_tot[None, :] > 0)
         overflow = jnp.sum(jnp.sum(near, axis=1) > k_near)
         masked = jnp.where(near, dist, jnp.inf)
         c = jnp.broadcast_to(cand[None, :], masked.shape)
         return tree_ops._smallest_k(masked, c, k_near, g), overflow
 
-    if g <= row_chunk:
-        return rows((com, r_tgt))
-    pad = (-g) % row_chunk
-    com_p = jnp.concatenate([com, jnp.zeros((pad, 3), com.dtype)])
+    if g_t <= row_chunk:
+        return rows((com_t, r_t_rows))
+    pad = (-g_t) % row_chunk
+    com_p = jnp.concatenate([com_t, jnp.zeros((pad, 3), com.dtype)])
     # padding rows get r = -inf so they accept nothing (not even self)
     r_p = jnp.concatenate(
-        [r_tgt, jnp.full((pad,), -jnp.inf, r_tgt.dtype)]
+        [r_t_rows, jnp.full((pad,), -jnp.inf, r_t_rows.dtype)]
     )
     idx, over = jax.lax.map(
         rows,
         (com_p.reshape(-1, row_chunk, 3), r_p.reshape(-1, row_chunk)),
     )
-    return idx.reshape(-1, k_near)[:g], jnp.sum(over)
+    return idx.reshape(-1, k_near)[:g_t], jnp.sum(over)
 
 
 def measure_near_rcut(pos, mass, *, rcut: float, gg: int, leaf: int,
-                      headroom: float = 1.25) -> dict:
+                      headroom: float = 1.25, n_shards: int = 1) -> dict:
     """Measure the scene's cutoff near-list shape for static sizing
     (the TreePM analogue of tree.measure_near): k_near = max accepted
     clusters per row, near_tiles = total pair tiles, both with
     `headroom`. One O(G^2) distance pass in row chunks — runs once at
-    calibrate time."""
+    calibrate time. n_shards > 1 adds `near_tiles_shard`: the WORST
+    shard's tile total under a D-way equal split of the sorted cluster
+    rows (the sharded TreePM's per-device static cap — SPMD needs one
+    size for every device)."""
     n = pos.shape[0]
     perm, _ = morton.morton_order(jnp.asarray(pos))
     stats = tree_ops.tree_sorted_stats(
@@ -341,10 +385,17 @@ def measure_near_rcut(pos, mass, *, rcut: float, gg: int, leaf: int,
     k_near = max(int(math.ceil(float(k_max) * headroom)), 2)
     k_near = min(k_near, gg)
     pj = tree_ops.NEAR_TILE_J // (leaf + 1)
-    tiles = np.maximum(-(-np.asarray(k_i, np.int64) // pj), 1).sum()
-    near_tiles = int(math.ceil(float(tiles) * headroom)) + 8
-    return dict(k_near=k_near, near_tiles=near_tiles, n_clusters=gg,
-                mean_near=float(jnp.mean(k_i)), n=n)
+    tiles_i = np.maximum(-(-np.asarray(k_i, np.int64) // pj), 1)
+    near_tiles = int(math.ceil(float(tiles_i.sum()) * headroom)) + 8
+    out = dict(k_near=k_near, near_tiles=near_tiles, n_clusters=gg,
+               mean_near=float(jnp.mean(k_i)), n=n)
+    if n_shards > 1:
+        if gg % n_shards:
+            raise ValueError(f"gg={gg} not divisible by n_shards={n_shards}")
+        per_shard = tiles_i.reshape(n_shards, -1).sum(axis=1).max()
+        out["near_tiles_shard"] = int(
+            math.ceil(float(per_shard) * headroom)) + 8
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -473,6 +473,11 @@ def test_cli_sharded_headless():
         "--steps", "3", "--algorithm", "pm", "--pm-grid", "32",
         "--dt", "1e-3", "--shard", "8", "--recalibrate-every", "2",
     ])
+    main([
+        "--preset", "fixed_cloud", "--n", "600", "--frontend", "none",
+        "--steps", "3", "--algorithm", "treepm", "--pm-grid", "32",
+        "--dt", "1e-3", "--shard", "2", "--recalibrate-every", "2",
+    ])
 
 
 def test_cli_sharded_checkpoint_restores_single_chip(tmp_path):

@@ -163,6 +163,65 @@ def test_cached_structure_rollout_matches():
     np.testing.assert_allclose(run(4), run(1), atol=1e-9)
 
 
+def test_sharded_matches_single_device():
+    """ShardedTreePMSimulation (psum'd erf mesh + halo-exchanged short
+    range) reproduces the single-device treepm trajectory on the virtual
+    8-device mesh, with zero truncation telemetry."""
+    import jax
+
+    from spacetpu.parallel import ring, treepmshard
+
+    d = 8
+    n_real = 3000
+    n = treepmshard.required_n(n_real, d)
+    rng = np.random.default_rng(7)
+    pos = rng.uniform(-1, 1, (n_real, 3))
+    vel = rng.normal(0, 0.05, (n_real, 3))
+    mass = rng.uniform(0.5, 1.0, n_real)
+    mesh = ring.make_mesh(d)
+    sim = treepmshard.ShardedTreePMSimulation(mesh, n, grid=32, eps=1e-2,
+                                              g=1.0)
+    ts = sim.prime(sim.shard_state(
+        make_state(pos, vel, mass, dtype=jnp.float64, pad_to=n)))
+    diag = sim.diagnose(ts)
+    assert diag["near_overflow"] == 0 and diag["halo_overflow"] == 0
+    assert diag["tile_overflow"] == 0 and diag["out_of_box"] == 0
+    ts = sim.run(ts, 1e-4, 8)
+    out = sim.user_order(ts)
+
+    sim1 = make_simulation(n, algorithm="treepm", backend="xla", eps=1e-2,
+                           g=1.0, pm_grid=32)
+    st1 = sim1.prime(make_state(pos, vel, mass, dtype=jnp.float64,
+                                pad_to=n))
+    st1 = sim1.run(st1, 1e-4, 8)
+    np.testing.assert_allclose(
+        np.asarray(out.pos[:n_real]), np.asarray(st1.pos[:n_real]),
+        atol=1e-12,
+    )
+    assert sim.maybe_recalibrate(ts) is False
+    jax.block_until_ready(ts.state.pos)
+
+
+def test_sharded_halo_cap_counted():
+    """A starved halo cap drops remote near clusters: counted by
+    diagnose, forces stay finite (those clusters degrade to long-range-
+    only accuracy — never a hole or a crash)."""
+    from spacetpu.parallel import ring, treepmshard
+
+    d = 4
+    n = treepmshard.required_n(2000, d)
+    rng = np.random.default_rng(8)
+    pos = rng.uniform(-1, 1, (n, 3))
+    mass = rng.uniform(0.5, 1.0, n)
+    mesh = ring.make_mesh(d)
+    sim = treepmshard.ShardedTreePMSimulation(mesh, n, grid=32, eps=1e-2,
+                                              g=1.0, halo_cap=1)
+    ts = sim.prime(sim.shard_state(
+        make_state(pos, np.zeros((n, 3)), mass, dtype=jnp.float64)))
+    assert sim.diagnose(ts)["halo_overflow"] > 0
+    assert np.isfinite(np.asarray(ts.state.acc)).all()
+
+
 def test_out_of_box_recalibration():
     """Bodies expanding past the calibrated box trigger a re-measured
     mesh through maybe_recalibrate (the PM-style degradation loop)."""
