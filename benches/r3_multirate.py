@@ -10,7 +10,11 @@ N=256k, f32, eps=1e-2. Three runs over the same simulated time T=steps*dt:
 Reports wall/step-equivalents and energy drift for each; the claim under
 test is multirate ~ fine accuracy at a fraction of fine's wall time.
 """
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,11 @@ The claim under test: for smooth scenes the PM step undercuts the tree's
 near-phase cost at equal (mesh-limited) far-field quality, giving the
 framework a cheap solver for very large uniform boxes.
 """
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -45,7 +49,7 @@ def time_steps(sim, st, dt, steps):
 
 
 for n in (1_000_000, 4_000_000):
-    scene = presets.fixed_cloud(n, seed=0)
+    scene = presets.fixed_cloud(n)
     dt = jnp.float32(1e-3)
 
     sim_pm = make_simulation(scene.n, algorithm="pm", pm_grid=GRID,

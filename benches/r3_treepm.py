@@ -20,7 +20,11 @@ stays exact-Plummer below the grid scale, where PM cannot resolve at
 all. Also drives the short-range Pallas kernel (A&S erf on the VPU) on
 real hardware for the first time.
 """
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -50,18 +54,18 @@ def time_steps(sim, st, dt, steps):
 
 
 for n in (1_000_000, 4_000_000):
-    scene = presets.fixed_cloud(n, seed=0)
+    scene = presets.fixed_cloud(n)
     dt = jnp.float32(1e-3)
 
-    sim_tp = make_simulation(scene.n, algorithm="treepm", pm_grid=GRID,
+    sim_tp = make_simulation(scene.n, algorithm="treepm", pm_grid="auto",
                              g=scene.g, softening="plummer", eps=0.0)
     st = sim_tp.prime(scene.state(dtype=jnp.float32))
     acc_tp = np.asarray(st.acc, np.float64)
     ms_tp, st = time_steps(sim_tp, st, dt, STEPS)
     h = sim_tp.health(st)
-    print(f"N={n}: treepm caps k_near={sim_tp._k_near} "
-          f"tiles={sim_tp._near_tiles} rcut={sim_tp._pm['rcut']:.4g} "
-          f"health={h}", flush=True)
+    print(f"N={n}: treepm grid={sim_tp._pm['grid']} caps "
+          f"k_near={sim_tp._k_near} tiles={sim_tp._near_tiles} "
+          f"rcut={sim_tp._pm['rcut']:.4g} health={h}", flush=True)
     del st
 
     sim_tr = make_simulation(scene.n, algorithm="tree", k_near="auto",

@@ -650,15 +650,23 @@ def _superfar_dense_masked(targets, super_summaries, idx2_t, *, eps,
         jnp.broadcast_to(super_summaries[None, 10:], (n2, 6, g2)),
     ], axis=1)
 
+    # The map carries its stacked input/output as flat (n2, rows*3): a
+    # 3D (n2, rows, 3) carry gets the row-major (8, 128) tiled layout,
+    # whose 3-wide minor dim pads 42.7x — at 8M/adaptive (n2=964,
+    # rows=16320) that was TWO 7.5 GB HLO temps and a compile OOM
+    # (logs/r3_tlayout2.log); flat rows tile with negligible padding.
     def one(args):
         tgt, t = args
+        tgt = tgt.reshape(rows, 3)
         if backend == "pallas":
-            return pallas_direct.acc_cross_quad(
+            acc = pallas_direct.acc_cross_quad(
                 tgt, t, eps=eps, interpret=interpret
             )
-        return pallas_direct.acc_cross_quad_xla(tgt, t, eps=eps)
+        else:
+            acc = pallas_direct.acc_cross_quad_xla(tgt, t, eps=eps)
+        return acc.reshape(rows * 3)
 
-    out = jax.lax.map(one, (targets.reshape(n2, rows, 3), tbl))
+    out = jax.lax.map(one, (targets.reshape(n2, rows * 3), tbl))
     return out.reshape(n2 * rows, 3)
 
 
@@ -729,6 +737,22 @@ def _pack_targets(pos_g):
     tg = jnp.zeros((gg, block, 8), dtype)
     tg = tg.at[:, :leaf, :3].set(pos_g)
     return tg.reshape(gg * block, 8)
+
+
+def _pack_targets_t(pos_g):
+    """TRANSPOSED target operand (8, G*block) — the pair-tile path's
+    layout. An (N, 8) f32 pallas operand is materialized in the (8, 128)
+    tiled layout, padding the 8-lane minor dim 16x (measured: the
+    (15.8M, 8) targets + aliased accumulator at fixed_cloud(8M)/adaptive
+    cost 7.53 GB EACH and OOM'd the chip at compile); rows-major (8, N)
+    pads only the last partial lane tile. The kernels transpose the
+    (8, block) tile in VMEM (2k elements against a ~500k-FLOP tile)."""
+    gg, leaf = pos_g.shape[:2]
+    block = leaf + 1
+    dtype = pos_g.dtype
+    tg = jnp.zeros((gg, block, 8), dtype)
+    tg = tg.at[:, :leaf, :3].set(pos_g)
+    return tg.reshape(gg * block, 8).T
 
 
 #: lane width of the near-correction source tiles; K*BLOCK is padded to a
@@ -1291,11 +1315,14 @@ def _pairs_prologue(vfirst_ref, accin_ref, out_ref, tile):
 def _kernel_pairs(tgt_ref, vfirst_ref, tcols_ref, strip_ref, accin_ref,
                   out_ref, *, softening: str, eps: float):
     """Pair-list analogue of `pallas_direct._kernel` (direct-minus-monopole
-    sources; see _pack_augmented)."""
+    sources; see _pack_augmented). tcols/accin/out ride the transposed
+    (8, block) layout (_pack_targets_t); one VMEM transpose each way per
+    tile."""
     del tgt_ref  # consumed by the index maps
-    xi = tcols_ref[:, 0:1]
-    yi = tcols_ref[:, 1:2]
-    zi = tcols_ref[:, 2:3]
+    tc = tcols_ref[:, :].T  # (block, 8)
+    xi = tc[:, 0:1]
+    yi = tc[:, 1:2]
+    zi = tc[:, 2:3]
     xj = strip_ref[0:1, :]
     yj = strip_ref[1:2, :]
     zj = strip_ref[2:3, :]
@@ -1322,17 +1349,19 @@ def _kernel_pairs(tgt_ref, vfirst_ref, tcols_ref, strip_ref, accin_ref,
     az = jnp.sum(w * dz, axis=1, keepdims=True)
     zero = jnp.zeros_like(ax)
     tile = jnp.concatenate([ax, ay, az, zero, zero, zero, zero, zero], axis=1)
-    _pairs_prologue(vfirst_ref, accin_ref, out_ref, tile)
+    _pairs_prologue(vfirst_ref, accin_ref, out_ref, tile.T)
 
 
 def _kernel_quad_pairs(tgt_ref, vfirst_ref, tcols_ref, strip_ref, accin_ref,
                        out_ref, *, eps: float):
     """Pair-list analogue of `pallas_direct._kernel_quad` (used with
-    negated summaries to subtract the near clusters' far-field term)."""
+    negated summaries to subtract the near clusters' far-field term).
+    Transposed (8, block) target/accumulator layout (_pack_targets_t)."""
     del tgt_ref
-    xi = tcols_ref[:, 0:1]
-    yi = tcols_ref[:, 1:2]
-    zi = tcols_ref[:, 2:3]
+    tc = tcols_ref[:, :].T  # (block, 8)
+    xi = tc[:, 0:1]
+    yi = tc[:, 1:2]
+    zi = tc[:, 2:3]
     xj = strip_ref[0:1, :]
     yj = strip_ref[1:2, :]
     zj = strip_ref[2:3, :]
@@ -1365,7 +1394,7 @@ def _kernel_quad_pairs(tgt_ref, vfirst_ref, tcols_ref, strip_ref, accin_ref,
     az = jnp.sum(wm * dz + t2 * nz - qn_z * inv4, axis=1, keepdims=True)
     zero = jnp.zeros_like(ax)
     tile = jnp.concatenate([ax, ay, az, zero, zero, zero, zero, zero], axis=1)
-    _pairs_prologue(vfirst_ref, accin_ref, out_ref, tile)
+    _pairs_prologue(vfirst_ref, accin_ref, out_ref, tile.T)
 
 
 #: tiles per pair-kernel launch: bounds the gathered strip to
@@ -1384,7 +1413,11 @@ def _near_pairs_call(kernel, tcols_ext, strips_blocks, flat_src, tile_tgt,
     accumulating into one aliased (G+1 blocks) output buffer.
 
     strips_blocks: (rows, n_src+1, width) source table gathered per chunk;
-    tcols_ext: ((G+1)*block, 8) targets with the dummy block appended.
+    tcols_ext: (8, (G+1)*block) TRANSPOSED targets with the dummy block
+    appended (_pack_targets_t layout — an (N, 8) pallas operand pads its
+    8-lane minor dim 16x in the tiled layout; see _pack_targets_t). The
+    aliased accumulator uses the same (8, N) orientation for the same
+    reason.
 
     tile_src (optional, (cap_tiles,)): indirection mapping each tile to a
     SOURCE tile in flat_src — several tiles may share one source strip
@@ -1411,7 +1444,7 @@ def _near_pairs_call(kernel, tcols_ext, strips_blocks, flat_src, tile_tgt,
     pad = n_chunks * chunk - cap_tiles
     if pad:
         # pad with null-source tiles aimed at the dummy target block
-        g_dummy = (tcols_ext.shape[0] // block) - 1
+        g_dummy = (tcols_ext.shape[1] // block) - 1
         n_src = strips_blocks.shape[1] - 1
         if tile_src is None:
             flat_src = jnp.concatenate(
@@ -1429,7 +1462,7 @@ def _near_pairs_call(kernel, tcols_ext, strips_blocks, flat_src, tile_tgt,
     if n_tiles is None:
         n_tiles = jnp.asarray(cap_tiles, jnp.int32)
 
-    acc0 = jnp.zeros((tcols_ext.shape[0], 8), tcols_ext.dtype)
+    acc0 = jnp.zeros((8, tcols_ext.shape[1]), tcols_ext.dtype)
     flat2d = None if tile_src is None else flat_src.reshape(-1, pj)
 
     def run_chunk(acc, c0):
@@ -1453,16 +1486,16 @@ def _near_pairs_call(kernel, tcols_ext, strips_blocks, flat_src, tile_tgt,
                 num_scalar_prefetch=2,
                 grid=(chunk,),
                 in_specs=[
-                    pl.BlockSpec((block, 8), lambda t, tgt, vf: (tgt[t], 0),
+                    pl.BlockSpec((8, block), lambda t, tgt, vf: (0, tgt[t]),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((rows, pj * width),
                                  lambda t, tgt, vf: (0, t),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((block, 8), lambda t, tgt, vf: (tgt[t], 0),
+                    pl.BlockSpec((8, block), lambda t, tgt, vf: (0, tgt[t]),
                                  memory_space=pltpu.VMEM),
                 ],
-                out_specs=pl.BlockSpec((block, 8),
-                                       lambda t, tgt, vf: (tgt[t], 0),
+                out_specs=pl.BlockSpec((8, block),
+                                       lambda t, tgt, vf: (0, tgt[t]),
                                        memory_space=pltpu.VMEM),
             ),
             out_shape=jax.ShapeDtypeStruct(acc.shape, acc.dtype),
@@ -1487,13 +1520,20 @@ def _append_dummy_block(tcols, block):
     )
 
 
+def _append_dummy_block_t(tcols_t, block):
+    """Transposed-layout variant: (8, G*block) -> (8, (G+1)*block)."""
+    return jnp.concatenate(
+        [tcols_t, jnp.zeros((8, block), tcols_t.dtype)], axis=1
+    )
+
+
 def _near_pairs_direct_pallas(pos_g, srows, flat_src, tile_tgt, *,
                               softening, eps, interpret, n_tiles=None):
     """Pair-list direct(-minus-monopole) correction. srows from
     _pack_augmented (null cluster included). Returns (G, leaf, 3)."""
     gg, leaf = pos_g.shape[:2]
     block = leaf + 1
-    tcols_ext = _append_dummy_block(_pack_targets(pos_g), block)
+    tcols_ext = _append_dummy_block_t(_pack_targets_t(pos_g), block)
     srows3 = srows.reshape(8, srows.shape[1] // block, block)
     acc = _near_pairs_call(
         functools.partial(_kernel_pairs, softening=softening, eps=float(eps)),
@@ -1501,7 +1541,9 @@ def _near_pairs_direct_pallas(pos_g, srows, flat_src, tile_tgt, *,
         block=block, rows=8, interpret=bool(interpret),
         chunk=NEAR_PAIRS_CHUNK, n_tiles=n_tiles,
     )
-    return acc[: gg * block].reshape(gg, block, 8)[:, :leaf, :3]
+    return jnp.moveaxis(
+        acc[:3, : gg * block].reshape(3, gg, block), 0, -1
+    )[:, :leaf, :]
 
 
 def _near_pairs_quad_pallas(pos_g, summaries_signed, flat_src, tile_tgt, *,
@@ -1513,7 +1555,7 @@ def _near_pairs_quad_pallas(pos_g, summaries_signed, flat_src, tile_tgt, *,
     Returns (G * leaf, 3)."""
     gg, leaf = pos_g.shape[:2]
     block = leaf + 1
-    tcols_ext = _append_dummy_block(_pack_targets(pos_g), block)
+    tcols_ext = _append_dummy_block_t(_pack_targets_t(pos_g), block)
     strips = summaries_signed[:, :, None]  # width-1 "blocks"
     acc = _near_pairs_call(
         functools.partial(_kernel_quad_pairs, eps=float(eps)),
@@ -1521,9 +1563,9 @@ def _near_pairs_quad_pallas(pos_g, summaries_signed, flat_src, tile_tgt, *,
         block=block, rows=16, interpret=bool(interpret),
         chunk=NEAR_QUAD_CHUNK, n_tiles=n_tiles, tile_src=tile_src,
     )
-    return acc[: gg * block].reshape(gg, block, 8)[:, :leaf, :3].reshape(
-        gg * leaf, 3
-    )
+    return jnp.moveaxis(
+        acc[:3, : gg * block].reshape(3, gg, block), 0, -1
+    )[:, :leaf, :].reshape(gg * leaf, 3)
 
 
 def _near_pairs_direct_xla(pos_g, aug_pos, aug_gm, flat_src, tile_tgt, *,

@@ -75,6 +75,29 @@ RCUT_RS = 4.5
 _TWO_OVER_SQRTPI = 2.0 / math.sqrt(math.pi)
 
 
+#: auto-grid bounds for TreePM. Unlike plain PM (whose accuracy is
+#: mesh-limited, so grids past ~128 buy little), TreePM's accuracy is set
+#: by the split and the grid is a pure work dial: a finer mesh shrinks
+#: r_cut = RCUT_RS*RS_CELLS*h and with it the short-range pair volume,
+#: trading cheap FFT flops for expensive pair tiles. Measured at
+#: fixed_cloud(1M/4M) grid=128: the cutoff spans ~8 cells while a
+#: 255-body cluster spans ~8, so k_near ballooned to 873/2645 and the
+#: pair phase dominated; 256^3 (512^3 doubled, ~2 GB of FFT live) cuts
+#: the cutoff neighborhood ~8x.
+TREEPM_GRID_MIN = 32
+TREEPM_GRID_MAX = 256
+
+
+def default_grid(n: int) -> int:
+    """Power-of-two TreePM mesh: ~2 cells per body-spacing
+    (grid ~ 2 N^(1/3)), clamped to [TREEPM_GRID_MIN, TREEPM_GRID_MAX]."""
+    g = 1
+    target = 2.0 * n ** (1.0 / 3.0)
+    while g < target:
+        g *= 2
+    return max(TREEPM_GRID_MIN, min(TREEPM_GRID_MAX, g))
+
+
 def split_params(h: float, *, rs_cells: float = RS_CELLS,
                  rcut_rs: float = RCUT_RS) -> tuple[float, float]:
     """(rs, r_cut) for a mesh cell size h."""
@@ -171,11 +194,13 @@ def _kernel_pairs_short(tgt_ref, vfirst_ref, tcols_ref, strip_ref, accin_ref,
     """Pair-tile kernel for the short-range pass — `tree._kernel_pairs`
     with the split weight (softened pair law minus the erf long-range
     part). u = r/(2 rs) is always >= 0, so the one-sided A&S erf form
-    applies directly."""
+    applies directly. tcols/accin/out ride the transposed (8, block)
+    layout (tree._pack_targets_t)."""
     del tgt_ref  # consumed by the index maps
-    xi = tcols_ref[:, 0:1]
-    yi = tcols_ref[:, 1:2]
-    zi = tcols_ref[:, 2:3]
+    tc = tcols_ref[:, :].T  # (block, 8)
+    xi = tc[:, 0:1]
+    yi = tc[:, 1:2]
+    zi = tc[:, 2:3]
     xj = strip_ref[0:1, :]
     yj = strip_ref[1:2, :]
     zj = strip_ref[2:3, :]
@@ -205,7 +230,7 @@ def _kernel_pairs_short(tgt_ref, vfirst_ref, tcols_ref, strip_ref, accin_ref,
     az = jnp.sum(w * dz, axis=1, keepdims=True)
     zero = jnp.zeros_like(ax)
     tile = jnp.concatenate([ax, ay, az, zero, zero, zero, zero, zero], axis=1)
-    tree_ops._pairs_prologue(vfirst_ref, accin_ref, out_ref, tile)
+    tree_ops._pairs_prologue(vfirst_ref, accin_ref, out_ref, tile.T)
 
 
 def _near_pairs_short_pallas(pos_g, srows, flat_src, tile_tgt, *, softening,
@@ -215,8 +240,8 @@ def _near_pairs_short_pallas(pos_g, srows, flat_src, tile_tgt, *, softening,
     g-scaled masses and a massless pseudo slot. Returns (G, leaf, 3)."""
     gg, leaf = pos_g.shape[:2]
     block = leaf + 1
-    tcols_ext = tree_ops._append_dummy_block(
-        tree_ops._pack_targets(pos_g), block
+    tcols_ext = tree_ops._append_dummy_block_t(
+        tree_ops._pack_targets_t(pos_g), block
     )
     srows3 = srows.reshape(8, srows.shape[1] // block, block)
     acc = tree_ops._near_pairs_call(
@@ -226,7 +251,9 @@ def _near_pairs_short_pallas(pos_g, srows, flat_src, tile_tgt, *, softening,
         block=block, rows=8, interpret=bool(interpret),
         chunk=tree_ops.NEAR_PAIRS_CHUNK, n_tiles=n_tiles,
     )
-    return acc[: gg * block].reshape(gg, block, 8)[:, :leaf, :3]
+    return jnp.moveaxis(
+        acc[:3, : gg * block].reshape(3, gg, block), 0, -1
+    )[:, :leaf, :]
 
 
 def _near_pairs_short_xla(pos_g, aug_pos, aug_gm, flat_src, tile_tgt, *,

@@ -155,7 +155,7 @@ class ShardedTreePMSimulation:
             )
         self._d = d
         self._g_l = self.n // d // LEAF
-        self._grid = (pm_ops.default_grid(self.n) if self.grid == "auto"
+        self._grid = (treepm_ops.default_grid(self.n) if self.grid == "auto"
                       else int(self.grid))
         eps = self.eps
         if eps is None:

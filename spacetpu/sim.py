@@ -180,9 +180,15 @@ class SimConfig:
         return min(self.n, int(self.fast_cap))
 
     def resolved_pm_grid(self) -> int:
-        from spacetpu.ops import pm as pm_ops
-
         if self.pm_grid == "auto":
+            if self.resolved_algorithm() == "treepm":
+                # TreePM wants a finer mesh: its accuracy comes from the
+                # split, so the grid is a pure short-vs-long work dial
+                from spacetpu.ops import treepm as treepm_ops
+
+                return treepm_ops.default_grid(self.n)
+            from spacetpu.ops import pm as pm_ops
+
             return pm_ops.default_grid(self.n)
         return int(self.pm_grid)
 
@@ -502,6 +508,18 @@ class Simulation:
         rs_cells, rcut_rs = cfg.resolved_split()
         rs, rcut = treepm_ops.split_params(h, rs_cells=rs_cells,
                                            rcut_rs=rcut_rs)
+        if cfg.resolved_eps() > rs:
+            import warnings
+
+            warnings.warn(
+                f"TreePM split scale rs={rs:.3g} is below the softening "
+                f"eps={cfg.resolved_eps():.3g}: the short-range tail "
+                f"truncated at r_cut={rcut:.3g} is no longer negligible "
+                "(the Plummer-vs-Newton deviation extends past the "
+                "cutoff). Use a coarser mesh (--pm-grid), a larger "
+                "--pm-rs-cells, or a smaller eps.",
+                stacklevel=2,
+            )
         kernel_hat = treepm_ops.pm_kernel_hat_long(
             grid, h, rs, g=cfg.g, dtype=state.pos.dtype
         )
