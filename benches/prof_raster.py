@@ -58,7 +58,7 @@ print(f"{'fused frame (current)':45s} {(time.perf_counter()-t0)/reps*1e3:8.2f} m
 
 # 2. step only
 st = sim.prime(scene.state())
-step1 = jax.jit(lambda s: sim._step(s, dt))
+step1 = jax.jit(lambda s: sim._step(s, dt, sim._jit_consts))
 timeit("tree step only", step1, st)
 
 # 3. render_scene only

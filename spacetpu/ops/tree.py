@@ -933,6 +933,44 @@ def _near_correction_xla(pos_g, aug_pos, aug_gm, idx, *, softening, eps):
 # its visits and is flushed exactly once.
 
 
+def _pack_rows_flat(ids, n_src: int, pj: int, cap: int, offs, k_i):
+    """Fill the (cap*pj,) flat source table for ragged row lists packed
+    at per-row tile offsets `offs` (strictly increasing, offs[0] = 0,
+    in TILES of width pj) — the shared core of near_pair_segments and
+    shared_pair_segments.
+
+    GATHER formulation: the naive fill is a G*W-element scatter at
+    computed positions, which XLA:TPU executes orders of magnitude
+    slower than the equivalent gather (measured 363 ms inside the
+    sharded tree's shard_map at N=1M, logs/r3_tree2_prof2.log). Instead
+    (a) compact each row's valid entries to a prefix with one
+    order-preserving key sort (key = column if valid else W + column —
+    bit-identical output to the scatter's rank packing, and rows may
+    contain interior nulls: halo-starved pool entries, M1 exclusion
+    holes), then (b) compute each output slot's (row, rank) analytically
+    and gather — cap*pj lookups instead of G*W scattered stores.
+
+    Returns (flat (cap*pj,), row_of_tile (cap,), dropped); row_of_tile
+    is clamped to row g-1 past the live tiles (callers mask it with
+    their own n_tiles)."""
+    g, w = ids.shape
+    col = jnp.arange(w, dtype=jnp.int32)[None, :]
+    key = jnp.where(ids < n_src, col, w + col)
+    _, ids_c = jax.lax.sort_key_val(
+        jnp.broadcast_to(key, ids.shape), ids, dimension=1
+    )
+    t_range = jnp.arange(cap, dtype=jnp.int32)
+    row = jnp.searchsorted(offs, t_range, side="right").astype(jnp.int32) - 1
+    j = (t_range - offs[row])[:, None] * pj + jnp.arange(pj, dtype=jnp.int32)
+    ok = j < k_i[row][:, None]
+    j_safe = jnp.minimum(j, w - 1)
+    vals = jnp.take(ids_c.reshape(-1), (row[:, None] * w + j_safe).reshape(-1))
+    flat = jnp.where(ok.reshape(-1), vals, n_src).astype(jnp.int32)
+    kept = jnp.clip(cap * pj - offs * pj, 0, k_i)
+    dropped = (jnp.sum(k_i) - jnp.sum(kept)).astype(jnp.int32)
+    return flat, row, dropped
+
+
 def near_pair_segments(idx, n_src: int, pj: int, cap_tiles: int):
     """Flatten (G, K) near lists into the pair-kernel tile list.
 
@@ -950,19 +988,9 @@ def near_pair_segments(idx, n_src: int, pj: int, cap_tiles: int):
     csum = jnp.cumsum(tiles_i).astype(jnp.int32)
     offs = jnp.concatenate([jnp.zeros((1,), jnp.int32), csum[:-1]])
     n_tiles = csum[-1]
-    rank = jnp.cumsum(valid, axis=1).astype(jnp.int32) - 1
-    pos = offs[:, None] * pj + rank
-    ok = valid & (pos < cap_tiles * pj)
-    dropped = (jnp.sum(valid) - jnp.sum(ok)).astype(jnp.int32)
-    flat = jnp.full((cap_tiles * pj,), n_src, jnp.int32)
-    flat = flat.at[jnp.where(ok, pos, cap_tiles * pj).reshape(-1)].set(
-        jnp.where(ok, idx, n_src).reshape(-1).astype(jnp.int32), mode="drop"
-    )
+    flat, row, dropped = _pack_rows_flat(idx, n_src, pj, cap_tiles, offs, k_i)
     t_range = jnp.arange(cap_tiles, dtype=jnp.int32)
-    tile_tgt = (
-        jnp.searchsorted(offs, t_range, side="right").astype(jnp.int32) - 1
-    )
-    tile_tgt = jnp.where(t_range < n_tiles, tile_tgt, g)
+    tile_tgt = jnp.where(t_range < n_tiles, row, g)
     return flat, tile_tgt, n_tiles, dropped
 
 
@@ -1199,15 +1227,7 @@ def shared_pair_segments(ids, n_src: int, cap_src: int | None = None):
     st = jnp.maximum(-(-c // pj), 1)
     csum_s = jnp.cumsum(st).astype(jnp.int32)
     src_offs = jnp.concatenate([jnp.zeros((1,), jnp.int32), csum_s[:-1]])
-    rank = jnp.cumsum(valid, axis=1).astype(jnp.int32) - 1
-    pos = src_offs[:, None] * pj + rank
-    ok = valid & (pos < cap_src * pj)
-    dropped = (jnp.sum(valid) - jnp.sum(ok)).astype(jnp.int32)
-    flat = jnp.full((cap_src * pj,), n_src, jnp.int32)
-    flat = flat.at[jnp.where(ok, pos, cap_src * pj).reshape(-1)].set(
-        jnp.where(ok, ids, n_src).reshape(-1).astype(jnp.int32),
-        mode="drop",
-    )
+    flat, _, dropped = _pack_rows_flat(ids, n_src, pj, cap_src, src_offs, c)
     # per-super KEPT source tiles (partial strips keep their prefix)
     st_k = jnp.clip(cap_src - src_offs, 0, st)
     csum_t = jnp.cumsum(SUPER * st_k).astype(jnp.int32)

@@ -77,9 +77,12 @@ class ShardedPMSimulation:
                         kernel_hat=kernel_hat)
         self._build_jits()
 
-    def _local_acc(self, pos_l, mass_l):
+    def _local_acc(self, pos_l, mass_l, kernel_hat):
         """Inside shard_map: local deposit, one psum, replicated solve,
-        local gather."""
+        local gather. kernel_hat is threaded through the jits as a
+        REPLICATED argument — a closed-over table would inline into the
+        serialized HLO as a literal (a grid=256 kernel is 269 MB of
+        program text, overflowing compile-RPC payload limits)."""
         p = self._pm
         dt_r = pos_l.dtype
         box_min = jnp.asarray(p["box_min"], dt_r)
@@ -87,20 +90,23 @@ class ShardedPMSimulation:
         mesh_l = pm.deposit_cic(pos_l, mass_l, box_min=box_min, inv_h=inv_h,
                                 grid=self.grid)
         mesh_g = jax.lax.psum(mesh_l, AXIS)
-        return pm.acc_from_mesh(pos_l, mesh_g, kernel_hat=p["kernel_hat"],
+        return pm.acc_from_mesh(pos_l, mesh_g, kernel_hat=kernel_hat,
                                 box_min=box_min, inv_h=inv_h, grid=self.grid)
 
     def _build_jits(self):
-        acc_fn = self._local_acc
         stepper = self._stepper
 
-        def local_step(state: State, dt) -> State:
+        def local_step(state: State, dt, kernel_hat) -> State:
+            acc_fn = lambda p, m: self._local_acc(p, m, kernel_hat)
             return stepper(state, dt, acc_fn)
 
-        def local_prime(state: State) -> State:
+        def local_prime(state: State, kernel_hat) -> State:
+            acc_fn = lambda p, m: self._local_acc(p, m, kernel_hat)
             return integrators.prime(state, acc_fn)
 
-        def local_run(state: State, dt, steps: int) -> State:
+        def local_run(state: State, dt, kernel_hat, steps: int) -> State:
+            acc_fn = lambda p, m: self._local_acc(p, m, kernel_hat)
+
             def body(s, _):
                 return stepper(s, dt, acc_fn), None
 
@@ -120,26 +126,31 @@ class ShardedPMSimulation:
             )
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def step(state, dt):
+        def step(state, dt, kernel_hat):
             sp = full_specs(state)
-            return smap(local_step, in_specs=(sp, P()), out_specs=sp)(
-                state, dt)
+            return smap(local_step, in_specs=(sp, P(), P()), out_specs=sp)(
+                state, dt, kernel_hat)
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def prime_jit(state):
+        def prime_jit(state, kernel_hat):
             sp = full_specs(state)
-            return smap(local_prime, in_specs=(sp,), out_specs=sp)(state)
+            return smap(local_prime, in_specs=(sp, P()), out_specs=sp)(
+                state, kernel_hat)
 
         @functools.partial(jax.jit, static_argnames=("steps",),
                            donate_argnums=(0,))
-        def run_jit(state, dt, steps):
+        def run_jit(state, dt, kernel_hat, steps):
             sp = full_specs(state)
             return smap(functools.partial(local_run, steps=steps),
-                        in_specs=(sp, P()), out_specs=sp)(state, dt)
+                        in_specs=(sp, P(), P()), out_specs=sp)(
+                state, dt, kernel_hat)
 
-        self.step = step
-        self._prime_jit = prime_jit
-        self.run = run_jit
+        self.step = lambda state, dt: step(state, dt,
+                                           self._pm["kernel_hat"])
+        self._prime_jit = lambda state: prime_jit(state,
+                                                  self._pm["kernel_hat"])
+        self.run = lambda state, dt, steps: run_jit(
+            state, dt, self._pm["kernel_hat"], steps=steps)
 
     # -- façade ----------------------------------------------------------
     def prime(self, state: State) -> State:

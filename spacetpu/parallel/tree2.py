@@ -324,8 +324,14 @@ def _tree2_acc(pos_l, mass_l, *, axis: str, theta: float, k_near: int,
             pos_l, com_all, m_all, softening=softening, eps=eps, g=g
         )
 
-    # near correction through the halo pool (exchanged above)
-    pool_com, pool_m, _, _ = tree_ops._group_stats(pool_pos_g, pool_mass_g)
+    # near correction through the halo pool (exchanged above). The pool
+    # is [local | halo]: the local prefix's stats are already in
+    # com/m_tot, so only the halo rows need the reduction.
+    halo_com, halo_m, _, _ = tree_ops._group_stats(
+        pool_pos_g[g_l:], pool_mass_g[g_l:]
+    )
+    pool_com = jnp.concatenate([com, halo_com], axis=0)
+    pool_m = jnp.concatenate([m_tot, halo_m], axis=0)
     over_tiles = over_far
     monopole_pseudo = multipole_order == 1
     if near_mode == "pairs":

@@ -52,10 +52,10 @@ def required_n(n: int, n_devices: int) -> int:
     return -(-n // unit) * unit
 
 
-def _treepm_acc(pos_l, mass_l, *, axis: str, pm_cal: dict, rcut: float,
-                rs: float, k_near: int, near_tiles: int, halo_cap: int,
-                softening: str, eps: float, g: float, backend: str,
-                interpret, with_diag: bool = False):
+def _treepm_acc(pos_l, mass_l, kernel_hat, *, axis: str, pm_cal: dict,
+                rcut: float, rs: float, k_near: int, near_tiles: int,
+                halo_cap: int, softening: str, eps: float, g: float,
+                backend: str, interpret, with_diag: bool = False):
     """Per-device TreePM force for a globally SFC-sorted body shard
     (inside shard_map). Gathers are O(G) cluster summaries + one doubled
     mesh psum; bodies move only through the halo exchange."""
@@ -93,7 +93,10 @@ def _treepm_acc(pos_l, mass_l, *, axis: str, pm_cal: dict, rcut: float,
     mesh_l = pm_ops.deposit_cic(pos_l, mass_l, box_min=box_min,
                                 inv_h=inv_h, grid=grid)
     mesh_g = jax.lax.psum(mesh_l, axis)
-    acc = pm_ops.acc_from_mesh(pos_l, mesh_g, kernel_hat=pm_cal["kernel_hat"],
+    # kernel_hat is a traced ARGUMENT (replicated through the jits) —
+    # a closed-over table would inline into the serialized HLO as a
+    # literal (269 MB at grid=256, overflowing compile-RPC limits)
+    acc = pm_ops.acc_from_mesh(pos_l, mesh_g, kernel_hat=kernel_hat,
                                box_min=box_min, inv_h=inv_h, grid=grid)
 
     # short range over the halo pool (erf-complement pair tiles)
@@ -222,7 +225,8 @@ class ShardedTreePMSimulation:
         r = self.resort_every
         stepper = self._stepper
 
-        def local_step(ts: TreeShardedState, dt) -> TreeShardedState:
+        def local_step(ts: TreeShardedState, dt,
+                       kernel_hat) -> TreeShardedState:
             state, ids = ts.state, ts.ids
 
             def do_sort(args):
@@ -231,23 +235,25 @@ class ShardedTreePMSimulation:
             state, ids = jax.lax.cond(
                 ts.tick % r == 0, do_sort, lambda args: args, (state, ids)
             )
-            state = stepper(state, dt, lambda p, m: acc_fn(p, m))
+            state = stepper(state, dt, lambda p, m: acc_fn(p, m, kernel_hat))
             return TreeShardedState(state, ids, ts.tick + 1)
 
-        def local_prime(ts: TreeShardedState) -> TreeShardedState:
+        def local_prime(ts: TreeShardedState, kernel_hat) -> TreeShardedState:
             state, ids = tree2._resort_local(ts.state, ts.ids, axis=AXIS)
-            state = integrators.prime(state, lambda p, m: acc_fn(p, m))
+            state = integrators.prime(
+                state, lambda p, m: acc_fn(p, m, kernel_hat))
             return TreeShardedState(state, ids, jnp.ones((), jnp.int32))
 
-        def local_run(ts: TreeShardedState, dt, steps: int):
+        def local_run(ts: TreeShardedState, dt, kernel_hat, steps: int):
             def body(t, _):
-                return local_step(t, dt), None
+                return local_step(t, dt, kernel_hat), None
 
             ts, _ = jax.lax.scan(body, ts, None, length=steps)
             return ts
 
-        def local_diag(ts: TreeShardedState):
-            _, diag = acc_fn(ts.state.pos, ts.state.mass, with_diag=True)
+        def local_diag(ts: TreeShardedState, kernel_hat):
+            _, diag = acc_fn(ts.state.pos, ts.state.mass, kernel_hat,
+                             with_diag=True)
             return diag
 
         smap = functools.partial(jax.shard_map, mesh=self.mesh,
@@ -265,36 +271,39 @@ class ShardedTreePMSimulation:
             return TreeShardedState(sp, P(AXIS), P())
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def step(ts, dt):
+        def step(ts, dt, kernel_hat):
             sp = ts_specs(ts)
-            return smap(local_step, in_specs=(sp, P()), out_specs=sp)(ts, dt)
+            return smap(local_step, in_specs=(sp, P(), P()), out_specs=sp)(
+                ts, dt, kernel_hat)
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def prime_jit(ts):
+        def prime_jit(ts, kernel_hat):
             sp = ts_specs(ts)
-            return smap(local_prime, in_specs=(sp,), out_specs=sp)(ts)
+            return smap(local_prime, in_specs=(sp, P()), out_specs=sp)(
+                ts, kernel_hat)
 
         @functools.partial(jax.jit, static_argnames=("steps",),
                            donate_argnums=(0,))
-        def run_jit(ts, dt, steps):
+        def run_jit(ts, dt, kernel_hat, steps):
             sp = ts_specs(ts)
             return smap(
                 functools.partial(local_run, steps=steps),
-                in_specs=(sp, P()), out_specs=sp,
-            )(ts, dt)
+                in_specs=(sp, P(), P()), out_specs=sp,
+            )(ts, dt, kernel_hat)
 
         @jax.jit
-        def diagnose(ts):
+        def diagnose(ts, kernel_hat):
             sp = ts_specs(ts)
-            return smap(local_diag, in_specs=(sp,), out_specs={
+            return smap(local_diag, in_specs=(sp, P()), out_specs={
                 "near_overflow": P(), "halo_overflow": P(),
                 "tile_overflow": P(),
-            })(ts)
+            })(ts, kernel_hat)
 
-        self.step = step
-        self._prime_jit = prime_jit
-        self._run_jit = run_jit
-        self._diagnose = diagnose
+        self.step = lambda ts, dt: step(ts, dt, self._pm["kernel_hat"])
+        self._prime_jit = lambda ts: prime_jit(ts, self._pm["kernel_hat"])
+        self._run_jit = lambda ts, dt, steps: run_jit(
+            ts, dt, self._pm["kernel_hat"], steps=steps)
+        self._diagnose = lambda ts: diagnose(ts, self._pm["kernel_hat"])
 
     # -- facade -----------------------------------------------------------
     def prime(self, ts: TreeShardedState) -> TreeShardedState:

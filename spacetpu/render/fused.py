@@ -50,7 +50,7 @@ def make_fused_frame(sim: Simulation, *, width: int, height: int,
         state = fused.sim_state
 
         def body(s, _):
-            return sim._step(s, dt), None
+            return sim._step(s, dt, sim._jit_consts), None
 
         state, _ = jax.lax.scan(body, state, None, length=steps_per_frame)
         tb = trails.push(fused.trail_buf, state.pos)

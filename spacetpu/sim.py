@@ -250,6 +250,15 @@ class Simulation:
                 "multirate fast-set substeps use exact pair forces, which "
                 "are inconsistent with the mesh-softened PM force law"
             )
+        #: Large device arrays threaded through the jitted entry points
+        #: as ARGUMENTS (a dict pytree; empty for non-mesh solvers).
+        #: Closure constants inline into the serialized HLO as literals:
+        #: a grid=256 TreePM kernel_hat is 269 MB of program text, which
+        #: overflows compile-RPC payload limits (HTTP 413 on the axon
+        #: tunnel) and bloats every re-trace. `_acc_builder` rebinds the
+        #: force closure over the TRACED consts inside each jit.
+        self._jit_consts: dict = {}
+        self._acc_builder = None
         self.acc_fn = _build_acc_fn(config, self._k_near)
         self._stepper = self._make_stepper()
         self._build_jits()
@@ -274,16 +283,28 @@ class Simulation:
         """(Re)wrap the jitted entry points. Must run after every
         acc_fn swap (calibrate): jit caches compiled traces by input
         shapes only, so a re-calibration that changes the baked-in caps
-        would otherwise silently keep dispatching the stale closure."""
-        self.step = jax.jit(self._step, donate_argnums=(0,))
-        self._prime_jit = jax.jit(self._prime, donate_argnums=(0,))
-        self._run_jit = jax.jit(
+        would otherwise silently keep dispatching the stale closure.
+
+        Each jit takes `self._jit_consts` as a trailing argument (the
+        public signatures hide it) so the PM/TreePM kernel tables enter
+        the program as parameters, not HLO literals."""
+        step_jit = jax.jit(self._step, donate_argnums=(0,))
+        self.step = lambda state, dt: step_jit(state, dt, self._jit_consts)
+        prime_jit = jax.jit(self._prime, donate_argnums=(0,))
+        self._prime_jit = lambda state: prime_jit(state, self._jit_consts)
+        run_jit = jax.jit(
             self._run, static_argnames=("steps",), donate_argnums=(0,)
+        )
+        self._run_jit = lambda state, dt, steps: run_jit(
+            state, dt, steps, self._jit_consts
         )
         #: interactive-engine structure cache (tree_refresh_every > 1):
         #: build once every r ticks, step against it in between.
         self.build_structure = jax.jit(self._build_structure)
-        self.step_cached = jax.jit(self._step_cached, donate_argnums=(0,))
+        step_cached_jit = jax.jit(self._step_cached, donate_argnums=(0,))
+        self.step_cached = lambda state, structure, dt: step_cached_jit(
+            state, structure, dt, self._jit_consts
+        )
 
     def prime(self, state: State) -> State:
         if self._needs_calibration:
@@ -464,6 +485,8 @@ class Simulation:
             k_super=self._k_super, k_mid=self._k_mid,
             m1_src_tiles=self._m1_src, m2_src_tiles=self._m2_src,
         )
+        self._jit_consts = {}
+        self._acc_builder = None
         # re-wrap the jits: a RE-calibration (evolved scene) must not
         # keep dispatching traces compiled against the old caps
         self._build_jits()
@@ -489,6 +512,12 @@ class Simulation:
         self.acc_fn = functools.partial(
             pm_ops.acc_pm, kernel_hat=kernel_hat, box_min=box_min, h=h,
             grid=grid,
+        )
+        self._jit_consts = dict(kernel_hat=kernel_hat,
+                                box_min=jnp.asarray(box_min))
+        self._acc_builder = lambda c: functools.partial(
+            pm_ops.acc_pm, kernel_hat=c["kernel_hat"], box_min=c["box_min"],
+            h=h, grid=grid,
         )
         self._build_jits()
         self._needs_calibration = False
@@ -541,6 +570,15 @@ class Simulation:
             eps=cfg.resolved_eps(), g=cfg.g, k_near=self._k_near, gg=gg,
             leaf=leaf, near_tiles=self._near_tiles,
             backend=cfg.resolved_backend(),
+        )
+        self._jit_consts = dict(kernel_hat=kernel_hat,
+                                box_min=jnp.asarray(box_min))
+        self._acc_builder = lambda c: functools.partial(
+            treepm_ops.acc_treepm, kernel_hat=c["kernel_hat"],
+            box_min=c["box_min"], h=h, grid=grid, rs=rs, rcut=rcut,
+            softening=cfg.softening, eps=cfg.resolved_eps(), g=cfg.g,
+            k_near=self._k_near, gg=gg, leaf=leaf,
+            near_tiles=self._near_tiles, backend=cfg.resolved_backend(),
         )
         self._build_jits()
         self._needs_calibration = False
@@ -721,22 +759,31 @@ class Simulation:
                 f"algorithm auto-selection depend on it)"
             )
 
-    def _step(self, state: State, dt) -> State:
-        self._check(state)
-        return self._stepper(state, dt, self.acc_fn)
+    def _acc(self, consts):
+        """The force closure for one traced call: non-mesh solvers use
+        the prebuilt acc_fn; PM/TreePM rebind over the TRACED consts so
+        the kernel table enters the program as a parameter."""
+        if self._acc_builder is not None:
+            return self._acc_builder(consts)
+        return self.acc_fn
 
-    def _prime(self, state: State) -> State:
+    def _step(self, state: State, dt, consts) -> State:
         self._check(state)
-        return integrators.prime(state, self.acc_fn)
+        return self._stepper(state, dt, self._acc(consts))
 
-    def _run(self, state: State, dt, steps: int) -> State:
+    def _prime(self, state: State, consts) -> State:
+        self._check(state)
+        return integrators.prime(state, self._acc(consts))
+
+    def _run(self, state: State, dt, steps: int, consts) -> State:
         self._check(state)
         r = self.config.tree_refresh_every
         if r > 1 and self.config.resolved_algorithm() in ("tree", "treepm"):
-            return self._run_tree_cached(state, dt, steps)
+            return self._run_tree_cached(state, dt, steps, consts)
+        acc_fn = self._acc(consts)
 
         def body(s, _):
-            return self._stepper(s, dt, self.acc_fn), None
+            return self._stepper(s, dt, acc_fn), None
 
         state, _ = jax.lax.scan(body, state, None, length=steps)
         return state
@@ -785,7 +832,7 @@ class Simulation:
             m1_src_tiles=self._m1_src, m2_src_tiles=self._m2_src,
         )
 
-    def _cached_acc_fn(self, structure):
+    def _cached_acc_fn(self, structure, consts):
         import functools as _ft
 
         from spacetpu.ops import tree as tree_ops
@@ -796,7 +843,7 @@ class Simulation:
             pm = self._pm
             return _ft.partial(
                 treepm_ops.acc_treepm_cached, structure=structure,
-                kernel_hat=pm["kernel_hat"], box_min=pm["box_min"],
+                kernel_hat=consts["kernel_hat"], box_min=consts["box_min"],
                 h=pm["h"], grid=pm["grid"], rs=pm["rs"],
                 softening=self.config.softening,
                 eps=self.config.resolved_eps(), g=self.config.g,
@@ -810,13 +857,13 @@ class Simulation:
             far_levels=p["far_levels"], near_mode=p["nmode"],
         )
 
-    def _step_cached(self, state: State, structure, dt) -> State:
+    def _step_cached(self, state: State, structure, dt, consts) -> State:
         """One tick against a cached tree structure (the interactive
         engine's tree_refresh_every path; see run_sim_loop)."""
         self._check(state)
-        return self._stepper(state, dt, self._cached_acc_fn(structure))
+        return self._stepper(state, dt, self._cached_acc_fn(structure, consts))
 
-    def _run_tree_cached(self, state: State, dt, steps: int) -> State:
+    def _run_tree_cached(self, state: State, dt, steps: int, consts) -> State:
         """Rollout with the tree's sort + near lists refreshed every
         tree_refresh_every steps (bodies move a small fraction of a cluster
         radius per step, so the cached structure stays valid; cluster
@@ -831,7 +878,7 @@ class Simulation:
                 lambda: self._build_structure(s),
                 lambda: structure,
             )
-            acc_fn = self._cached_acc_fn(structure)
+            acc_fn = self._cached_acc_fn(structure, consts)
             return (self._stepper(s, dt, acc_fn), structure), None
 
         structure0 = self._build_structure(state)

@@ -426,3 +426,44 @@ def test_maybe_recalibrate_pinned_k_near_disables(monkeypatch):
         assert sim.maybe_recalibrate(st) is True  # ran, couldn't clear
         assert any("pinned" in str(x.message) for x in w)
     assert sim.maybe_recalibrate(st) is False  # disabled, no more churn
+
+
+def test_pack_rows_flat_matches_scatter_reference():
+    """The gather-based _pack_rows_flat must reproduce the rank-packing
+    scatter semantics bit-for-bit: interspersed nulls rank-pack in
+    original order, overflow drops tail entries per row and counts them."""
+    rng = np.random.default_rng(42)
+    for trial in range(6):
+        g = int(rng.integers(1, 12))
+        k = int(rng.integers(1, 40))
+        pj = int(rng.integers(1, 9))
+        n_src = 50
+        # dense/sparse mixes incl. all-null rows and interior nulls
+        idx = rng.integers(0, n_src + 1, size=(g, k)).astype(np.int32)
+        if trial % 3 == 0:
+            idx[rng.integers(0, g)] = n_src  # an all-null row
+        valid = idx < n_src
+        k_i = valid.sum(axis=1)
+        tiles_i = np.maximum(-(-k_i // pj), 1)
+        exact = int(tiles_i.sum())
+        for cap in (exact, max(exact - int(tiles_i[-1]), 1), exact + 3):
+            # numpy reference: the original scatter formulation
+            offs = np.concatenate([[0], np.cumsum(tiles_i)[:-1]])
+            rank = np.cumsum(valid, axis=1) - 1
+            pos = offs[:, None] * pj + rank
+            ok = valid & (pos < cap * pj)
+            ref = np.full(cap * pj, n_src, np.int32)
+            ref[pos[ok]] = idx[ok]
+            ref_dropped = int(valid.sum() - ok.sum())
+
+            flat, ttgt, n_tiles, dropped = tree.near_pair_segments(
+                jnp.asarray(idx), n_src, pj, cap)
+            np.testing.assert_array_equal(np.asarray(flat), ref,
+                                          err_msg=f"trial={trial} cap={cap}")
+            assert int(dropped) == ref_dropped
+            assert int(n_tiles) == exact
+            # tile_tgt: row of each live tile, g past the end
+            t = np.arange(cap)
+            ref_tt = np.searchsorted(offs, t, side="right") - 1
+            ref_tt = np.where(t < exact, ref_tt, g)
+            np.testing.assert_array_equal(np.asarray(ttgt), ref_tt)
