@@ -22,6 +22,9 @@ def log(*a):
 
 
 def main():
+    from spacetpu.utils import benchenv
+
+    benchenv.force_platform()
     try:
         platform = jax.devices()[0].platform
         note = ""

@@ -8,17 +8,25 @@ not only on the heavy-tail ratio. Run detached:
   nohup python benches/r3_largen.py > logs/r3_largen.log 2>&1 &
 """
 
+import os
 import sys
 import time
 
 import jax
-import jax.numpy as jnp
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from spacetpu.utils import benchenv
+
+benchenv.force_platform()
+
+import jax.numpy as jnp
 
 from spacetpu import make_simulation
 from spacetpu.models import presets
 from spacetpu.ops import tree as tree_ops
+
+NS = benchenv.size((1_000_000, 4_000_000, 8_000_000), (65_025,))
 
 
 def fence(x):
@@ -39,9 +47,10 @@ def step_time(sim, state, steps=3):
     return dt, state
 
 
-for n in (1_000_000, 4_000_000, 8_000_000):
+for n in NS:
     print(f"=== fixed_cloud({n}) ===", flush=True)
     scene = presets.fixed_cloud(n)
+    n = scene.n  # presets may round N up; gg must match the real body count
     state0 = scene.state(dtype=jnp.float32)
     pos = jnp.asarray(state0.pos)
     mass = jnp.asarray(state0.mass)

@@ -17,17 +17,29 @@ the dense-super pass (O(S^2)) is the next suspect. Run detached:
   nohup python benches/r3_prof8m.py > logs/r3_prof8m.log 2>&1 &
 """
 
+import os
 import sys
 import time
 
 import jax
-import jax.numpy as jnp
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from spacetpu.utils import benchenv
+
+benchenv.force_platform()
+
+import jax.numpy as jnp
 
 from spacetpu import make_simulation
 from spacetpu.models import presets
 from spacetpu.ops import tree
+
+# smoke: n=65025 -> scene.n=65026 -> gg=256 (SUPER-aligned, so the same
+# k_mid/M1/M2 measurement path as 4M/8M runs — see measure_near's
+# `gg % SUPER == 0` gate)
+NS = benchenv.size((4_000_000, 8_000_000), (65_025,))
+BACKEND = benchenv.size("pallas", "xla")
 
 
 def fence(x):
@@ -46,7 +58,7 @@ def timeit(name, fn, *args, reps=3):
     return out, dt
 
 
-for n in (4_000_000, 8_000_000):
+for n in NS:
     print(f"=== fixed_cloud({n}) equal/far3/pairs theta=0.5 ===", flush=True)
     scene = presets.fixed_cloud(n)
     n = scene.n
@@ -67,7 +79,7 @@ for n in (4_000_000, 8_000_000):
 
     eval_f = jax.jit(lambda pr: tree.tree_eval(
         pr, 0, gg, softening="plummer", eps=1e-2, g=scene.g,
-        backend="pallas", interpret=False, multipole_order=2,
+        backend=BACKEND, interpret=False, multipole_order=2,
         far_levels=3, near_mode="pairs"))
     _, t_eval = timeit("tree_eval (cached prep)", eval_f, prep)
     del prep

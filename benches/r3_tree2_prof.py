@@ -10,9 +10,17 @@ import functools
 import time
 
 import jax
+
+from spacetpu.utils import benchenv
+
+benchenv.force_platform()
+
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
+
+N_TARGET = benchenv.size(1_000_000, 16_000)
+BACKEND = benchenv.size("pallas", "xla")
 
 
 def fence(x):
@@ -38,7 +46,7 @@ D = 1
 # far_levels=3 alignment (N=1011840, g_l=3968) — matches prof_tree2_tpu
 # and keeps g_l SUPER-aligned so the hier near-list stage is exercisable
 # standalone (the sim falls back to flat lists when unaligned)
-N = tree2.required_n(1_000_000, D, far_levels=3)
+N = tree2.required_n(N_TARGET, D, far_levels=3)
 rng = np.random.default_rng(0)
 u = rng.normal(size=(N, 3))
 u /= np.linalg.norm(u, axis=-1, keepdims=True)
@@ -48,7 +56,7 @@ state = make_state((u * r).astype(np.float32), np.zeros((N, 3), np.float32),
 mesh = ring.make_mesh(D)
 sim = tree2.ShardedTreeSimulation(
     mesh, N, theta=0.5, softening="plummer", eps=1e-3, g=1.0,
-    backend="pallas", multipole_order=2, resort_every=8,
+    backend=BACKEND, multipole_order=2, resort_every=8,
 )
 ts = sim.prime(sim.shard_state(state))
 print(f"caps: k={sim._k_near} k_super={sim.k_super} tiles={sim._near_tiles} "
@@ -61,7 +69,7 @@ smap = functools.partial(jax.shard_map, mesh=mesh, check_vma=False)
 sp = (P(ring.AXIS), P(ring.AXIS))
 
 kw = dict(axis=ring.AXIS, theta=0.5, k_near=sim._k_near,
-          softening="plummer", eps=1e-3, g=1.0, backend="pallas",
+          softening="plummer", eps=1e-3, g=1.0, backend=BACKEND,
           interpret=False, multipole_order=2, far_levels=sim._far_levels,
           halo_cap=sim._halo_cap, near_mode=sim._near_mode,
           near_tiles=sim._near_tiles, near_tiles_q=sim._near_tiles_q,
@@ -109,6 +117,8 @@ def s3(p, m):
     summ = tree._cluster_summaries(pos_g, mass_g, com, m_tot,
                                    jnp.float32(1.0))[:, :g_l]
     summ_all = tree2._gather_cols(summ, ring.AXIS)
+    if BACKEND == "xla":  # smoke path: non-interpret pallas needs a TPU
+        return pallas_direct.acc_cross_quad_xla(p, summ_all, eps=1e-3)
     return pallas_direct.acc_cross_quad(p, summ_all, eps=1e-3,
                                         interpret=False)
 
@@ -118,7 +128,7 @@ timeit("far field (quad cross)", f3, pos_l, mass_l)
 # single-chip reference at the same measured caps (pairs mode)
 f_ref = jax.jit(lambda p, m: tree.acc_tree(
     p, m, theta=0.5, softening="plummer", eps=1e-3, g=1.0,
-    backend="pallas", multipole_order=2, far_levels=2,
+    backend=BACKEND, multipole_order=2, far_levels=2,
     k_near=sim._k_near, near_mode="pairs",
     near_tiles=sim._near_tiles, near_tiles_q=sim._near_tiles_q,
     k_super=int(sim.k_super)))
@@ -165,7 +175,7 @@ def s5(p, m):
     pool_com, pool_m, _, _ = tree._group_stats(pool_pos_g, pool_mass_g)
     return tree.near_pairs_correction(
         pos_g, pool_pos_g, pool_mass_g, pool_com, pool_m, flat, ttgt,
-        softening="plummer", eps=1e-3, g=1.0, backend="pallas",
+        softening="plummer", eps=1e-3, g=1.0, backend=BACKEND,
         interpret=False, monopole_pseudo=False, n_tiles=ntd)
 
 
@@ -189,7 +199,7 @@ def s6(p, m):
         idx, gg, tree.NEAR_QUAD_PJ, sim._near_tiles_q)
     return tree.near_pairs_correction(
         pos_g, pos_g, mass_g, com, m_tot, flat, ttgt,
-        softening="plummer", eps=1e-3, g=1.0, backend="pallas",
+        softening="plummer", eps=1e-3, g=1.0, backend=BACKEND,
         interpret=False, monopole_pseudo=False, n_tiles=ntd)
 
 

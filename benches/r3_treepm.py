@@ -27,14 +27,20 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+from spacetpu.utils import benchenv
+
+benchenv.force_platform()
+
 import jax.numpy as jnp
 import numpy as np
 
 from spacetpu import make_simulation
 from spacetpu.models import presets
 
-GRID = 128
-STEPS = 10
+GRID = benchenv.size(128, 32)
+STEPS = benchenv.size(10, 2)
+NS = benchenv.size((1_000_000, 4_000_000), (16_384,))
 
 print(f"platform={jax.devices()[0].platform} grid={GRID}", flush=True)
 
@@ -53,11 +59,11 @@ def time_steps(sim, st, dt, steps):
     return (time.perf_counter() - t0) / steps, st
 
 
-for n in (1_000_000, 4_000_000):
+for n in NS:
     scene = presets.fixed_cloud(n)
     dt = jnp.float32(1e-3)
 
-    sim_tp = make_simulation(scene.n, algorithm="treepm", pm_grid="auto",
+    sim_tp = make_simulation(scene.n, algorithm="treepm", pm_grid=GRID,
                              g=scene.g, softening="plummer", eps=0.0)
     st = sim_tp.prime(scene.state(dtype=jnp.float32))
     acc_tp = np.asarray(st.acc, np.float64)
