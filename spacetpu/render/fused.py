@@ -45,12 +45,13 @@ def make_fused_frame(sim: Simulation, *, width: int, height: int,
         tb = trails.push(tb, state.pos)
         return FusedState(state, tb)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def frame(fused: FusedState, dt, colors, radii_world, view, proj):
+    @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(6,))
+    def _frame(fused: FusedState, dt, colors, radii_world, view, proj,
+               epoch, consts):
         state = fused.sim_state
 
         def body(s, _):
-            return sim._step(s, dt, sim._jit_consts), None
+            return sim.traced_step(s, dt, consts), None
 
         state, _ = jax.lax.scan(body, state, None, length=steps_per_frame)
         tb = trails.push(fused.trail_buf, state.pos)
@@ -67,5 +68,14 @@ def make_fused_frame(sim: Simulation, *, width: int, height: int,
             exposure=exposure,
         )
         return FusedState(state, tb), fb
+
+    def frame(fused: FusedState, dt, colors, radii_world, view, proj):
+        # consts ride as a traced jit argument, fetched fresh per call
+        # (a PM/TreePM kernel table must not bake into the frame HLO as
+        # a literal, and a recalibration swaps the table); jit_epoch is
+        # static so that recalibration also forces a frame retrace even
+        # when the consts shapes are unchanged.
+        return _frame(fused, dt, colors, radii_world, view, proj,
+                      sim.jit_epoch, sim.jit_consts)
 
     return init, frame

@@ -259,6 +259,11 @@ class Simulation:
         #: force closure over the TRACED consts inside each jit.
         self._jit_consts: dict = {}
         self._acc_builder = None
+        #: bumped by every _build_jits (i.e. every [re]calibration).
+        #: External jits that embed traced_step pass this as a STATIC
+        #: argument so a recalibration forces their retrace (jit caches
+        #: on shapes only; see _build_jits).
+        self.jit_epoch: int = 0
         self.acc_fn = _build_acc_fn(config, self._k_near)
         self._stepper = self._make_stepper()
         self._build_jits()
@@ -288,6 +293,7 @@ class Simulation:
         Each jit takes `self._jit_consts` as a trailing argument (the
         public signatures hide it) so the PM/TreePM kernel tables enter
         the program as parameters, not HLO literals."""
+        self.jit_epoch += 1
         step_jit = jax.jit(self._step, donate_argnums=(0,))
         self.step = lambda state, dt: step_jit(state, dt, self._jit_consts)
         prime_jit = jax.jit(self._prime, donate_argnums=(0,))
@@ -310,6 +316,28 @@ class Simulation:
         if self._needs_calibration:
             self.calibrate(state)
         return self._prime_jit(state)
+
+    @property
+    def jit_consts(self) -> dict:
+        """The current large-array consts pytree (PM/TreePM kernel tables;
+        `{}` for pairwise/tree solvers). Callers embedding
+        :meth:`traced_step` in their own jit MUST pass this as a traced
+        ARGUMENT of that jit, fetched fresh at every call — closing over
+        it would (a) inline a multi-hundred-MB kernel table into the HLO
+        as a literal (a grid=256 TreePM program is 269 MB of text, which
+        overflows the compile RPC) and (b) keep dispatching the stale
+        table after a recalibration, since jit caches on shapes only."""
+        return self._jit_consts
+
+    def traced_step(self, state: State, dt, consts) -> State:
+        """One simulation step as a pure, jit-safe function — the public
+        way to embed the step inside a larger XLA program (fused
+        step+render frames, the driver's compile-check entry). `consts`
+        must come from :attr:`jit_consts` (threaded, not closed over);
+        pair it with :attr:`jit_epoch` as a static argument so a
+        recalibration retraces the embedding jit. For plain host-loop
+        stepping use :meth:`step`, which handles both automatically."""
+        return self._step(state, dt, consts)
 
     def scan_chunk(self) -> int | None:
         """Max device-scan length per run() call (None = unlimited).
