@@ -40,6 +40,17 @@ MIN_CIRCLE_SIZE: float = 0.05
 #: Use the tree solver when there are more than this many bodies
 #: (constants.rs:27-28, consumed by `spacetpu.sim.make_simulation`).
 BARNES_HUT_CUTOFF: int = 1000
+#: INTERACTIVE auto-select only (`engine.make_engine_for`): above this
+#: many bodies the engine steps with the particle-mesh solver instead of
+#: the tree — measured on chip at N=1M: PM 145 ms/step vs tree 364 ms
+#: cached-structure tick (logs/r3_pm2.log, logs/r3_engine_tick.log).
+#: Accuracy gate: PM force error is mesh-resolution-limited (median
+#: ~4e-3 vs exact on random clouds, ops/pm.py docstring) — fine for a
+#: live viewer at millions of bodies, NOT for precision rollouts; batch
+#: paths (`make_simulation`) keep the reference's tree-iff-N>1000 parity
+#: and never switch silently. Frontends surface the active solver via
+#: `SimEngine.algorithm` + `Simulation.health()['algorithm']`.
+MESH_SOLVER_CUTOFF: int = 500_000
 #: Default Barnes-Hut opening angle theta (constants.rs:29-30).
 BARNES_HUT_THETA: float = 0.3
 

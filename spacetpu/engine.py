@@ -130,7 +130,8 @@ def run_sim_loop(
     # machinery batch rollouts use, sim._run_tree_cached). At N=1M this
     # removes ~60-85 ms of prep from most ticks.
     refresh = sim.config.tree_refresh_every
-    use_cache = refresh > 1 and sim.config.resolved_algorithm() == "tree"
+    use_cache = (refresh > 1 and
+                 sim.config.resolved_algorithm() in ("tree", "treepm"))
     structure = None
     # collision merging (merge_every > 0): check at batch cadence; the
     # merged radii flow back to the renderer via on_merge
@@ -235,6 +236,12 @@ class SimEngine:
         self._thread = threading.Thread(target=run, name="sim", daemon=True)
         self._thread.start()
 
+    @property
+    def algorithm(self) -> str:
+        """The solver actually ticking (telemetry for frontends/logs —
+        auto-select may have picked a mesh solver; see make_engine_for)."""
+        return self.sim.config.resolved_algorithm()
+
     def check_health(self):
         """Raise the sim thread's exception in the caller, if it died."""
         if self.error is not None:
@@ -265,9 +272,31 @@ def make_engine_for(
 ) -> SimEngine:
     """Algorithm auto-select by N, matching run_sim_loop_erased
     (event_loop.rs:329-341): tree (theta=BARNES_HUT_COEFF) iff N > cutoff,
-    else brute force. engine_kwargs are forwarded to SimEngine
-    (merge_every/radii for collision merging)."""
+    else brute force — extended with an interactive mesh-solver tier the
+    reference never needed (its CPU tree tops out far below 1M bodies):
+    above constants.MESH_SOLVER_CUTOFF the engine ticks with the PM
+    solver (145 ms/step at N=1M on chip vs 364 ms for the cached tree,
+    logs/r3_pm2.log). Accuracy gate documented at MESH_SOLVER_CUTOFF;
+    pass algorithm= explicitly (build_engine does for --algorithm) to
+    pin a solver. The active solver is surfaced via SimEngine.algorithm
+    and Simulation.health()['algorithm']. engine_kwargs are forwarded to
+    SimEngine (merge_every/radii for collision merging)."""
     n = scene_state.n
-    algorithm = "tree" if n > cutoff else "direct"
-    sim = make_simulation(n, algorithm=algorithm, theta=theta, **sim_kwargs)
+    substeps = sim_kwargs.get("substeps", 1)
+    if n > constants.MESH_SOLVER_CUTOFF and not (
+            isinstance(substeps, int) and substeps > 1):
+        # multirate substeps use exact pair forces, inconsistent with the
+        # mesh-softened PM law (SimConfig rejects the pair) — a multirate
+        # request keeps the tree
+        algorithm = "pm"
+    else:
+        algorithm = "tree" if n > cutoff else "direct"
+    if algorithm != "tree":
+        # theta is a tree knob; make_simulation rejects unknown kwargs
+        # for other solvers only via config validation, but keep the call
+        # honest either way
+        sim = make_simulation(n, algorithm=algorithm, **sim_kwargs)
+    else:
+        sim = make_simulation(n, algorithm=algorithm, theta=theta,
+                              **sim_kwargs)
     return SimEngine(sim, scene_state, delta=delta, **(engine_kwargs or {}))

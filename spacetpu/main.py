@@ -519,6 +519,15 @@ def main(argv=None):
     )
 
     engine = build_engine(cfg, scene, state)
+    if cfg.algorithm == "auto":
+        # telemetry-visible accuracy mode: auto may pick a mesh solver at
+        # large N (constants.MESH_SOLVER_CUTOFF) whose force accuracy is
+        # grid-limited rather than exact-near
+        mode = ("mesh-accuracy (grid-limited forces)"
+                if engine.algorithm in ("pm", "treepm")
+                else "exact-near forces")
+        print(f"auto solver: {engine.algorithm} [{mode}] at N={state.n}",
+              flush=True)
     source = FrameSource(engine, scene, width=cfg.width, height=cfg.height,
                          auto_frame=cfg.auto_frame,
                          trail_length=cfg.trail_length, blend=cfg.blend)

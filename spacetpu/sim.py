@@ -745,7 +745,8 @@ class Simulation:
                 jnp.asarray(state.pos), self._pm["box_min"], self._pm["h"],
                 self._pm["grid"],
             ))
-            return {"out_of_box": n_out, "grid": self._pm["grid"]}
+            return {"algorithm": "pm", "out_of_box": n_out,
+                    "grid": self._pm["grid"]}
         if cfg.resolved_algorithm() == "treepm":
             if self._pm is None:
                 return {}
@@ -761,11 +762,12 @@ class Simulation:
                 rcut=self._pm["rcut"], k_near=self._k_near, gg=self._gg,
                 leaf=cfg.resolved_leaf(), near_tiles=self._near_tiles,
             )
-            return {"out_of_box": n_out, "grid": self._pm["grid"],
+            return {"algorithm": "treepm", "out_of_box": n_out,
+                    "grid": self._pm["grid"],
                     "near_overflow": int(prep["near_overflow"]),
                     "clusters": self._gg, "k_near": self._k_near}
         if cfg.resolved_algorithm() != "tree":
-            return {}
+            return {"algorithm": cfg.resolved_algorithm()}
         p = self._tree_params()
         prep = tree_ops.tree_prep(
             jnp.asarray(state.pos), jnp.asarray(state.mass),
@@ -776,7 +778,8 @@ class Simulation:
             k_super=self._k_super, k_mid=self._k_mid,
             m1_src_tiles=self._m1_src, m2_src_tiles=self._m2_src,
         )
-        return {"near_overflow": int(prep["near_overflow"]),
+        return {"algorithm": "tree",
+                "near_overflow": int(prep["near_overflow"]),
                 "clusters": p["gg"], "k_near": p["k_near"]}
 
     def _check(self, state: State):

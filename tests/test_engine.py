@@ -92,6 +92,33 @@ def test_make_engine_for_auto_select():
     assert eng2.sim.config.algorithm == "tree"
 
 
+def test_make_engine_for_mesh_tier(monkeypatch):
+    """Above MESH_SOLVER_CUTOFF the interactive auto-select picks the PM
+    solver (round-4: 145 ms vs 364 ms/tick at N=1M on chip), surfaces the
+    choice as telemetry, and actually ticks with it — unless multirate
+    substeps (pair-force machinery) pin the tree."""
+    from spacetpu import constants as C
+
+    monkeypatch.setattr(C, "MESH_SOLVER_CUTOFF", 1024)
+    scene = presets.random_cluster(1500, seed=2)
+    eng = make_engine_for(scene.state(dtype=jnp.float32), backend="xla",
+                          g=1.0, softening="plummer", eps=1e-2)
+    assert eng.algorithm == "pm"
+    with eng:
+        t0 = time.time()
+        while eng.exchange.current_ticks() == 0 and time.time() - t0 < 60:
+            eng.check_health()
+            time.sleep(0.01)
+        assert eng.exchange.current_ticks() > 0
+    st = eng.final_state
+    assert eng.sim.health(st)["algorithm"] == "pm"
+    assert bool(jnp.all(jnp.isfinite(st.pos)))
+
+    eng2 = make_engine_for(scene.state(dtype=jnp.float32), backend="xla",
+                           g=1.0, softening="plummer", eps=1e-2, substeps=4)
+    assert eng2.algorithm == "tree"
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from spacetpu.io import checkpoint
 
