@@ -38,6 +38,8 @@ SMOKE_SCRIPTS = [
     os.path.join("benches", "r3_prof8m.py"),
     os.path.join("benches", "r3_tree2_prof.py"),
     os.path.join("benches", "r3_treepm.py"),
+    os.path.join("benches", "r4_multirate.py"),
+    os.path.join("benches", "r4_scorecard.py"),
 ]
 
 
