@@ -58,8 +58,8 @@ print(f"{'fused frame (current)':45s} {(time.perf_counter()-t0)/reps*1e3:8.2f} m
 
 # 2. step only
 st = sim.prime(scene.state())
-step1 = jax.jit(lambda s: sim._step(s, dt, sim._jit_consts))
-timeit("tree step only", step1, st)
+step1 = jax.jit(lambda s, c: sim.traced_step(s, dt, c))
+timeit("tree step only", step1, st, sim.jit_consts)
 
 # 3. render_scene only
 tb = trails.make_trails(n, t=5)

@@ -151,7 +151,6 @@ for name, kw in [
                           softening="plummer", eps=1e-3, g=scene.g, **kw)
     st = sim.prime(scene.state())
     # time run(state, dt, 8) / 8 to amortize and exercise refresh caching
-    run8 = jax.jit(lambda s: sim._run(s, dt, 8, sim._jit_consts) if hasattr(sim, "_run") else None)
     try:
         stt = sim.run(st, 10.0, 8)
         t0 = time.perf_counter()

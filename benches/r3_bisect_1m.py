@@ -43,8 +43,9 @@ for name, kw in CONFIGS:
         st = sim.prime(scene.state(dtype=jnp.float32))
         e0 = float(energy.total_energy(st.pos, st.vel, st.mass, eps=EPS,
                                        g=1.0))
-        print(f"  cmode={sim._cluster_mode} k={sim._k_near} gg={sim._gg} "
-              f"tiles={sim._near_tiles} e0={e0:.6f}", flush=True)
+        print(f"  cmode={sim.caps['cluster_mode']} k={sim.caps['k_near']} "
+              f"gg={sim.caps['gg']} tiles={sim.caps['near_tiles']} "
+              f"e0={e0:.6f}", flush=True)
         t0 = time.perf_counter()
         for k in range(10):
             st = sim.run(st, DT, 20)

@@ -69,6 +69,6 @@ for n in NS:
             cluster_mode=cmode, near_mode="pairs",
         )
         dt, _ = step_time(sim, scene.state(dtype=jnp.float32))
-        print(f"  step[{cmode} -> {sim._cluster_mode}]: {dt * 1e3:.0f} ms "
-              f"(k={sim._k_near} gg={sim._gg} tiles={sim._near_tiles})",
+        print(f"  step[{cmode} -> {sim.caps['cluster_mode']}]: {dt * 1e3:.0f} ms "
+              f"(k={sim.caps['k_near']} gg={sim.caps['gg']} tiles={sim.caps['near_tiles']})",
               flush=True)

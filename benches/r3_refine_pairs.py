@@ -31,8 +31,7 @@ def step_time(sim, state, steps=3):
     state = sim.prime(state)
     fence(state.pos)
     print(f"  prime(calibrate) {time.perf_counter() - t0:.1f}s "
-          f"(k={sim._k_near} gg={sim._gg} k_super={sim._k_super} "
-          f"k_mid={sim._k_mid} near_tiles={sim._near_tiles})", flush=True)
+          f"(caps={sim.caps})", flush=True)
     t0 = time.perf_counter()
     state = sim.step(state, 10.0)
     fence(state.pos)

@@ -59,12 +59,10 @@ sim = tree2.ShardedTreeSimulation(
     backend=BACKEND, multipole_order=2, resort_every=8,
 )
 ts = sim.prime(sim.shard_state(state))
-print(f"caps: k={sim._k_near} k_super={sim.k_super} tiles={sim._near_tiles} "
-      f"tiles_q={sim._near_tiles_q} halo_cap={sim._halo_cap} "
-      f"far={sim._far_levels} g_l={sim._g_l}", flush=True)
+print(f"caps: {sim.caps}", flush=True)
 pos_l = ts.state.pos
 mass_l = ts.state.mass
-g_l = sim._g_l
+g_l = sim.caps["g_l"]
 smap = functools.partial(jax.shard_map, mesh=mesh, check_vma=False)
 sp = (P(ring.AXIS), P(ring.AXIS))
 

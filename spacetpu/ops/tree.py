@@ -959,6 +959,15 @@ def _pack_rows_flat(ids, n_src: int, pj: int, cap: int, offs, k_i):
     _, ids_c = jax.lax.sort_key_val(
         jnp.broadcast_to(key, ids.shape), ids, dimension=1
     )
+    return _flat_from_compact(ids_c, n_src, pj, cap, offs, k_i)
+
+
+def _flat_from_compact(ids_c, n_src: int, pj: int, cap: int, offs, k_i):
+    """The gather half of _pack_rows_flat, for callers that already hold
+    the prefix-compacted rows `ids_c` (near_pair_segments_consistent
+    packs two id spaces whose validity patterns are identical by
+    construction, so one sort carries both payloads)."""
+    g, w = ids_c.shape
     t_range = jnp.arange(cap, dtype=jnp.int32)
     row = jnp.searchsorted(offs, t_range, side="right").astype(jnp.int32) - 1
     j = (t_range - offs[row])[:, None] * pj + jnp.arange(pj, dtype=jnp.int32)
@@ -971,7 +980,8 @@ def _pack_rows_flat(ids, n_src: int, pj: int, cap: int, offs, k_i):
     return flat, row, dropped
 
 
-def near_pair_segments(idx, n_src: int, pj: int, cap_tiles: int):
+def near_pair_segments(idx, n_src: int, pj: int, cap_tiles: int,
+                       ids_c=None):
     """Flatten (G, K) near lists into the pair-kernel tile list.
 
     idx: invalid slots = n_src (the null source). Every target gets
@@ -988,7 +998,12 @@ def near_pair_segments(idx, n_src: int, pj: int, cap_tiles: int):
     csum = jnp.cumsum(tiles_i).astype(jnp.int32)
     offs = jnp.concatenate([jnp.zeros((1,), jnp.int32), csum[:-1]])
     n_tiles = csum[-1]
-    flat, row, dropped = _pack_rows_flat(idx, n_src, pj, cap_tiles, offs, k_i)
+    if ids_c is None:
+        flat, row, dropped = _pack_rows_flat(
+            idx, n_src, pj, cap_tiles, offs, k_i)
+    else:
+        flat, row, dropped = _flat_from_compact(
+            ids_c, n_src, pj, cap_tiles, offs, k_i)
     t_range = jnp.arange(cap_tiles, dtype=jnp.int32)
     tile_tgt = jnp.where(t_range < n_tiles, row, g)
     return flat, tile_tgt, n_tiles, dropped
@@ -1018,8 +1033,20 @@ def near_pair_segments_consistent(idx_d, n_src_d: int, pj_d: int, cap_d: int,
     dropped = jnp.sum(jnp.where(fit, 0, k_i)).astype(jnp.int32)
     idx_d = jnp.where(fit[:, None], idx_d, n_src_d)
     idx_q = jnp.where(fit[:, None], idx_q, n_src_q)
-    flat_d, ttgt_d, nt_d, d1 = near_pair_segments(idx_d, n_src_d, pj_d, cap_d)
-    flat_q, ttgt_q, nt_q, d2 = near_pair_segments(idx_q, n_src_q, pj_q, cap_q)
+    # The two tables mark the same slots invalid, so the rank-packing
+    # permutation is identical: one sort carries both payloads (the
+    # second per-row sort was a measurable slice of the sharded tree's
+    # segment-build prefix, logs/r4w1_r3_tree2_prof.log).
+    w = idx_d.shape[1]
+    col = jnp.arange(w, dtype=jnp.int32)[None, :]
+    key = jnp.where(idx_d < n_src_d, col, w + col)
+    _, ids_cd, ids_cq = jax.lax.sort(
+        (jnp.broadcast_to(key, idx_d.shape), idx_d, idx_q),
+        dimension=1, num_keys=1)
+    flat_d, ttgt_d, nt_d, d1 = near_pair_segments(
+        idx_d, n_src_d, pj_d, cap_d, ids_c=ids_cd)
+    flat_q, ttgt_q, nt_q, d2 = near_pair_segments(
+        idx_q, n_src_q, pj_q, cap_q, ids_c=ids_cq)
     # d1/d2 are zero by construction (masking only shrinks prefix sums);
     # counted anyway as belt and braces
     return (flat_d, ttgt_d, nt_d, flat_q, ttgt_q, nt_q,

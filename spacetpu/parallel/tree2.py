@@ -146,14 +146,23 @@ def _halo_exchange(idx_mine, pos_g, mass_g, *, axis: str, g_l: int,
     pool_pos_g = jnp.concatenate([pos_g, recv[..., :3]], axis=0)
     pool_mass_g = jnp.concatenate([mass_g, recv[..., 3]], axis=0)
 
-    # remap global near ids -> pool slots
-    owners = jnp.clip(flat // g_l, 0, d - 1)
-    jslot = jnp.searchsorted(u_sorted, flat).astype(jnp.int32) - starts[owners]
-    remote_ok = (~is_local) & (~is_null) & (jslot >= 0) & (jslot < halo_cap)
+    # remap global near ids -> pool slots via a small inverse table:
+    # scatter the D*H requested ids to their pool slots, then one gather
+    # of the flat list from the (G+1,) table. The direct formulation —
+    # searchsorted(u_sorted, flat) — is a 22-round binary-search loop of
+    # G_l*K random gathers from a G_l*K table, measured as the dominant
+    # cost of the D=1 step (logs/r4w1_r3_tree2_prof.log: the segment-
+    # build prefix is 354 ms of the 774 ms step; the same build in pure
+    # global id space costs ~60 ms).
     p = g_l + d * halo_cap  # null slot
+    slot_ids = g_l + jnp.arange(d * halo_cap, dtype=jnp.int32)
+    table = jnp.full((g + 1,), jnp.int32(p))
+    table = table.at[jnp.where(req.reshape(-1) >= 0,
+                               req.reshape(-1), g)].set(slot_ids)
+    table = table.at[g].set(p)  # null id stays null even if requested
     idx_pool = jnp.where(
         is_local, flat - base,
-        jnp.where(remote_ok, g_l + owners * halo_cap + jslot, p),
+        table[jnp.minimum(flat, g)],
     )
     return (idx_pool.reshape(idx_mine.shape).astype(jnp.int32),
             pool_pos_g, pool_mass_g, overflow)
@@ -641,6 +650,21 @@ class ShardedTreeSimulation:
         self.m1_src_tiles = m.get("m1_src_tiles_shard")
         self.m2_src_tiles = m.get("m2_src_tiles_shard")
         self.__post_init__()  # rebuild the closures with the measured caps
+
+    @property
+    def caps(self) -> dict:
+        """Measured/derived static-shape caps (read-only snapshot) — the
+        public way for benches/telemetry to report the sharded solver's
+        calibration (mirrors Simulation.caps)."""
+        return {
+            "k_near": self._k_near,
+            "k_super": self.k_super,
+            "near_tiles": self._near_tiles,
+            "near_tiles_q": self._near_tiles_q,
+            "halo_cap": self._halo_cap,
+            "far_levels": self._far_levels,
+            "g_l": self._g_l,
+        }
 
     def prime(self, ts: TreeShardedState) -> TreeShardedState:
         if self._needs_calibration:

@@ -339,6 +339,29 @@ class Simulation:
         stepping use :meth:`step`, which handles both automatically."""
         return self._step(state, dt, consts)
 
+    @property
+    def mesh_params(self) -> dict | None:
+        """PM/TreePM mesh calibration products (box_min, h, grid,
+        kernel_hat; TreePM adds rs/rcut) — read-only snapshot for
+        benches/telemetry. None before calibration / for pair solvers."""
+        return dict(self._pm) if getattr(self, "_pm", None) else None
+
+    @property
+    def caps(self) -> dict:
+        """Measured static-shape calibration caps (read-only snapshot) —
+        the public way for benches/telemetry to report what calibrate()
+        chose. Keys with value None are not applicable to the current
+        solver/cluster mode."""
+        return {
+            "k_near": self._k_near,
+            "gg": self._gg,
+            "near_tiles": self._near_tiles,
+            "near_tiles_q": self._near_tiles_q,
+            "k_super": self._k_super,
+            "k_mid": self._k_mid,
+            "cluster_mode": self._cluster_mode,
+        }
+
     def scan_chunk(self) -> int | None:
         """Max device-scan length per run() call (None = unlimited).
 

@@ -33,13 +33,15 @@ ALL_SCRIPTS = sorted(
 # scripts wired for SPACETPU_BENCH_SCALE=smoke (see spacetpu/utils/benchenv.py)
 SMOKE_SCRIPTS = [
     "bench.py",
-    "_probe_treepm_chip.py",
+    os.path.join("benches", "probe_treepm_chip.py"),
     os.path.join("benches", "r3_largen.py"),
     os.path.join("benches", "r3_prof8m.py"),
     os.path.join("benches", "r3_tree2_prof.py"),
     os.path.join("benches", "r3_treepm.py"),
+    os.path.join("benches", "r4_engine_auto.py"),
     os.path.join("benches", "r4_multirate.py"),
     os.path.join("benches", "r4_scorecard.py"),
+    os.path.join("benches", "r4_treepm_prof.py"),
 ]
 
 

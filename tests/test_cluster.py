@@ -160,6 +160,44 @@ def test_near_pair_segments_layout():
     )
 
 
+def test_near_pair_segments_consistent_shared_sort():
+    """The consistent builder packs two id spaces with ONE shared sort
+    (the validity patterns are identical by construction); its output
+    must be bit-identical to two independent near_pair_segments calls
+    on the fit-masked tables."""
+    rng = np.random.default_rng(7)
+    g, k = 13, 9
+    n_src_d, n_src_q = 21, 17  # pool vs global id spaces
+    k_i = rng.integers(0, k + 1, size=g)
+    idx_d = np.full((g, k), n_src_d, np.int32)
+    idx_q = np.full((g, k), n_src_q, np.int32)
+    for r in range(g):
+        # interior nulls allowed: scatter the valid slots randomly
+        slots = rng.choice(k, size=k_i[r], replace=False)
+        idx_d[r, slots] = rng.integers(0, n_src_d, size=k_i[r])
+        idx_q[r, slots] = rng.integers(0, n_src_q, size=k_i[r])
+    args = (jnp.asarray(idx_d), n_src_d, 2, 14,
+            jnp.asarray(idx_q), n_src_q, 3, 11)
+    out = tree.near_pair_segments_consistent(*args)
+    # reference: mask to the same fit set, then two independent builds
+    valid = idx_d < n_src_d
+    ki = valid.sum(axis=1)
+    t_d = np.maximum(-(-ki // 2), 1)
+    t_q = np.maximum(-(-ki // 3), 1)
+    fit = (np.cumsum(t_d) <= 14) & (np.cumsum(t_q) <= 11)
+    md = jnp.asarray(np.where(fit[:, None], idx_d, n_src_d))
+    mq = jnp.asarray(np.where(fit[:, None], idx_q, n_src_q))
+    fd, td, nd, _ = tree.near_pair_segments(md, n_src_d, 2, 14)
+    fq, tq, nq, _ = tree.near_pair_segments(mq, n_src_q, 3, 11)
+    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(fd))
+    np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(td))
+    assert int(out[2]) == int(nd)
+    np.testing.assert_array_equal(np.asarray(out[3]), np.asarray(fq))
+    np.testing.assert_array_equal(np.asarray(out[4]), np.asarray(tq))
+    assert int(out[5]) == int(nq)
+    assert int(out[6]) == int(np.where(fit, 0, ki).sum())
+
+
 @pytest.mark.parametrize("cmode", ["equal", "adaptive"])
 def test_simulation_modes_run_and_conserve(cmode):
     """End-to-end Simulation with the new modes: calibrated caps, finite
@@ -317,10 +355,12 @@ def test_simulation_health_uses_calibrated_partition():
     state = sim.prime(scene.state(dtype=jnp.float32))
     h = sim.health(state)
     assert h["near_overflow"] == 0
-    assert h["k_near"] == sim._k_near
-    # non-tree sims report nothing
+    assert h["k_near"] == sim.caps["k_near"]
+    # non-tree sims report only the resolved algorithm (telemetry for the
+    # interactive auto-select tier, round-4)
     dsim = make_simulation(100, algorithm="direct", backend="xla")
-    assert dsim.health(scene.state(dtype=jnp.float32)) == {}
+    assert dsim.health(scene.state(dtype=jnp.float32)) == {
+        "algorithm": "direct"}
 
 
 def test_maybe_recalibrate_after_scene_restructures():

@@ -7,7 +7,7 @@ launched). One queue = one process = one chip user at a time.
 Usage (run detached — NEVER timeout-kill a TPU-attached child):
 
   nohup python tools/chip_queue.py --tag r4_wave1 \
-      benches/r3_tree2_prof.py _probe_treepm_chip.py bench.py \
+      benches/r3_tree2_prof.py benches/probe_treepm_chip.py bench.py \
       > logs/r4_wave1.log 2>&1 &
 
   # wait for a previous queue to finish first:
