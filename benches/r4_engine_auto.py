@@ -1,13 +1,14 @@
 """Interactive auto-select at N=1M: does the mesh tier pay off? (r3 #7)
 
-make_engine_for now picks PM above constants.MESH_SOLVER_CUTOFF
-(commit 6b62ff3); the done-criterion is the interactive engine ticking
->=2x faster under auto than the pinned tree at N=1M. This runs the REAL
-SimEngine (sim thread + Exchange + DEVICE_LOCK) twice on a Plummer
-sphere, polling the exchange like a frontend, and reports ticks/sec:
+make_engine_for picks PM above constants.MESH_SOLVER_CUTOFF (6b62ff3) —
+but only when the mesh resolves the scene (mesh_resolves; the r4w2
+scorecard measured PM at median force error ~1.0 on a Plummer sphere,
+so concentrated scenes keep the tree). This runs the REAL SimEngine
+(sim thread + Exchange + DEVICE_LOCK) on both gate outcomes, polling
+the exchange like a frontend, and reports ticks/sec:
 
-  auto — make_engine_for (expected: algorithm=pm at prod scale)
-  tree — pinned tree, tree_refresh_every=8 (the old interactive path)
+  fixed_cloud 1M — gate passes: auto=pm, target >=2x the pinned tree
+  plummer 1M     — gate rejects: auto=tree (accuracy), parity expected
 
 Run detached: nohup python benches/r4_engine_auto.py > log 2>&1 &
 """
@@ -26,20 +27,15 @@ benchenv.force_platform()
 import numpy as np
 
 from spacetpu import make_simulation
-from spacetpu.engine import SimEngine, make_engine_for
+from spacetpu.engine import SimEngine, make_engine_for, mesh_resolves
 from spacetpu.models import presets
 
 N = benchenv.size(1_000_000, 4096)
 WINDOW_S = benchenv.size(60.0, 2.0)
 FIRST_TICK_TIMEOUT_S = benchenv.size(1200.0, 180.0)
-DT = 1e-3
 
 print(f"platform={jax.devices()[0].platform} N={N} window={WINDOW_S}s",
       flush=True)
-
-scene = presets.plummer_sphere(N)
-sim_kwargs = dict(softening="plummer", eps=1e-3, g=scene.g,
-                  integrator="leapfrog", tree_refresh_every=8)
 
 
 def measure(name, engine):
@@ -72,25 +68,40 @@ def measure(name, engine):
     engine.stop(timeout=600.0)
     rate = ticks / dt_w if dt_w > 0 else 0.0
     ms = 1e3 / rate if rate else float("inf")
-    print(f"{name:28s} algo={engine.algorithm:6s} first-tick {warm:6.1f}s "
+    print(f"{name:34s} algo={engine.algorithm:6s} first-tick {warm:6.1f}s "
           f"{ticks:6d} ticks in {dt_w:5.1f}s = {rate:7.2f} ticks/s "
           f"({ms:8.1f} ms/tick)", flush=True)
-    return rate
+    return rate, engine.algorithm
 
 
-state = scene.state(dtype=np.float32)
-auto_rate = measure(
-    "auto (make_engine_for)",
-    make_engine_for(state, delta=DT, **sim_kwargs))
+results = {}
+for scene_name, scene, dt in [
+    ("fixed_cloud", presets.fixed_cloud(N), 10.0),
+    ("plummer", presets.plummer_sphere(N), 1e-3),
+]:
+    sim_kwargs = dict(softening="plummer", eps=1e-2, g=scene.g,
+                      integrator="leapfrog", tree_refresh_every=8)
+    st = scene.state(dtype=np.float32)
+    print(f"=== {scene_name}(n={scene.n}): mesh_resolves="
+          f"{mesh_resolves(st)} ===", flush=True)
+    auto_rate, auto_algo = measure(
+        f"{scene_name}: auto",
+        make_engine_for(st, delta=dt, **sim_kwargs))
+    st = scene.state(dtype=np.float32)
+    tree_sim = make_simulation(scene.n, algorithm="tree", theta=0.5,
+                               k_near="auto", near_mode="pairs",
+                               **sim_kwargs)
+    tree_rate, _ = measure(f"{scene_name}: tree (pinned)",
+                           SimEngine(tree_sim, st, delta=dt))
+    ratio = auto_rate / tree_rate if tree_rate else float("inf")
+    results[scene_name] = (ratio, auto_algo)
+    print(f"{scene_name}: auto/tree tick-rate ratio {ratio:.2f}x "
+          f"(auto={auto_algo})", flush=True)
 
-state = scene.state(dtype=np.float32)
-tree_sim = make_simulation(N, algorithm="tree", theta=0.5, k_near="auto",
-                           near_mode="pairs", **sim_kwargs)
-tree_rate = measure("tree (pinned, refresh=8)",
-                    SimEngine(tree_sim, state, delta=DT))
-
-speedup = auto_rate / tree_rate if tree_rate else float("inf")
-verdict = "PASS" if speedup >= 2.0 else "MISS"
-print(f"auto/tree tick-rate ratio: {speedup:.2f}x -> {verdict} "
-      f"(target >=2x)", flush=True)
+cloud_ratio, cloud_algo = results.get("fixed_cloud", (0.0, "?"))
+plum_ratio, plum_algo = results.get("plummer", (0.0, "?"))
+ok = cloud_algo == "pm" and cloud_ratio >= 2.0 and plum_algo == "tree"
+print(f"mesh tier: fixed_cloud {cloud_ratio:.2f}x via {cloud_algo} "
+      f"(target >=2x), plummer gated to {plum_algo} "
+      f"-> {'PASS' if ok else 'MISS'}", flush=True)
 print("ENGINE AUTO DONE", flush=True)

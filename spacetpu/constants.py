@@ -51,6 +51,15 @@ BARNES_HUT_CUTOFF: int = 1000
 #: and never switch silently. Frontends surface the active solver via
 #: `SimEngine.algorithm` + `Simulation.health()['algorithm']`.
 MESH_SOLVER_CUTOFF: int = 500_000
+#: Mesh-resolution gate for the interactive PM tier: PM is only picked
+#: when the would-be mesh cell h resolves the scene's mass
+#: concentration, h <= r(MESH_RESOLVE_MASS_FRAC) (the radius around the
+#: COM containing that mass fraction). Measured on chip
+#: (logs/r4w2_r4_scorecard.log, N=1M grid=128): a quasi-uniform cloud
+#: passes (median PM force error ~4e-3) while a Plummer sphere fails
+#: catastrophically (median error ~1.0 — the core sits inside a single
+#: cell once outliers stretch the box). Gated scenes keep the tree.
+MESH_RESOLVE_MASS_FRAC: float = 0.1
 #: Default Barnes-Hut opening angle theta (constants.rs:29-30).
 BARNES_HUT_THETA: float = 0.3
 

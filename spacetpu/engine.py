@@ -261,6 +261,46 @@ class SimEngine:
         self.stop()
 
 
+def mesh_resolves(scene_state: State, *, grid: Optional[int] = None,
+                  mass_frac: float = constants.MESH_RESOLVE_MASS_FRAC,
+                  margin: float = 2.0) -> bool:
+    """Does a PM mesh at `grid` resolve this scene's mass concentration?
+
+    Host-side check (pure numpy, no device work): the cell size h that
+    pm.measure_box would pick must not exceed the radius around the
+    center of mass containing `mass_frac` of the total mass. Chip
+    measurement behind the rule (logs/r4w2_r4_scorecard.log, N=1M,
+    grid=128): a quasi-uniform cloud (h ~ 0.07 r_frac) shows median PM
+    force error ~e-3; a Plummer sphere (h ~ 20 r_frac — halo outliers
+    stretch the box until the entire core sits inside a couple of
+    cells) shows median error ~1.0, so the interactive mesh tier must
+    NOT engage there."""
+    import numpy as np
+
+    from spacetpu.ops import pm as pm_ops
+
+    pos = np.asarray(scene_state.pos, np.float64)
+    mass = np.asarray(scene_state.mass, np.float64)
+    if scene_state.n_active is not None:
+        k = int(scene_state.n_active)
+        pos, mass = pos[:k], mass[:k]
+    if grid is None:
+        grid = pm_ops.default_grid(pos.shape[0])
+    lo, hi = pos.min(axis=0), pos.max(axis=0)
+    half = max(0.5 * float((hi - lo).max()) * margin, 1e-30)
+    h = 2.0 * half / (grid - 1)  # matches pm.measure_box
+    m_tot = float(mass.sum())
+    if m_tot <= 0.0:
+        return False
+    com = (mass[:, None] * pos).sum(axis=0) / m_tot
+    r = np.linalg.norm(pos - com, axis=1)
+    order = np.argsort(r)
+    csum = np.cumsum(mass[order])
+    i = int(np.searchsorted(csum, mass_frac * m_tot))
+    r_frac = float(r[order[min(i, len(r) - 1)]])
+    return h <= r_frac
+
+
 def make_engine_for(
     scene_state: State,
     *,
@@ -276,15 +316,19 @@ def make_engine_for(
     reference never needed (its CPU tree tops out far below 1M bodies):
     above constants.MESH_SOLVER_CUTOFF the engine ticks with the PM
     solver (145 ms/step at N=1M on chip vs 364 ms for the cached tree,
-    logs/r3_pm2.log). Accuracy gate documented at MESH_SOLVER_CUTOFF;
-    pass algorithm= explicitly (build_engine does for --algorithm) to
-    pin a solver. The active solver is surfaced via SimEngine.algorithm
-    and Simulation.health()['algorithm']. engine_kwargs are forwarded to
-    SimEngine (merge_every/radii for collision merging)."""
+    logs/r3_pm2.log) — IF the mesh actually resolves the scene
+    (`mesh_resolves`; a Plummer core inside one cell measured median
+    force error ~1.0 on chip, logs/r4w2_r4_scorecard.log — such scenes
+    keep the tree). Pass algorithm= explicitly (build_engine does for
+    --algorithm) to pin a solver. The active solver is surfaced via
+    SimEngine.algorithm and Simulation.health()['algorithm'].
+    engine_kwargs are forwarded to SimEngine (merge_every/radii for
+    collision merging)."""
     n = scene_state.n
     substeps = sim_kwargs.get("substeps", 1)
-    if n > constants.MESH_SOLVER_CUTOFF and not (
-            isinstance(substeps, int) and substeps > 1):
+    if (n > constants.MESH_SOLVER_CUTOFF
+            and not (isinstance(substeps, int) and substeps > 1)
+            and mesh_resolves(scene_state)):
         # multirate substeps use exact pair forces, inconsistent with the
         # mesh-softened PM law (SimConfig rejects the pair) — a multirate
         # request keeps the tree

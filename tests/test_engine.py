@@ -119,6 +119,25 @@ def test_make_engine_for_mesh_tier(monkeypatch):
     assert eng2.algorithm == "tree"
 
 
+def test_make_engine_for_mesh_resolution_gate(monkeypatch):
+    """Concentrated scenes are gated OUT of the PM tier: a Plummer
+    sphere's halo outliers stretch the PM box until the core sits inside
+    a couple of cells (median force error ~1.0 measured on chip,
+    logs/r4w2_r4_scorecard.log) — auto keeps the tree there while a
+    quasi-uniform cloud of the same N takes the mesh."""
+    from spacetpu import constants as C
+    from spacetpu.engine import mesh_resolves
+
+    monkeypatch.setattr(C, "MESH_SOLVER_CUTOFF", 1024)
+    plum = presets.plummer_sphere(1500, seed=3)
+    assert not mesh_resolves(plum.state(dtype=jnp.float32), grid=128)
+    eng = make_engine_for(plum.state(dtype=jnp.float32), backend="xla",
+                          g=1.0, softening="plummer", eps=1e-2)
+    assert eng.algorithm == "tree"
+    cloud = presets.random_cluster(1500, seed=3)
+    assert mesh_resolves(cloud.state(dtype=jnp.float32), grid=128)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from spacetpu.io import checkpoint
 
