@@ -41,6 +41,7 @@ SMOKE_SCRIPTS = [
     os.path.join("benches", "r4_engine_auto.py"),
     os.path.join("benches", "r4_multirate.py"),
     os.path.join("benches", "r4_scorecard.py"),
+    os.path.join("benches", "r4_scorecard_1k.py"),
     os.path.join("benches", "r4_treepm_prof.py"),
 ]
 
