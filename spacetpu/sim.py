@@ -611,6 +611,22 @@ class Simulation:
             self._k_near = cfg.k_near  # pinned (overflow telemetry counts)
         else:
             self._k_near = m["k_near"]
+        # gg >= 64: at toy scales the cutoff legitimately covers the box
+        # and all-pairs cost is fine — warn only where it hurts
+        if gg >= 64 and self._k_near >= gg // 2:
+            import warnings
+
+            warnings.warn(
+                f"TreePM short-range cutoff saturates the scene: the "
+                f"measured near-list cap k_near={self._k_near} covers "
+                f"~all {gg} clusters (r_cut={rcut:.3g} vs a mass "
+                "distribution concentrated well inside it, e.g. a "
+                "Plummer core in an outlier-stretched box). The pair "
+                "pass degenerates to all-pairs cost (measured 16.5 "
+                "s/step at N=1M on chip, logs/r4w2_r4_scorecard.log) — "
+                "use the tree solver, or a finer mesh (--pm-grid).",
+                stacklevel=2,
+            )
         self._near_tiles = m["near_tiles"]
         self._gg = gg
         self._pm = dict(box_min=box_min, h=h, grid=grid,

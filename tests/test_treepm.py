@@ -239,3 +239,20 @@ def test_out_of_box_recalibration():
     assert sim.health(st2)["out_of_box"] > 0
     assert sim.maybe_recalibrate(st2) is True
     assert sim.health(st2)["out_of_box"] == 0
+
+
+def test_saturated_cutoff_warns():
+    """A mass distribution concentrated well inside r_cut saturates the
+    short-range near lists (k_near ~ gg) — the pair pass degenerates to
+    all-pairs cost (16.5 s/step at N=1M on chip, r4w2 scorecard) and
+    calibrate must say so."""
+    import warnings
+
+    from spacetpu.models import presets
+
+    n = 64 * 256  # gg = 64, the warning's scale gate
+    scene = presets.plummer_sphere(n, seed=1)
+    sim = make_simulation(n, algorithm="treepm", backend="xla", eps=1e-2,
+                          g=1.0, pm_grid=32)
+    with pytest.warns(UserWarning, match="saturates"):
+        sim.prime(scene.state(dtype=jnp.float32))
