@@ -38,7 +38,8 @@ import numpy as np
 from spacetpu import make_simulation
 from spacetpu.models import presets
 
-GRID = benchenv.size(128, 32)
+GRID = int(os.environ.get("SPACETPU_TREEPM_GRID",
+                          benchenv.size(128, 32)))
 STEPS = benchenv.size(10, 2)
 NS = benchenv.size((1_000_000, 4_000_000), (16_384,))
 
