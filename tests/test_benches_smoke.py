@@ -42,6 +42,7 @@ SMOKE_SCRIPTS = [
     os.path.join("benches", "r4_multirate.py"),
     os.path.join("benches", "r4_scorecard.py"),
     os.path.join("benches", "r4_scorecard_1k.py"),
+    os.path.join("benches", "r4_scorecard_plummer_tree.py"),
     os.path.join("benches", "r4_treepm_grid256.py"),
     os.path.join("benches", "r4_treepm_prof.py"),
 ]
