@@ -51,8 +51,9 @@ sim = tree2.ShardedTreeSimulation(
     mesh, N, theta=0.8, softening="plummer", eps=1e-3, g=1.0,
     backend="xla", multipole_order=2, far_levels=3,
 )
-print(f"G={sim._g_l * D} clusters, k_near={sim._k_near}, "
-      f"halo_cap={sim._halo_cap}, far_levels={sim._far_levels}", flush=True)
+print(f"G={sim.caps['g_l'] * D} clusters, k_near={sim.caps['k_near']}, "
+      f"halo_cap={sim.caps['halo_cap']}, "
+      f"far_levels={sim.caps['far_levels']}", flush=True)
 
 ts = sim.shard_state(state)
 del state

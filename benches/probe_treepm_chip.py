@@ -67,8 +67,9 @@ for backend in BACKENDS:
                           softening="plummer", eps=0.0, backend=backend)
     st = sim.prime(scene.state(dtype=jnp.float32))  # prime donates its arg
     accs[backend] = np.asarray(st.acc, np.float64)
-    print(f"treepm[{backend}] grid={sim._pm['grid']} rcut={sim._pm['rcut']:.4g} "
-          f"k_near={sim._k_near} health={sim.health(st)}", flush=True)
+    mp = sim.mesh_params
+    print(f"treepm[{backend}] grid={mp['grid']} rcut={mp['rcut']:.4g} "
+          f"k_near={sim.caps['k_near']} health={sim.health(st)}", flush=True)
     print(f"  vs exact: {rel(accs[backend])}", flush=True)
     del sim, st
 

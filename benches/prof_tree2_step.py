@@ -41,9 +41,9 @@ for k in range(3):
 # (b) stepper-only (no cond / no sort)
 g_l = N // D // tree.LEAF
 acc_fn = functools.partial(
-    tree2._tree2_acc, axis=ring.AXIS, theta=0.5, k_near=sim._k_near,
+    tree2._tree2_acc, axis=ring.AXIS, theta=0.5, k_near=sim.caps["k_near"],
     softening="plummer", eps=1e-3, g=1.0, backend="pallas",
-    interpret=False, multipole_order=2, far_levels=2, halo_cap=sim._halo_cap)
+    interpret=False, multipole_order=2, far_levels=2, halo_cap=sim.caps["halo_cap"])
 stepper = integrators.get_stepper("leapfrog")
 
 def plain(st, dt):

@@ -23,10 +23,11 @@ sim = tree2.ShardedTreeSimulation(
     mesh, N, theta=0.5, softening="plummer", eps=1e-3, g=1.0,
     backend="pallas", multipole_order=2, resort_every=8,
 )
-print(f"N={N}, far_levels={sim._far_levels}", flush=True)
+print(f"N={N}, far_levels={sim.caps['far_levels']}", flush=True)
 ts = sim.prime(sim.shard_state(state))  # auto-calibrates (measured caps)
-print(f"calibrated: k={sim._k_near} k_super={sim.k_super} "
-      f"tiles={sim._near_tiles} tiles_q={sim._near_tiles_q}", flush=True)
+print(f"calibrated: k={sim.caps['k_near']} k_super={sim.caps['k_super']} "
+      f"tiles={sim.caps['near_tiles']} tiles_q={sim.caps['near_tiles_q']}",
+      flush=True)
 fence(ts.state.acc)
 t0 = time.perf_counter()
 for _ in range(4):

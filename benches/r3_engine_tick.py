@@ -29,7 +29,8 @@ scene = presets.fixed_cloud(N)
 sim = make_simulation(scene.n, algorithm="tree", theta=0.5, k_near="auto",
                       near_mode="pairs", tree_refresh_every=R)
 st = sim.prime(scene.state(dtype=jnp.float32))
-print(f"k={sim._k_near} gg={sim._gg} tiles={sim._near_tiles}", flush=True)
+print(f"k={sim.caps['k_near']} gg={sim.caps['gg']} "
+      f"tiles={sim.caps['near_tiles']}", flush=True)
 
 # warm both programs
 st = sim.step(st, 1e-3)

@@ -42,8 +42,9 @@ for tag, scene, extra in CONFIGS:
             **extra,
         )
         st = sim.prime(scene.state(dtype=jnp.float32))
-        print(f"  caps: k={sim._k_near} k_super={sim._k_super} "
-              f"k_mid={sim._k_mid} scan_chunk={sim.scan_chunk()}", flush=True)
+        print(f"  caps: k={sim.caps['k_near']} k_super={sim.caps['k_super']} "
+              f"k_mid={sim.caps['k_mid']} scan_chunk={sim.scan_chunk()}",
+              flush=True)
         e0 = float(energy.total_energy(st.pos, st.vel, st.mass,
                                        eps=1e-2, g=1.0))
         t0 = time.perf_counter()

@@ -46,8 +46,7 @@ for preset_name, scene in (
                 softening="plummer", eps=1e-2, g=scene.g,
             )
             st = sim.prime(state0)
-            print(f"  k={sim._k_near} gg={sim._gg} k_super={sim._k_super} "
-                  f"tiles={sim._near_tiles}", flush=True)
+            print(f"  caps: {sim.caps}", flush=True)
             st = sim.step(st, 1e-3)
             fence(st.pos)
             t0 = time.perf_counter()

@@ -27,9 +27,7 @@ sim = make_simulation(
     softening="plummer", eps=1e-2, g=scene.g,
 )
 st = sim.prime(scene.state(dtype=jnp.float32))
-print(f"caps: k={sim._k_near} gg={sim._gg} cmode={sim._cluster_mode} "
-      f"tiles={sim._near_tiles} k_mid={sim._k_mid} m1={sim._m1_src} "
-      f"m2={sim._m2_src}", flush=True)
+print(f"caps: {sim.caps}", flush=True)
 st = sim.step(st, 1e-3)
 fence(st.pos)
 t0 = time.perf_counter()

@@ -64,7 +64,7 @@ for n in (1_000_000, 4_000_000):
 
     sim_tr = make_simulation(scene.n, algorithm="tree", k_near="auto",
                              g=scene.g, softening="plummer",
-                             eps=sim_pm._pm["h"])  # matched softening
+                             eps=sim_pm.mesh_params["h"])  # matched softening
     st = sim_tr.prime(scene.state(dtype=jnp.float32))
     acc_tr = np.asarray(st.acc, np.float64)
     ms_tr, st = time_steps(sim_tr, st, dt, STEPS)

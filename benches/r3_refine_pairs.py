@@ -54,7 +54,7 @@ for n, cmodes in ((1_000_000, ("auto",)), (4_000_000, ("auto",)),
         )
         try:
             dt, _ = step_time(sim, scene.state(dtype=jnp.float32))
-            print(f"  step[{cmode} -> {sim._cluster_mode}]: "
+            print(f"  step[{cmode} -> {sim.caps['cluster_mode']}]: "
                   f"{dt * 1e3:.0f} ms", flush=True)
         except Exception as e:  # noqa: BLE001 - probe logs and continues
             print(f"  FAILED[{cmode}]: {type(e).__name__}: {e}", flush=True)

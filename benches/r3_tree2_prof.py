@@ -59,18 +59,19 @@ sim = tree2.ShardedTreeSimulation(
     backend=BACKEND, multipole_order=2, resort_every=8,
 )
 ts = sim.prime(sim.shard_state(state))
-print(f"caps: {sim.caps}", flush=True)
+caps = sim.caps
+print(f"caps: {caps}", flush=True)
 pos_l = ts.state.pos
 mass_l = ts.state.mass
 g_l = sim.caps["g_l"]
 smap = functools.partial(jax.shard_map, mesh=mesh, check_vma=False)
 sp = (P(ring.AXIS), P(ring.AXIS))
 
-kw = dict(axis=ring.AXIS, theta=0.5, k_near=sim._k_near,
+kw = dict(axis=ring.AXIS, theta=0.5, k_near=caps["k_near"],
           softening="plummer", eps=1e-3, g=1.0, backend=BACKEND,
-          interpret=False, multipole_order=2, far_levels=sim._far_levels,
-          halo_cap=sim._halo_cap, near_mode=sim._near_mode,
-          near_tiles=sim._near_tiles, near_tiles_q=sim._near_tiles_q,
+          interpret=False, multipole_order=2, far_levels=caps["far_levels"],
+          halo_cap=caps["halo_cap"], near_mode=caps["near_mode"],
+          near_tiles=caps["near_tiles"], near_tiles_q=caps["near_tiles_q"],
           k_super=int(sim.k_super or 0))
 
 f_full = jax.jit(smap(lambda p, m: tree2._tree2_acc(p, m, **kw),
@@ -87,7 +88,7 @@ def s1(p, m):
     rs = jax.lax.all_gather(r_src, ring.AXIS, tiled=True)
     rt = jax.lax.all_gather(r_tgt, ring.AXIS, tiled=True)
     idx, over = tree._near_lists_hier(
-        com_all, m_all, rs, rt, 0.5, sim._k_near,
+        com_all, m_all, rs, rt, 0.5, caps["k_near"],
         k_super=int(sim.k_super), t0=0, n_t=g_l)
     return idx
 
@@ -100,7 +101,7 @@ def s2(p, m):
     mass_g = m.reshape(g_l, tree.LEAF)
     idx = s1(p, m)
     out = tree2._halo_exchange(idx, pos_g, mass_g, axis=ring.AXIS,
-                               g_l=g_l, halo_cap=sim._halo_cap)
+                               g_l=g_l, halo_cap=caps["halo_cap"])
     return out[1]
 
 f2 = jax.jit(smap(s2, in_specs=sp, out_specs=P(ring.AXIS)))
@@ -127,8 +128,8 @@ timeit("far field (quad cross)", f3, pos_l, mass_l)
 f_ref = jax.jit(lambda p, m: tree.acc_tree(
     p, m, theta=0.5, softening="plummer", eps=1e-3, g=1.0,
     backend=BACKEND, multipole_order=2, far_levels=2,
-    k_near=sim._k_near, near_mode="pairs",
-    near_tiles=sim._near_tiles, near_tiles_q=sim._near_tiles_q,
+    k_near=caps["k_near"], near_mode="pairs",
+    near_tiles=caps["near_tiles"], near_tiles_q=caps["near_tiles_q"],
     k_super=int(sim.k_super)))
 timeit("single-chip acc_tree (same caps)", f_ref, pos_l, mass_l)
 
@@ -140,14 +141,14 @@ def s4(p, m):
     idx = s1(p, m)
     idx_pool, pool_pos_g, pool_mass_g, _ = tree2._halo_exchange(
         idx, pos_g, mass_g, axis=ring.AXIS, g_l=g_l,
-        halo_cap=sim._halo_cap)
+        halo_cap=caps["halo_cap"])
     pp = pool_pos_g.shape[0]
     pj = tree.NEAR_TILE_J // tree.BLOCK
     gg = g_l * D
     idx_q = jnp.where(idx_pool >= pp, gg, idx)
     return tree.near_pair_segments_consistent(
-        idx_pool, pp, pj, sim._near_tiles,
-        idx_q, gg, tree.NEAR_QUAD_PJ, sim._near_tiles_q)[:2]
+        idx_pool, pp, pj, caps["near_tiles"],
+        idx_q, gg, tree.NEAR_QUAD_PJ, caps["near_tiles_q"])[:2]
 
 
 f4 = jax.jit(smap(s4, in_specs=sp, out_specs=(P(), P())))
@@ -161,15 +162,15 @@ def s5(p, m):
     idx = s1(p, m)
     idx_pool, pool_pos_g, pool_mass_g, _ = tree2._halo_exchange(
         idx, pos_g, mass_g, axis=ring.AXIS, g_l=g_l,
-        halo_cap=sim._halo_cap)
+        halo_cap=caps["halo_cap"])
     pp = pool_pos_g.shape[0]
     pj = tree.NEAR_TILE_J // tree.BLOCK
     gg = g_l * D
     idx_q = jnp.where(idx_pool >= pp, gg, idx)
     flat, ttgt, ntd, flatq, ttgtq, ntq, drop = (
         tree.near_pair_segments_consistent(
-            idx_pool, pp, pj, sim._near_tiles,
-            idx_q, gg, tree.NEAR_QUAD_PJ, sim._near_tiles_q))
+            idx_pool, pp, pj, caps["near_tiles"],
+            idx_q, gg, tree.NEAR_QUAD_PJ, caps["near_tiles_q"]))
     pool_com, pool_m, _, _ = tree._group_stats(pool_pos_g, pool_mass_g)
     return tree.near_pairs_correction(
         pos_g, pool_pos_g, pool_mass_g, pool_com, pool_m, flat, ttgt,
@@ -188,13 +189,13 @@ def s6(p, m):
     mass_g = m.reshape(g_l * D, tree.LEAF)
     com, m_tot, r_src, r_tgt = tree._group_stats(pos_g, mass_g)
     idx, _ = tree._near_lists_hier(
-        com, m_tot, r_src, r_tgt, 0.5, sim._k_near,
+        com, m_tot, r_src, r_tgt, 0.5, caps["k_near"],
         k_super=int(sim.k_super))
     pj = tree.NEAR_TILE_J // tree.BLOCK
     gg = g_l * D
     flat, ttgt, ntd, _, _, _, _ = tree.near_pair_segments_consistent(
-        idx, gg, pj, sim._near_tiles,
-        idx, gg, tree.NEAR_QUAD_PJ, sim._near_tiles_q)
+        idx, gg, pj, caps["near_tiles"],
+        idx, gg, tree.NEAR_QUAD_PJ, caps["near_tiles_q"])
     return tree.near_pairs_correction(
         pos_g, pos_g, mass_g, com, m_tot, flat, ttgt,
         softening="plummer", eps=1e-3, g=1.0, backend=BACKEND,

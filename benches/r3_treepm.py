@@ -70,9 +70,10 @@ for n in NS:
     acc_tp = np.asarray(st.acc, np.float64)
     ms_tp, st = time_steps(sim_tp, st, dt, STEPS)
     h = sim_tp.health(st)
-    print(f"N={n}: treepm grid={sim_tp._pm['grid']} caps "
+    mp = sim_tp.mesh_params
+    print(f"N={n}: treepm grid={mp['grid']} caps "
           f"k_near={sim_tp._k_near} tiles={sim_tp._near_tiles} "
-          f"rcut={sim_tp._pm['rcut']:.4g} health={h}", flush=True)
+          f"rcut={mp['rcut']:.4g} health={h}", flush=True)
     del st
 
     sim_tr = make_simulation(scene.n, algorithm="tree", k_near="auto",

@@ -301,7 +301,7 @@ def _run_headless_sharded(cfg: RunConfig, scene: Scene, state: State):
                     and done % cfg.recalibrate_every == 0):
                 if sim.maybe_recalibrate(st):
                     print(f"  ... step {done}: bodies left the mesh box — "
-                          f"re-measured (h={sim._pm['h']:.3g})", flush=True)
+                          f"re-measured (h={sim.mesh_params['h']:.3g})", flush=True)
             at_boundaries(done, lambda: st)
         final = st
         telemetry = sim.health(st) if algo == "pm" else None
@@ -424,8 +424,9 @@ def run_headless(cfg: RunConfig, scene: Scene, state: State):
         if (cfg.recalibrate_every and done % cfg.recalibrate_every == 0
                 and done < cfg.steps):
             if sim.maybe_recalibrate(state):
-                what = (f"box h={sim._pm['h']:.3g}" if sim._pm is not None
-                        else f"k_near={sim._k_near}")
+                mp = sim.mesh_params
+                what = (f"box h={mp['h']:.3g}" if mp is not None
+                        else f"k_near={sim.caps['k_near']}")
                 print(f"  ... step {done}: scene outgrew the calibrated "
                       f"caps — re-measured ({what})", flush=True)
         if cfg.checkpoint_every and done % cfg.checkpoint_every == 0:

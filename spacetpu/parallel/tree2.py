@@ -663,6 +663,7 @@ class ShardedTreeSimulation:
             "near_tiles_q": self._near_tiles_q,
             "halo_cap": self._halo_cap,
             "far_levels": self._far_levels,
+            "near_mode": self._near_mode,
             "g_l": self._g_l,
         }
 

@@ -359,6 +359,8 @@ class Simulation:
             "near_tiles_q": self._near_tiles_q,
             "k_super": self._k_super,
             "k_mid": self._k_mid,
+            "m1_src_tiles": self._m1_src,
+            "m2_src_tiles": self._m2_src,
             "cluster_mode": self._cluster_mode,
         }
 
