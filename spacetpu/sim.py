@@ -733,10 +733,18 @@ class Simulation:
         A body is adequately resolved when its effective step is at most
         ``eta * tau`` (tau = |v|/|a|, the same metric select_fast ranks
         by). The suggestion is the smallest power of two m that resolves
-        the 99.9th percentile of per-body need (hard-capped, so one
-        pathological body cannot demand an absurd m), and a fast capacity
+        the WORST body (hard-capped at max_substeps), and a fast capacity
         covering every under-resolved body with 25% headroom, rounded up
-        to 128. Requires a primed state (the cached acc is the input).
+        to 128. The worst body — not a quantile: multirate has one fast
+        level, so m must cover the max need or the fast set still drifts,
+        and a small fast set makes large m cheap ((m-1)*F*N pair evals —
+        at F=128, N=256k even m=64 is ~3% of one full pass). A 99.9th
+        percentile misses exactly the workload multirate exists for: a
+        2-body binary is 0.0008% of N=256k, and the chip run
+        (logs/r4w2_r4_multirate.log) measured the quantile form saying
+        "uniform" on a scene whose coarse drift was 1.06. Cost safety
+        comes from the fast-set-size guard below, not from clipping m.
+        Requires a primed state (the cached acc is the input).
 
         Returns (substeps, fast_cap, reason): (1, 0, "uniform") when every
         body is already resolved at this dt, (1, 0, "lower-dt") when MOST
@@ -756,7 +764,7 @@ class Simulation:
         if state.n_active is not None:
             tau = tau[: int(state.n_active)]
         need = float(dt) / (eta * np.maximum(tau, 1e-300))
-        m = float(np.quantile(need, 0.999))
+        m = float(np.max(need))
         if m <= 1.0:
             return 1, 0, "uniform"
         m = min(1 << max(0, int(np.ceil(np.log2(m)))), max_substeps)

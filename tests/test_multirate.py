@@ -167,6 +167,20 @@ def test_suggest_substeps_regimes():
     assert (m2, r2) == (1, "lower-dt")
 
 
+def test_suggest_substeps_sees_a_tiny_tail():
+    """The under-resolved set must be detected by its WORST member, not a
+    quantile: 2 binary bodies among 4096 are 0.05% of the scene — the
+    old 99.9th-percentile form said "uniform" here (and on the chip at
+    N=256k, logs/r4w2_r4_multirate.log, where coarse then drifted by
+    1.06), while the fast set stays tiny and cheap."""
+    pos, vel, mass = _binary_in_cloud(4094)
+    n = len(mass)
+    sim, st = _sim(n, pos=pos, vel=vel, mass=mass)
+    m, f, reason = sim.suggest_substeps(st, 2e-3)
+    assert reason == "multirate" and m > 1
+    assert 0 < f <= max(256, n // 8)  # tiny tail -> tiny fast set
+
+
 def test_multirate_through_the_engine():
     """The interactive sim thread steps a multirate Simulation like any
     other (SimEngine -> run_sim_loop -> sim.step)."""
