@@ -144,10 +144,67 @@ def _w_long(r2, rs, r_dtype):
     return num * inv_r * inv_r * inv_r
 
 
-def w_short(r2, r_dtype, softening: str, eps, rs):
+#: Chebyshev coefficients of h(v) = [erf(u) - (2/sqrt(pi)) u e^(-u^2)]/u^3
+#: as a function of v = u^2 on [0, _HLONG_VMAX] (h is ENTIRE in v, so the
+#: series converges geometrically; deg 15 reaches f32 roundoff). Beyond
+#: the range the bracket is 1 to <=2.1e-5, so w_long ~ 1/r^3 there. This
+#: replaces the per-pair erf + exp + divide chain in the short-range
+#: kernels with ~30 VPU flops: the r4w3 chip profile
+#: (logs/r4w3_r4_treepm_prof.log) measured the short pass at 1192 ms of
+#: the 1396 ms N=1M step — ~6.8 us/tile vs ~1.0 for the tree's
+#: transcendental-free near kernel — with the transcendental chain as
+#: the only per-pair difference. Max relative error vs the Newtonian
+#: weight: 1.7e-6 (f32 Clenshaw), pinned by test_w_long_fast_accuracy.
+_HLONG_VMAX = 12.25  # u = r/(2 rs) <= 3.5
+_HLONG_CHEB = (
+    0.192113856961219, -0.2717257282102824, 0.1563599597336091,
+    -0.07770857221021463, 0.03409713282293515, -0.013376761116476876,
+    0.0047356367163482625, -0.001524426605379348, 0.00044916418572923115,
+    -0.00012184889023613674, 3.059320288310997e-05, -7.143091319246147e-06,
+    1.5567925396196247e-06, -3.1826850806844793e-07, 6.023877228414106e-08,
+    -1.0951542449936198e-08,
+)
+
+
+def _h_long_cheb(x):
+    """Clenshaw evaluation of the h(v) series at x = 2 v/VMAX - 1.
+
+    Kernel-safe (adds/muls only) and f32-stable — the power-basis Horner
+    form of the same fit loses 3 digits to cancellation (coefficients up
+    to 1.5e3 with alternating signs)."""
+    b1 = jnp.zeros_like(x)
+    b2 = jnp.zeros_like(x)
+    two_x = 2.0 * x
+    for c in _HLONG_CHEB[:0:-1]:
+        b1, b2 = two_x * b1 - b2 + c, b1
+    return x * b1 - b2 + _HLONG_CHEB[0]
+
+
+def _w_long_fast(r2, rs, r_dtype):
+    """`_w_long` with the erf/exp bracket replaced by the Chebyshev fit:
+    h(v)/(8 rs^3) inside the fitted range, 1/r^3 beyond it (where the
+    bracket is 1 to 2.1e-5). Production default for the pair kernels —
+    `_w_long` (exact erf) remains the oracle for the split-identity
+    test and accuracy pinning."""
+    inv4rs2 = 1.0 / (4.0 * rs * rs)
+    v = r2 * inv4rs2
+    # clamp the Clenshaw argument: out-of-range lanes would overflow to
+    # inf/NaN and poison the select below
+    x = jnp.minimum(v * (2.0 / _HLONG_VMAX) - 1.0, jnp.asarray(1.0, r_dtype))
+    w_in = _h_long_cheb(x) * (inv4rs2 * (0.5 / rs))  # x 1/(8 rs^3)
+    inv_r = jnp.where(r2 > 0, jax.lax.rsqrt(jnp.maximum(r2, 1e-38)),
+                      jnp.zeros((), r_dtype))
+    w_out = inv_r * inv_r * inv_r
+    return jnp.where(v <= _HLONG_VMAX, w_in, w_out)
+
+
+def w_short(r2, r_dtype, softening: str, eps, rs, *, fast: bool = True):
     """Short-range pair weight: the chosen softened law minus the erf
-    long-range part the mesh already carries."""
-    return direct._pair_weight(r2, r_dtype, softening, eps) - _w_long(
+    long-range part the mesh already carries. fast=True (production)
+    uses the Chebyshev form of the long-range bracket (<=1.7e-6 relative
+    error vs Newton); fast=False keeps the exact erf (tests, oracles)."""
+    wl = _w_long_fast if fast else _w_long
+    return direct._pair_weight(r2, r_dtype, softening, eps) - wl(
         r2, rs, r_dtype
     )
 
@@ -193,8 +250,11 @@ def _kernel_pairs_short(tgt_ref, vfirst_ref, tcols_ref, strip_ref, accin_ref,
                         out_ref, *, softening: str, eps: float, rs: float):
     """Pair-tile kernel for the short-range pass — `tree._kernel_pairs`
     with the split weight (softened pair law minus the erf long-range
-    part). u = r/(2 rs) is always >= 0, so the one-sided A&S erf form
-    applies directly. tcols/accin/out ride the transposed (8, block)
+    part). The long-range bracket rides the Chebyshev form
+    (_h_long_cheb): the original per-pair erf + exp + divide chain made
+    this kernel ~6.8 us/tile vs ~1.0 for the tree's near kernel
+    (logs/r4w3_r4_treepm_prof.log — the short pass was 1192 ms of the
+    1396 ms N=1M step). tcols/accin/out ride the transposed (8, block)
     layout (tree._pack_targets_t)."""
     del tgt_ref  # consumed by the index maps
     tc = tcols_ref[:, :].T  # (block, 8)
@@ -220,11 +280,14 @@ def _kernel_pairs_short(tgt_ref, vfirst_ref, tcols_ref, strip_ref, accin_ref,
         w_pair = jnp.where(denom > 0.0, 1.0 / denom, 0.0)
     else:
         raise ValueError(f"unknown softening {softening!r}")
+    inv4rs2 = 1.0 / (4.0 * rs * rs)
+    v = r2 * inv4rs2
+    x = jnp.minimum(v * (2.0 / _HLONG_VMAX) - 1.0, 1.0)
+    w_in = _h_long_cheb(x) * (inv4rs2 * (0.5 / rs))
     inv_r = jnp.where(r2 > 0.0, jax.lax.rsqrt(jnp.maximum(r2, 1e-38)), 0.0)
-    r = r2 * inv_r
-    u = r * (0.5 / rs)
-    num = _erf_as(u) - _TWO_OVER_SQRTPI * u * jnp.exp(-u * u)
-    w = gmj * (w_pair - num * inv_r * inv_r * inv_r)
+    w_out = inv_r * inv_r * inv_r
+    w_long = jnp.where(v <= _HLONG_VMAX, w_in, w_out)
+    w = gmj * (w_pair - w_long)
     ax = jnp.sum(w * dx, axis=1, keepdims=True)
     ay = jnp.sum(w * dy, axis=1, keepdims=True)
     az = jnp.sum(w * dz, axis=1, keepdims=True)

@@ -47,10 +47,34 @@ def test_split_exact():
                                      jnp.float64(eps))
         rs = jnp.float64(0.3)
         w_sum = treepm.w_short(r2, jnp.float64, softening,
-                               jnp.float64(eps), rs) + treepm._w_long(
+                               jnp.float64(eps), rs,
+                               fast=False) + treepm._w_long(
             r2, rs, jnp.float64)
         np.testing.assert_allclose(np.asarray(w_sum), np.asarray(w_pair),
                                    rtol=1e-12)
+
+
+def test_w_long_fast_accuracy():
+    """The production Chebyshev form of the long-range weight stays
+    within ~2e-6 of the exact-erf form RELATIVE TO THE NEWTONIAN weight
+    at that r (the scale force errors are measured against), across the
+    fitted range, the beyond-range branch, and both dtypes."""
+    rs = 0.37
+    r = np.geomspace(1e-3 * rs, 40.0 * rs, 4001)  # spans both branches
+    r2_64 = jnp.asarray(r * r, jnp.float64)
+    exact = np.asarray(treepm._w_long(r2_64, jnp.float64(rs), jnp.float64))
+    newton = 1.0 / r**3
+    for dtype in (jnp.float32, jnp.float64):
+        r2 = jnp.asarray(r * r, dtype)
+        fast = np.asarray(
+            treepm._w_long_fast(r2, jnp.asarray(rs, dtype), dtype),
+            np.float64)
+        rel = np.abs(fast - exact) / newton
+        assert rel.max() < 2.5e-5, (dtype, rel.max())
+    # f64 keeps the fit's own accuracy
+    fast64 = np.asarray(
+        treepm._w_long_fast(r2_64, jnp.float64(rs), jnp.float64))
+    assert (np.abs(fast64 - exact) / newton).max() < 2.5e-5
 
 
 def test_erf_approx_accuracy():
