@@ -32,6 +32,17 @@ COLLISION_EPSILON: float = 1e-15
 #: Interval in ticks between exchange checks in the sim loop
 #: (constants.rs:20 `CHECK_INTERVAL`).
 CHECK_INTERVAL: int = 1
+#: Interactive sim loop: force a device->host scalar readback every this
+#: many ticks. The readback bounds the async dispatch queue (so a UI
+#: framebuffer transfer never waits behind an unbounded backlog of
+#: enqueued steps), but a PER-TICK sync serializes dispatch with the
+#: device round-trip — chip-measured at N=1M (logs/r4w3_r4_engine_auto
+#: .log): the PM tick under an actively-sampling frontend ran 696 ms
+#: against a 188 ms step, most of it readback/transfer latency. Every
+#: k ticks keeps the queue bounded at k steps while letting dispatch
+#: pipeline. Sample publishes still fence naturally (the snapshot
+#: transfer itself drains the queue).
+SYNC_EVERY: int = 8
 #: Length of the per-body position trail ring buffer (constants.rs:22-23).
 TRAIL_MAX_LENGTH: int = 5
 #: Minimum projected size of a rendered body, in clip-space units

@@ -164,10 +164,14 @@ def run_sim_loop(
                     structure = None  # cached tree structure is stale too
                     if on_merge is not None:
                         on_merge(np.asarray(radii_dev, np.float32))
-            # Scalar readback: bounds the async dispatch queue so a later
-            # framebuffer transfer from the UI thread never sits behind an
-            # unbounded backlog of enqueued steps.
-            np.asarray(state.pos[0, 0])
+            # Scalar readback every SYNC_EVERY ticks: bounds the async
+            # dispatch queue (so a later framebuffer transfer from the UI
+            # thread never sits behind an unbounded backlog of enqueued
+            # steps) without serializing every dispatch against a device
+            # round-trip — per-tick sync cost ~3.7x the PM step itself on
+            # the tunneled chip (constants.SYNC_EVERY has the numbers).
+            if tick % constants.SYNC_EVERY == 0:
+                np.asarray(state.pos[0, 0])
         # Re-read dt every batch (one locked attribute read), not only on
         # publish: a headless caller or a frontend that is not actively
         # sampling must still be able to retune dt via set_delta().
