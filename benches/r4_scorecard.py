@@ -70,7 +70,13 @@ def total_e(st, g):
 
 def make(solver, g):
     if solver == "tree":
+        # theta=0.5 EXPLICITLY: the config default is the reference-parity
+        # 0.3, which saturates plummer(1M)'s near lists (k ~= G) — the
+        # dense-near shape behind the known axon runtime fault
+        # (BENCH_NOTES "Known issue: TPU runtime fault"). The r3 1k-step
+        # drift rows (and this scorecard's header) are theta=0.5.
         return make_simulation(N, algorithm="tree", k_near="auto",
+                               theta=0.5,
                                softening="plummer", eps=EPS, g=g)
     return make_simulation(N, algorithm=solver, pm_grid=GRID,
                            softening="plummer", eps=EPS, g=g)

@@ -101,6 +101,7 @@ def _cfg_tree_kwargs(cfg: RunConfig) -> dict:
         pm_grid=(cfg.pm_grid if cfg.pm_grid == "auto" else int(cfg.pm_grid)),
         pm_margin=cfg.pm_margin,
         pm_rs_cells=cfg.pm_rs_cells, pm_rcut_rs=cfg.pm_rcut_rs,
+        pm_split=cfg.pm_split,
     )
 
 

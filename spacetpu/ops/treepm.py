@@ -12,6 +12,28 @@ has no counterpart (its families are `/root/reference/space/src/sim/
 direct.rs` and `barnes_hut/`); TreePM extends the framework past
 reference parity for very large N at near-exact accuracy.
 
+Two split families, selected by `split`:
+
+- "poly" (production default, round 4): w_long(r) = G(y)/r^3 with the
+  quintic blend G(y) = y^3 (10 - 15 y + 6 y^2), y = (r/r_cut)^2 — a
+  C^2 polynomial ramp 0 -> 1 over the cutoff sphere. The long-range
+  potential is CLOSED FORM (phi_long(r<rc) = -(32/21)/rc + 2 r^5/rc^6
+  - (15/7) r^7/rc^8 + (2/3) r^9/rc^10, Newtonian beyond), the short
+  weight is EXACTLY zero at r >= r_cut (no erfc truncation tail, the
+  pair forces stay antisymmetric), and the pair kernel costs ~8 extra
+  VPU ops at depth ~4 — the erf split's transcendental chain made the
+  short pass 6.8x the tree's near kernel per tile, and the round-4
+  Chebyshev replacement REGRESSED it 1.23x further because its
+  15-deep serial Clenshaw recurrence stalls the VPU (chip profiles
+  logs/r4w3_r4_treepm_prof.log, logs/r4w8_r4_treepm_prof.log).
+  Measured accuracy on a uniform cloud (N=4096, f64, grid 32/64): med
+  relative force error 1.1e-2 / 5.1e-3 vs the erf split's 1.8e-2 /
+  6.3e-3 at the same r_cut — equal or better, for a fraction of the
+  pair cost.
+
+- "gauss": the classic Gaussian/Ewald erf split below (the oracle for
+  tests, and the form every published TreePM uses).
+
 Force split (Gaussian/Ewald form). The Plummer-softened pair weight
 (a_i = sum_j w(r) * rel_ij * m_j * G) splits exactly as
 
@@ -74,6 +96,10 @@ RCUT_RS = 4.5
 
 _TWO_OVER_SQRTPI = 2.0 / math.sqrt(math.pi)
 
+#: force-split family: "poly" (quintic blend, closed-form mesh kernel,
+#: cheap pair kernel) or "gauss" (erf split). See the module docstring.
+SPLIT = "poly"
+
 
 #: auto-grid bounds for TreePM. Unlike plain PM (whose accuracy is
 #: mesh-limited, so grids past ~128 buy little), TreePM's accuracy is set
@@ -130,6 +156,64 @@ def pm_kernel_hat_long(grid: int, h: float, rs: float, *, g: float = None,
     k_hat = np.fft.rfftn(kern).real
     real_dtype = jnp.zeros((), dtype).dtype
     return jnp.asarray(k_hat, real_dtype)
+
+
+def pm_kernel_hat_poly(grid: int, h: float, rcut: float, *, g: float = None,
+                       dtype=jnp.float32):
+    """rFFT of the poly-split LONG-RANGE Green's function on the doubled
+    mesh. The blend G(y) = y^3 (10 - 15 y + 6 y^2), y = (r/rc)^2 gives
+    the closed-form potential (per unit source mass, Newtonian law —
+    the softened pair law differs from Newton only at r ~ eps << rc,
+    which the SHORT pass carries exactly):
+
+        phi_long(r <  rc) = -(32/21)/rc + 2 r^5/rc^6 - (15/7) r^7/rc^8
+                            + (2/3) r^9/rc^10
+        phi_long(r >= rc) = -1/r            (C^2 at rc; phi(rc) = -1/rc)
+
+    -d(phi)/dr = -G(y)/r^2, i.e. force weight w_long = G(y)/r^3 — the
+    exact complement of `_w_short_poly`. Host-side f64; same shape
+    contract as pm.pm_kernel_hat ((2G, 2G, G+1) real)."""
+    if g is None:
+        g = constants.G
+    g2 = 2 * grid
+    idx = np.arange(g2, dtype=np.float64)
+    d = np.minimum(idx, g2 - idx)
+    r = float(h) * np.sqrt(
+        d[:, None, None] ** 2 + d[None, :, None] ** 2
+        + d[None, None, :] ** 2
+    )
+    rc = float(rcut)
+    with np.errstate(divide="ignore"):
+        inside = (
+            (-32.0 / 21.0) / rc + 2.0 * r ** 5 / rc ** 6
+            - (15.0 / 7.0) * r ** 7 / rc ** 8 + (2.0 / 3.0) * r ** 9 / rc ** 10
+        )
+        outside = -1.0 / np.where(r > 0.0, r, 1.0)
+    kern = float(g) * np.where(r < rc, inside, outside)
+    k_hat = np.fft.rfftn(kern).real
+    real_dtype = jnp.zeros((), dtype).dtype
+    return jnp.asarray(k_hat, real_dtype)
+
+
+def make_kernel_hat(split: str, grid: int, h: float, rs: float, rcut: float,
+                    *, g: float = None, dtype=jnp.float32):
+    """Long-range mesh kernel for the chosen split family."""
+    if split == "poly":
+        return pm_kernel_hat_poly(grid, h, rcut, g=g, dtype=dtype)
+    if split == "gauss":
+        return pm_kernel_hat_long(grid, h, rs, g=g, dtype=dtype)
+    raise ValueError(f"unknown treepm split {split!r}")
+
+
+def _w_long_poly(r2, rcut, r_dtype):
+    """Poly-split long-range force weight G(y)/r^3, y = r^2/rcut^2,
+    clamped to the Newtonian weight (G = 1) beyond the cutoff."""
+    inv_rc2 = 1.0 / (rcut * rcut)
+    y = jnp.minimum(r2 * inv_rc2, jnp.asarray(1.0, r_dtype))
+    gp = y * y * y * (10.0 + y * (-15.0 + 6.0 * y))
+    inv_r = jnp.where(r2 > 0, jax.lax.rsqrt(jnp.maximum(r2, 1e-38)),
+                      jnp.zeros((), r_dtype))
+    return gp * inv_r * inv_r * inv_r
 
 
 def _w_long(r2, rs, r_dtype):
@@ -198,19 +282,33 @@ def _w_long_fast(r2, rs, r_dtype):
     return jnp.where(v <= _HLONG_VMAX, w_in, w_out)
 
 
-def w_short(r2, r_dtype, softening: str, eps, rs, *, fast: bool = True):
-    """Short-range pair weight: the chosen softened law minus the erf
-    long-range part the mesh already carries. fast=True (production)
-    uses the Chebyshev form of the long-range bracket (<=1.7e-6 relative
-    error vs Newton); fast=False keeps the exact erf (tests, oracles)."""
+def w_short(r2, r_dtype, softening: str, eps, rs, *, rcut=None,
+            split: str = "gauss", fast: bool = True):
+    """Short-range pair weight: the chosen softened law minus the
+    long-range part the mesh already carries.
+
+    split="poly": w_pair - G(y)/r^3 inside the cutoff, EXACTLY zero
+    beyond it (requires rcut). split="gauss": the erf complement —
+    fast=True uses the Chebyshev form of the long-range bracket
+    (<=1.7e-6 relative error vs Newton); fast=False keeps the exact
+    erf (tests, oracles)."""
+    w_pair = direct._pair_weight(r2, r_dtype, softening, eps)
+    if split == "poly":
+        if rcut is None:
+            raise ValueError("split='poly' needs rcut")
+        inv_rc2 = 1.0 / (rcut * rcut)
+        yc = r2 * inv_rc2
+        w = w_pair - _w_long_poly(r2, rcut, r_dtype)
+        return jnp.where(yc < 1.0, w, jnp.zeros((), r_dtype))
+    if split != "gauss":
+        raise ValueError(f"unknown treepm split {split!r}")
     wl = _w_long_fast if fast else _w_long
-    return direct._pair_weight(r2, r_dtype, softening, eps) - wl(
-        r2, rs, r_dtype
-    )
+    return w_pair - wl(r2, rs, r_dtype)
 
 
 def acc_cross_short(pos_i, pos_j, mass_j, *, softening: str = "plummer",
-                    eps=None, rs: float = 1.0, g=None):
+                    eps=None, rs: float = 1.0, rcut=None,
+                    split: str = "gauss", g=None):
     """Short-range acceleration of targets `pos_i` from sources
     `pos_j`/`mass_j` — `direct.acc_cross` with the split weight."""
     dtype = pos_i.dtype
@@ -222,7 +320,9 @@ def acc_cross_short(pos_i, pos_j, mass_j, *, softening: str = "plummer",
     g = jnp.asarray(g, dtype)
     rel = pos_j[None, :, :] - pos_i[:, None, :]
     r2 = jnp.sum(rel * rel, axis=-1)
-    w = w_short(r2, dtype, softening, eps, jnp.asarray(rs, dtype))
+    w = w_short(r2, dtype, softening, eps, jnp.asarray(rs, dtype),
+                rcut=None if rcut is None else jnp.asarray(rcut, dtype),
+                split=split)
     w = w * mass_j[None, :] * g
     return jnp.einsum("ij,ijk->ik", w, rel)
 
@@ -247,15 +347,19 @@ def _erf_as(x):
 
 
 def _kernel_pairs_short(tgt_ref, vfirst_ref, tcols_ref, strip_ref, accin_ref,
-                        out_ref, *, softening: str, eps: float, rs: float):
+                        out_ref, *, softening: str, eps: float, rs: float,
+                        rcut: float = 0.0, split: str = "gauss"):
     """Pair-tile kernel for the short-range pass — `tree._kernel_pairs`
-    with the split weight (softened pair law minus the erf long-range
-    part). The long-range bracket rides the Chebyshev form
-    (_h_long_cheb): the original per-pair erf + exp + divide chain made
-    this kernel ~6.8 us/tile vs ~1.0 for the tree's near kernel
-    (logs/r4w3_r4_treepm_prof.log — the short pass was 1192 ms of the
-    1396 ms N=1M step). tcols/accin/out ride the transposed (8, block)
-    layout (tree._pack_targets_t)."""
+    with the split weight (softened pair law minus the long-range part
+    the mesh carries). tcols/accin/out ride the transposed (8, block)
+    layout (tree._pack_targets_t).
+
+    split="poly" (production): ~8 extra VPU ops over the tree's near
+    kernel at dependency depth ~4. The erf chain measured 6.8 us/tile
+    vs the tree kernel's ~1.0 (logs/r4w3_r4_treepm_prof.log) and the
+    Chebyshev rewrite REGRESSED it 1.23x — its deg-15 Clenshaw
+    recurrence is a 30-deep serial chain, and the VPU pays dependency
+    DEPTH here, not op count (logs/r4w8_r4_treepm_prof.log)."""
     del tgt_ref  # consumed by the index maps
     tc = tcols_ref[:, :].T  # (block, 8)
     xi = tc[:, 0:1]
@@ -280,14 +384,24 @@ def _kernel_pairs_short(tgt_ref, vfirst_ref, tcols_ref, strip_ref, accin_ref,
         w_pair = jnp.where(denom > 0.0, 1.0 / denom, 0.0)
     else:
         raise ValueError(f"unknown softening {softening!r}")
-    inv4rs2 = 1.0 / (4.0 * rs * rs)
-    v = r2 * inv4rs2
-    x = jnp.minimum(v * (2.0 / _HLONG_VMAX) - 1.0, 1.0)
-    w_in = _h_long_cheb(x) * (inv4rs2 * (0.5 / rs))
     inv_r = jnp.where(r2 > 0.0, jax.lax.rsqrt(jnp.maximum(r2, 1e-38)), 0.0)
-    w_out = inv_r * inv_r * inv_r
-    w_long = jnp.where(v <= _HLONG_VMAX, w_in, w_out)
-    w = gmj * (w_pair - w_long)
+    if split == "poly":
+        inv_rc2 = 1.0 / (rcut * rcut)
+        yc = r2 * inv_rc2
+        y = jnp.minimum(yc, 1.0)
+        gp = y * y * y * (10.0 + y * (-15.0 + 6.0 * y))
+        w_long = gp * (inv_r * inv_r * inv_r)
+        w = gmj * jnp.where(yc < 1.0, w_pair - w_long, 0.0)
+    elif split == "gauss":
+        inv4rs2 = 1.0 / (4.0 * rs * rs)
+        v = r2 * inv4rs2
+        x = jnp.minimum(v * (2.0 / _HLONG_VMAX) - 1.0, 1.0)
+        w_in = _h_long_cheb(x) * (inv4rs2 * (0.5 / rs))
+        w_out = inv_r * inv_r * inv_r
+        w_long = jnp.where(v <= _HLONG_VMAX, w_in, w_out)
+        w = gmj * (w_pair - w_long)
+    else:
+        raise ValueError(f"unknown treepm split {split!r}")
     ax = jnp.sum(w * dx, axis=1, keepdims=True)
     ay = jnp.sum(w * dy, axis=1, keepdims=True)
     az = jnp.sum(w * dz, axis=1, keepdims=True)
@@ -297,7 +411,8 @@ def _kernel_pairs_short(tgt_ref, vfirst_ref, tcols_ref, strip_ref, accin_ref,
 
 
 def _near_pairs_short_pallas(pos_g, srows, flat_src, tile_tgt, *, softening,
-                             eps, rs, interpret, n_tiles=None):
+                             eps, rs, rcut=0.0, split="gauss", interpret,
+                             n_tiles=None):
     """Short-range pair-tile pass on the Pallas path. srows from
     tree._pack_augmented(monopole_pseudo=False) — raw bodies with
     g-scaled masses and a massless pseudo slot. Returns (G, leaf, 3)."""
@@ -309,7 +424,8 @@ def _near_pairs_short_pallas(pos_g, srows, flat_src, tile_tgt, *, softening,
     srows3 = srows.reshape(8, srows.shape[1] // block, block)
     acc = tree_ops._near_pairs_call(
         functools.partial(_kernel_pairs_short, softening=softening,
-                          eps=float(eps), rs=float(rs)),
+                          eps=float(eps), rs=float(rs), rcut=float(rcut),
+                          split=split),
         tcols_ext, srows3, flat_src, tile_tgt,
         block=block, rows=8, interpret=bool(interpret),
         chunk=tree_ops.NEAR_PAIRS_CHUNK, n_tiles=n_tiles,
@@ -320,7 +436,7 @@ def _near_pairs_short_pallas(pos_g, srows, flat_src, tile_tgt, *, softening,
 
 
 def _near_pairs_short_xla(pos_g, aug_pos, aug_gm, flat_src, tile_tgt, *,
-                          softening, eps, rs):
+                          softening, eps, rs, rcut=None, split="gauss"):
     """XLA fallback for the short-range pair pass (CPU tests)."""
     gg, leaf = pos_g.shape[:2]
     pj = flat_src.shape[0] // tile_tgt.shape[0]
@@ -340,7 +456,7 @@ def _near_pairs_short_xla(pos_g, aug_pos, aug_gm, flat_src, tile_tgt, *,
         sp = aug_pos[src_ids].reshape(-1, 3)
         sm = aug_gm[src_ids].reshape(-1)
         return acc_cross_short(tgt, sp, sm, softening=softening, eps=eps,
-                               rs=rs, g=1.0)
+                               rs=rs, rcut=rcut, split=split, g=1.0)
 
     contrib = jax.lax.map(one_tile, (tile_tgt, flat_src.reshape(-1, pj)))
     acc = jax.ops.segment_sum(contrib, tile_tgt, num_segments=gg + 1)
@@ -349,6 +465,7 @@ def _near_pairs_short_xla(pos_g, aug_pos, aug_gm, flat_src, tile_tgt, *,
 
 def near_pairs_short(pos_g_t, pool_pos_g, pool_mass_g, pool_com, flat_src,
                      tile_tgt, *, softening, eps, rs, g, backend: str,
+                     rcut=None, split: str = "gauss",
                      interpret=None, n_tiles=None):
     """Short-range pair pass with SEPARATE target and source cluster
     tables — the sharded TreePM's near phase, where sources are the
@@ -368,7 +485,8 @@ def near_pairs_short(pos_g_t, pool_pos_g, pool_mass_g, pool_com, flat_src,
         )
         return _near_pairs_short_pallas(
             pos_g_t, srows, flat_src, tile_tgt, softening=softening,
-            eps=eps, rs=rs, interpret=interpret, n_tiles=n_tiles,
+            eps=eps, rs=rs, rcut=0.0 if rcut is None else rcut,
+            split=split, interpret=interpret, n_tiles=n_tiles,
         )
     aug_pos = jnp.concatenate([pool_pos_g, pool_com[:, None, :]], axis=1)
     aug_gm = jnp.concatenate(
@@ -377,7 +495,7 @@ def near_pairs_short(pos_g_t, pool_pos_g, pool_mass_g, pool_com, flat_src,
     )
     return _near_pairs_short_xla(
         pos_g_t, aug_pos, aug_gm, flat_src, tile_tgt, softening=softening,
-        eps=eps, rs=rs,
+        eps=eps, rs=rs, rcut=rcut, split=split,
     )
 
 
@@ -534,6 +652,7 @@ def treepm_structure(pos, mass, *, rcut: float, k_near: int, gg: int,
 
 
 def _short_eval(prep: dict, *, softening: str, eps, g, rs: float,
+                rcut=None, split: str = "gauss",
                 backend: str, interpret=None):
     """Short-range pair pass over the prep's tile list -> (G, leaf, 3)
     accelerations in slot order."""
@@ -549,8 +668,9 @@ def _short_eval(prep: dict, *, softening: str, eps, g, rs: float,
         )
         return _near_pairs_short_pallas(
             pos_g, srows, prep["near_flat"], prep["near_tile_tgt"],
-            softening=softening, eps=eps, rs=rs, interpret=interpret,
-            n_tiles=prep["near_ntiles"],
+            softening=softening, eps=eps, rs=rs,
+            rcut=0.0 if rcut is None else rcut, split=split,
+            interpret=interpret, n_tiles=prep["near_ntiles"],
         )
     aug_pos = jnp.concatenate([pos_g, prep["com"][:, None, :]], axis=1)
     aug_gm = jnp.concatenate(
@@ -558,21 +678,23 @@ def _short_eval(prep: dict, *, softening: str, eps, g, rs: float,
     )
     return _near_pairs_short_xla(
         pos_g, aug_pos, aug_gm, prep["near_flat"], prep["near_tile_tgt"],
-        softening=softening, eps=eps, rs=rs,
+        softening=softening, eps=eps, rs=rs, rcut=rcut, split=split,
     )
 
 
 def acc_treepm(pos, mass, *, kernel_hat, box_min, h, grid: int, rs: float,
-               rcut: float, softening: str = "plummer", eps=None, g=None,
+               rcut: float, split: str = "gauss",
+               softening: str = "plummer", eps=None, g=None,
                k_near: int = 64, gg: int | None = None,
                leaf: int = None, near_tiles: int | None = None,
                backend: str = "xla", interpret=None):
     """TreePM acceleration: (N, 3), (N,) -> (N, 3).
 
-    kernel_hat must be the LONG-RANGE kernel (pm_kernel_hat_long) for the
-    same (grid, h, rs, g) — the PM pass evaluates the erf-smoothed field
-    of ALL bodies, the pair pass adds the exact-minus-erf complement for
-    pairs within rcut."""
+    kernel_hat must be the LONG-RANGE kernel of the SAME split family
+    (make_kernel_hat(split, ...)) for the same (grid, h, rs/rcut, g) —
+    the PM pass evaluates the smoothed field of ALL bodies, the pair
+    pass adds the exact-minus-smooth complement for pairs within
+    rcut."""
     if eps is None:
         eps = constants.COLLISION_EPSILON if softening == "ref" else 0.0
     if g is None:
@@ -585,6 +707,7 @@ def acc_treepm(pos, mass, *, kernel_hat, box_min, h, grid: int, rs: float,
     prep = treepm_prep(pos, mass, rcut=rcut, k_near=k_near, gg=gg,
                        leaf=leaf, near_tiles=near_tiles)
     acc_short = _short_eval(prep, softening=softening, eps=eps, g=g, rs=rs,
+                            rcut=rcut, split=split,
                             backend=backend, interpret=interpret)
     acc_short = cluster_ops.unsort_slots(
         acc_short.reshape(gg * leaf, 3), prep["clusters"], prep["inv"]
@@ -595,7 +718,8 @@ def acc_treepm(pos, mass, *, kernel_hat, box_min, h, grid: int, rs: float,
 
 
 def acc_treepm_cached(pos, mass, structure, *, kernel_hat, box_min, h,
-                      grid: int, rs: float, softening: str = "plummer",
+                      grid: int, rs: float, rcut: float = 0.0,
+                      split: str = "gauss", softening: str = "plummer",
                       eps=None, g=None, backend: str = "xla",
                       interpret=None):
     """acc_treepm with a cached `treepm_structure` dict: the sort and
@@ -611,6 +735,7 @@ def acc_treepm_cached(pos, mass, structure, *, kernel_hat, box_min, h,
                                        leaf)
     prep = dict(structure, **stats)
     acc_short = _short_eval(prep, softening=softening, eps=eps, g=g, rs=rs,
+                            rcut=rcut, split=split,
                             backend=backend, interpret=interpret)
     acc_short = cluster_ops.unsort_slots(
         acc_short.reshape(gg * leaf, 3), clusters, structure["inv"]

@@ -53,7 +53,8 @@ def required_n(n: int, n_devices: int) -> int:
 
 
 def _treepm_acc(pos_l, mass_l, kernel_hat, *, axis: str, pm_cal: dict,
-                rcut: float, rs: float, k_near: int, near_tiles: int,
+                rcut: float, rs: float, split: str = "gauss",
+                k_near: int, near_tiles: int,
                 halo_cap: int, softening: str, eps: float, g: float,
                 backend: str, interpret, with_diag: bool = False):
     """Per-device TreePM force for a globally SFC-sorted body shard
@@ -108,7 +109,8 @@ def _treepm_acc(pos_l, mass_l, kernel_hat, *, axis: str, pm_cal: dict,
     pool_com, _, _, _ = tree_ops._group_stats(pool_pos_g, pool_mass_g)
     corr = treepm_ops.near_pairs_short(
         pos_g, pool_pos_g, pool_mass_g, pool_com, flat, ttgt,
-        softening=softening, eps=eps, rs=rs, g=g, backend=backend,
+        softening=softening, eps=eps, rs=rs, rcut=rcut, split=split,
+        g=g, backend=backend,
         interpret=interpret, n_tiles=ntiles,
     ).reshape(m, 3)
     acc = acc + corr
@@ -146,6 +148,7 @@ class ShardedTreePMSimulation:
     resort_every: int = 16
     run_chunk: Optional[int] = None
     interpret: Optional[bool] = None
+    split: Optional[str] = None  # force-split family (None = treepm.SPLIT)
 
     def __post_init__(self):
         d = self.mesh.devices.size
@@ -199,8 +202,9 @@ class ShardedTreePMSimulation:
                    else float(self.rcut_rs))
         rs, rcut = treepm_ops.split_params(h, rs_cells=rs_cells,
                                            rcut_rs=rcut_rs)
-        kernel_hat = treepm_ops.pm_kernel_hat_long(
-            self._grid, h, rs, g=self.g, dtype=state.pos.dtype
+        split = treepm_ops.SPLIT if self.split is None else str(self.split)
+        kernel_hat = treepm_ops.make_kernel_hat(
+            split, self._grid, h, rs, rcut, g=self.g, dtype=state.pos.dtype
         )
         m = treepm_ops.measure_near_rcut(
             state.pos, state.mass, rcut=rcut, gg=self._d * self._g_l,
@@ -211,13 +215,15 @@ class ShardedTreePMSimulation:
         if self.near_tiles is None:
             self._near_tiles = m["near_tiles_shard"]
         self._pm = dict(box_min=box_min, h=h, grid=self._grid,
-                        kernel_hat=kernel_hat, rs=rs, rcut=rcut)
+                        kernel_hat=kernel_hat, rs=rs, rcut=rcut,
+                        split=split)
         self._build_jits()
 
     def _build_jits(self):
         acc_fn = functools.partial(
             _treepm_acc, axis=AXIS, pm_cal=self._pm, rcut=self._pm["rcut"],
-            rs=self._pm["rs"], k_near=self._k_near,
+            rs=self._pm["rs"], split=self._pm["split"],
+            k_near=self._k_near,
             near_tiles=self._near_tiles, halo_cap=self._halo_cap,
             softening=self.softening, eps=self._eps, g=self.g,
             backend=self._backend, interpret=self._interpret,

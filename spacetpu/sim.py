@@ -131,6 +131,10 @@ class SimConfig:
     # still tiny — pair volume; RCUT_RS = 4.5, erfc tail ~1.5e-3).
     pm_rs_cells: float | None = None
     pm_rcut_rs: float | None = None
+    # Split family: "poly" (quintic blend — closed-form mesh kernel,
+    # ~8-op pair kernel, zero truncation tail; round-4 default) or
+    # "gauss" (classic erf/Ewald split). None = treepm.SPLIT.
+    pm_split: str | None = None
 
     def resolved_leaf(self) -> int:
         from spacetpu.ops import tree as tree_ops
@@ -201,6 +205,15 @@ class SimConfig:
         rcut_rs = (treepm_ops.RCUT_RS if self.pm_rcut_rs is None
                    else float(self.pm_rcut_rs))
         return rs_cells, rcut_rs
+
+    def resolved_treepm_split(self) -> str:
+        from spacetpu.ops import treepm as treepm_ops
+
+        split = (treepm_ops.SPLIT if self.pm_split is None
+                 else str(self.pm_split))
+        if split not in ("poly", "gauss"):
+            raise ValueError(f"unknown treepm split {split!r}")
+        return split
 
 
 class Simulation:
@@ -602,8 +615,9 @@ class Simulation:
                 "--pm-rs-cells, or a smaller eps.",
                 stacklevel=2,
             )
-        kernel_hat = treepm_ops.pm_kernel_hat_long(
-            grid, h, rs, g=cfg.g, dtype=state.pos.dtype
+        split = cfg.resolved_treepm_split()
+        kernel_hat = treepm_ops.make_kernel_hat(
+            split, grid, h, rs, rcut, g=cfg.g, dtype=state.pos.dtype
         )
         gg = -(-cfg.n // leaf)
         m = treepm_ops.measure_near_rcut(
@@ -632,10 +646,12 @@ class Simulation:
         self._near_tiles = m["near_tiles"]
         self._gg = gg
         self._pm = dict(box_min=box_min, h=h, grid=grid,
-                        kernel_hat=kernel_hat, rs=rs, rcut=rcut)
+                        kernel_hat=kernel_hat, rs=rs, rcut=rcut,
+                        split=split)
         self.acc_fn = functools.partial(
             treepm_ops.acc_treepm, kernel_hat=kernel_hat, box_min=box_min,
-            h=h, grid=grid, rs=rs, rcut=rcut, softening=cfg.softening,
+            h=h, grid=grid, rs=rs, rcut=rcut, split=split,
+            softening=cfg.softening,
             eps=cfg.resolved_eps(), g=cfg.g, k_near=self._k_near, gg=gg,
             leaf=leaf, near_tiles=self._near_tiles,
             backend=cfg.resolved_backend(),
@@ -645,6 +661,7 @@ class Simulation:
         self._acc_builder = lambda c: functools.partial(
             treepm_ops.acc_treepm, kernel_hat=c["kernel_hat"],
             box_min=c["box_min"], h=h, grid=grid, rs=rs, rcut=rcut,
+            split=split,
             softening=cfg.softening, eps=cfg.resolved_eps(), g=cfg.g,
             k_near=self._k_near, gg=gg, leaf=leaf,
             near_tiles=self._near_tiles, backend=cfg.resolved_backend(),
@@ -925,6 +942,7 @@ class Simulation:
                 treepm_ops.acc_treepm_cached, structure=structure,
                 kernel_hat=consts["kernel_hat"], box_min=consts["box_min"],
                 h=pm["h"], grid=pm["grid"], rs=pm["rs"],
+                rcut=pm["rcut"], split=pm["split"],
                 softening=self.config.softening,
                 eps=self.config.resolved_eps(), g=self.config.g,
                 backend=self.config.resolved_backend(),
@@ -1068,6 +1086,7 @@ def make_simulation(
     pm_margin: float = 2.0,
     pm_rs_cells: float | None = None,
     pm_rcut_rs: float | None = None,
+    pm_split: str | None = None,
 ) -> Simulation:
     return Simulation(
         SimConfig(
@@ -1094,6 +1113,7 @@ def make_simulation(
             pm_margin=pm_margin,
             pm_rs_cells=pm_rs_cells,
             pm_rcut_rs=pm_rcut_rs,
+            pm_split=pm_split,
         )
     )
 

@@ -42,6 +42,7 @@ class RunConfig:
     pm_margin: float = 2.0  # PM bounding-box margin factor
     pm_rs_cells: Optional[float] = None  # TreePM split scale in cells
     pm_rcut_rs: Optional[float] = None  # TreePM cutoff in split scales
+    pm_split: Optional[str] = None  # TreePM split family (poly | gauss)
     dt: float = constants.DELTA
     auto_frame: bool = True  # frame the camera to the scene at startup
     dtype: str = "float32"
@@ -179,6 +180,11 @@ def build_parser() -> argparse.ArgumentParser:
                    default=d.pm_rcut_rs,
                    help="TreePM short-range cutoff in split scales"
                         " (r_cut = x * rs; default ops/treepm.RCUT_RS)")
+    p.add_argument("--pm-split", dest="pm_split", default=d.pm_split,
+                   choices=("poly", "gauss"),
+                   help="TreePM force-split family: 'poly' (quintic"
+                        " blend, cheap pair kernel; default) or 'gauss'"
+                        " (classic erf/Ewald split)")
     p.add_argument("--no-auto-frame", dest="auto_frame",
                    action="store_false", default=d.auto_frame,
                    help="keep the reference's fixed camera at (0,0,2)")

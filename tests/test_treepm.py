@@ -27,14 +27,15 @@ def _cloud(n, seed=0, dtype=jnp.float64):
 
 
 def _calibrated(pos, mass, *, grid=32, gg, leaf=255, g=1.0,
-                dtype=jnp.float64):
+                dtype=jnp.float64, split="gauss"):
     box_min, h = pm_ops.measure_box(pos, grid=grid, margin=1.1)
     rs, rcut = treepm.split_params(h)
-    khat = treepm.pm_kernel_hat_long(grid, h, rs, g=g, dtype=dtype)
+    khat = treepm.make_kernel_hat(split, grid, h, rs, rcut, g=g,
+                                  dtype=dtype)
     m = treepm.measure_near_rcut(pos, mass, rcut=rcut, gg=gg, leaf=leaf)
     return dict(kernel_hat=khat, box_min=box_min, h=h, grid=grid, rs=rs,
-                rcut=rcut, g=g, k_near=m["k_near"], gg=gg, leaf=leaf,
-                near_tiles=m["near_tiles"])
+                rcut=rcut, split=split, g=g, k_near=m["k_near"], gg=gg,
+                leaf=leaf, near_tiles=m["near_tiles"])
 
 
 def test_split_exact():
@@ -85,6 +86,85 @@ def test_erf_approx_accuracy():
     x = jnp.asarray(np.linspace(0.0, 6.0, 2001), jnp.float64)
     approx = np.asarray(treepm._erf_as(x))
     assert np.max(np.abs(approx - ref_erf(np.asarray(x)))) < 2e-7
+
+
+def test_poly_split_identity():
+    """Inside the cutoff the poly split is algebraically exact
+    (w_short + G(y)/r^3 == the softened pair law); at and beyond the
+    cutoff the short weight is EXACTLY zero (no erfc tail — the pair
+    forces stay antisymmetric under positional cap drops)."""
+    rcut = 0.9
+    r2 = jnp.asarray(np.geomspace(1e-6, 16.0, 257), jnp.float64)
+    inside = np.asarray(r2) < rcut * rcut
+    for softening, eps in (("plummer", 0.05), ("plummer", 0.0),
+                           ("ref", 1e-3)):
+        w_pair = direct._pair_weight(r2, jnp.float64, softening,
+                                     jnp.float64(eps))
+        ws = treepm.w_short(r2, jnp.float64, softening, jnp.float64(eps),
+                            jnp.float64(0.3), rcut=jnp.float64(rcut),
+                            split="poly")
+        wl = treepm._w_long_poly(r2, jnp.float64(rcut), jnp.float64)
+        np.testing.assert_allclose(np.asarray(ws + wl)[inside],
+                                   np.asarray(w_pair)[inside], rtol=1e-12)
+        assert np.all(np.asarray(ws)[~inside] == 0.0)
+
+
+def test_poly_kernel_potential_consistency():
+    """The closed-form poly-split potential (pm_kernel_hat_poly's
+    real-space table) has d(phi)/dr == G(y)/r^2 == _w_long_poly * r —
+    checked numerically — and is C^1 at the cutoff."""
+    rc = 1.3
+    r = np.linspace(1e-3, 3.0, 2_000_001)
+    inside = (
+        (-32.0 / 21.0) / rc + 2.0 * r ** 5 / rc ** 6
+        - (15.0 / 7.0) * r ** 7 / rc ** 8 + (2.0 / 3.0) * r ** 9 / rc ** 10
+    )
+    phi = np.where(r < rc, inside, -1.0 / r)
+    dphi = np.gradient(phi, r)
+    w = np.asarray(
+        treepm._w_long_poly(jnp.asarray(r * r), jnp.float64(rc),
+                            jnp.float64))
+    # dphi/dr = w_long * r (both are the attractive force magnitude)
+    err = np.abs(dphi[2:-2] - (w * r)[2:-2])
+    assert err.max() < 1e-6, err.max()
+
+
+def test_acc_treepm_poly_matches_direct():
+    """Total poly-split TreePM force tracks the exact softened direct
+    force to mesh accuracy — at least as well as the erf split."""
+    pos, mass = _cloud(4096, seed=0)
+    kw = _calibrated(pos, mass, grid=32, gg=17, split="poly")
+    acc = treepm.acc_treepm(pos, mass, softening="plummer", eps=1e-3,
+                            backend="xla", **kw)
+    ref = direct.acc_direct(pos, mass, softening="plummer", eps=1e-3, g=1.0)
+    err = np.linalg.norm(np.asarray(acc - ref), axis=1) / np.linalg.norm(
+        np.asarray(ref), axis=1)
+    assert np.median(err) < 1.5e-2, np.median(err)
+    assert np.percentile(err, 99) < 6e-2, np.percentile(err, 99)
+
+
+def test_momentum_conserved_poly():
+    pos, mass = _cloud(2048, seed=1)
+    kw = _calibrated(pos, mass, grid=32, gg=9, split="poly")
+    acc = treepm.acc_treepm(pos, mass, softening="plummer", eps=1e-3,
+                            backend="xla", **kw)
+    p = np.asarray(jnp.sum(mass[:, None] * acc, axis=0))
+    scale = float(jnp.sum(mass[:, None] * jnp.abs(acc)))
+    assert np.max(np.abs(p)) < 1e-12 * scale
+
+
+def test_pallas_interpret_matches_xla_poly(monkeypatch):
+    monkeypatch.setattr(tree_ops, "NEAR_PAIRS_CHUNK", 16)
+    pos, mass = _cloud(1024, seed=2, dtype=jnp.float32)
+    kw = _calibrated(pos, mass, grid=32, gg=5, dtype=jnp.float32,
+                     split="poly")
+    common = dict(softening="plummer", eps=np.float32(1e-2), **kw)
+    a_x = treepm.acc_treepm(pos, mass, backend="xla", **common)
+    a_p = treepm.acc_treepm(pos, mass, backend="pallas", interpret=True,
+                            **common)
+    scale = float(jnp.max(jnp.abs(a_x)))
+    np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_x),
+                               atol=5e-5 * scale)
 
 
 def test_acc_treepm_matches_direct():
