@@ -1,0 +1,18 @@
+"""Re-run the 1000-step scorecard's pm + treepm rows on random_cluster
+after the mesh fixes (matmul-DFT Poisson at Precision.HIGHEST +
+poly-split TreePM): the r4w4 rows measured the reduced-precision FFT
+(med err 0.25 for both), not the solvers. The tree row is unchanged
+(logs/r4w4_r4_scorecard_1k.log).
+
+Run detached: nohup python benches/r4_scorecard_1k_mesh.py > log 2>&1 &
+"""
+import os
+import runpy
+
+os.environ.setdefault("SPACETPU_SCORECARD_SOLVERS", "pm,treepm")
+
+runpy.run_path(
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "r4_scorecard_1k.py"),
+    run_name="__main__",
+)
