@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from spacetpu import constants
@@ -60,6 +61,26 @@ PM_SOFT_CELLS = 1.0
 #: intermediates at 256^3 complex) comfortably inside one chip's HBM.
 PM_GRID_MIN = 32
 PM_GRID_MAX = 128
+
+#: Poisson-transform implementation: "fft" = jnp.fft (recursive FFT —
+#: fast, but bf16-grade on the TPU backend and its 512-point
+#: factorization compile-OOMs at grid=256), "matmul" = dense DFT matmuls
+#: on the MXU at Precision.HIGHEST (ops/fftmm.py — ~1e-6 transform
+#: roundoff, sane layout at every grid), "auto" = matmul on TPU, fft
+#: elsewhere. Resolved at TRACE time: changing it after a Simulation has
+#: primed requires a re-prime (the sim's jit_epoch machinery) to take
+#: effect.
+PM_FFT_METHOD = "auto"
+
+
+def fft_method(method: str = None) -> str:
+    """Resolve the Poisson-transform implementation ("fft"|"matmul")."""
+    m = method or PM_FFT_METHOD
+    if m == "auto":
+        m = "matmul" if jax.default_backend() == "tpu" else "fft"
+    if m not in ("fft", "matmul"):
+        raise ValueError(f"unknown PM FFT method {m!r}")
+    return m
 
 
 def default_grid(n: int) -> int:
@@ -163,9 +184,16 @@ def deposit_cic(pos, mass, *, box_min, inv_h, grid: int):
     return mesh.reshape(g2, g2, g2)
 
 
-def potential_mesh(mass_mesh, kernel_hat, grid: int):
+def potential_mesh(mass_mesh, kernel_hat, grid: int, *, method: str = None):
     """phi = F^-1(F(mass) * K_hat) on the doubled mesh (circular
-    convolution == open convolution under the min-image kernel)."""
+    convolution == open convolution under the min-image kernel).
+
+    ``method`` overrides :data:`PM_FFT_METHOD` (see there for the
+    fft-vs-matmul trade; on TPU the matmul path is both the precision
+    and the grid>=256 capacity fix)."""
+    if fft_method(method) == "matmul":
+        from spacetpu.ops import fftmm
+        return fftmm.potential_mesh_matmul(mass_mesh, kernel_hat, grid)
     g2 = 2 * grid
     rho_hat = jnp.fft.rfftn(mass_mesh)
     return jnp.fft.irfftn(rho_hat * kernel_hat, s=(g2, g2, g2))
