@@ -107,6 +107,66 @@ class Exchange:
             return self._tick
 
 
+#: Snapshot wire formats for the device->host position transfer (the
+#: dominant per-sampled-tick cost on a tunneled chip: 12 MB f32 at N=1M).
+#: "f32" is the reference-parity full-precision downcast
+#: (batch_request.rs:46-50); "u16" quantizes each axis to 16 bits across
+#: the scene's bounding box on DEVICE (half the bytes on the wire,
+#: decoded back to f32 host-side). Quantization error is <= box/65535 —
+#: invisible at whole-scene framing, but a frontend that zooms deep into
+#: a subregion sees the grid, so u16 is opt-in, not the default.
+SNAPSHOT_WIRES = ("f32", "u16")
+
+
+@jax.jit
+def _snap_f32(pos):
+    # astype under jit always materializes a NEW buffer, decoupling the
+    # snapshot from the step's donated buffers (the step that follows
+    # invalidates `pos` itself).
+    return pos.astype(jnp.float32)
+
+
+@jax.jit
+def _snap_u16(pos):
+    p = pos.astype(jnp.float32)
+    lo = jnp.min(p, axis=0)
+    ext = jnp.maximum(jnp.max(p, axis=0) - lo, jnp.finfo(jnp.float32).tiny)
+    q = jnp.clip(jnp.round((p - lo) * (65535.0 / ext)), 0.0, 65535.0)
+    # params row 0 = lo, row 1 = quantization step
+    return q.astype(jnp.uint16), jnp.stack([lo, ext / 65535.0])
+
+
+def _snapshot_begin(state: State, wire: str):
+    """Capture a device-side snapshot of the current positions (cheap: an
+    on-device copy/quantize, dispatched async). The returned handle is
+    independent of the step loop's donated buffers."""
+    if wire == "u16":
+        return _snap_u16(state.pos)
+    return _snap_f32(state.pos)
+
+
+def _snapshot_flight(handle) -> None:
+    """Start the device->host copy NOW, so the tunnel ride overlaps the
+    compute batch dispatched right before. Best-effort: backends without
+    copy_to_host_async just pay the transfer at _snapshot_finish."""
+    arrays = handle if isinstance(handle, tuple) else (handle,)
+    for a in arrays:
+        try:
+            a.copy_to_host_async()
+        except Exception:  # noqa: BLE001 - transport-dependent, optional
+            return
+
+
+def _snapshot_finish(handle, wire: str) -> np.ndarray:
+    """Materialize the snapshot on host as (N, 3) f32."""
+    if wire == "u16":
+        q, params = handle
+        params_np = np.asarray(params, np.float32)
+        return (np.asarray(q).astype(np.float32) * params_np[1]
+                + params_np[0])
+    return np.asarray(handle, np.float32)
+
+
 def run_sim_loop(
     sim: Simulation,
     state: State,
@@ -117,10 +177,23 @@ def run_sim_loop(
     merge_every: int = 0,
     radii=None,
     on_merge=None,
+    snapshot_wire: str = "f32",
 ) -> State:
     """The tick loop (event_loop.rs:305-327): step check_interval ticks,
-    publish a snapshot iff the UI asked, re-read dt, exit on the token."""
+    publish a snapshot iff the UI asked, re-read dt, exit on the token.
+
+    Snapshot pipelining: on a UI request the positions are captured on
+    device at the END of the batch (a cheap on-device copy/quantize) and
+    the device->host ride (12 MB f32 at N=1M — comparable to the PM step
+    itself on the tunneled chip) is issued right after the NEXT batch is
+    dispatched, so the transfer overlaps that batch's compute instead of
+    stalling the device between batches. The frame a frontend sees
+    therefore arrives one batch late — the classic one-frame pipeline
+    latency, traded for not serializing transfer and compute."""
     import time as _time
+
+    if snapshot_wire not in SNAPSHOT_WIRES:
+        raise ValueError(f"unknown snapshot wire {snapshot_wire!r}")
 
     tick = 0
     delta = exchange.delta()
@@ -143,6 +216,7 @@ def run_sim_loop(
         radii_dev = jnp.asarray(radii, state.pos.dtype)
     with DEVICE_LOCK:
         state = sim.prime(state)
+    pending = None  # (device snapshot handle, tick) awaiting delivery
     while True:
         with DEVICE_LOCK:
             for _ in range(check_interval):
@@ -153,6 +227,10 @@ def run_sim_loop(
                 else:
                     state = sim.step(state, delta)
                 tick += 1
+            if pending is not None:
+                # batch is dispatched (async) — start last batch's
+                # snapshot riding device->host so it overlaps the compute
+                _snapshot_flight(pending[0])
             if radii_dev is not None and tick - last_merge_tick >= merge_every:
                 from spacetpu.ops import collisions
 
@@ -172,16 +250,23 @@ def run_sim_loop(
             # the tunneled chip (constants.SYNC_EVERY has the numbers).
             if tick % constants.SYNC_EVERY == 0:
                 np.asarray(state.pos[0, 0])
+            if pending is not None:
+                # materialize + publish (the store() of
+                # batch_request.rs:43-51); the bytes have been riding the
+                # tunnel since _snapshot_flight, so this mostly just waits
+                # out whatever the batch didn't already cover
+                exchange.store(_snapshot_finish(pending[0], snapshot_wire),
+                               pending[1])
+                pending = None
+            if exchange.should_store():
+                # capture the post-batch positions on device (cheap async
+                # copy/quantize, decoupled from the donated step buffers);
+                # delivered while the NEXT batch computes
+                pending = (_snapshot_begin(state, snapshot_wire), tick)
         # Re-read dt every batch (one locked attribute read), not only on
         # publish: a headless caller or a frontend that is not actively
         # sampling must still be able to retune dt via set_delta().
         delta = exchange.delta()
-        if exchange.should_store():
-            # device -> host downcast snapshot (the store() of
-            # batch_request.rs:43-51; one small transfer per UI frame)
-            with DEVICE_LOCK:
-                snap = np.asarray(state.pos, np.float32)
-            exchange.store(snap, tick)
         # Unlike the reference (which checks its token only when no sample
         # is pending, event_loop.rs:322-324), the stop token is honoured
         # unconditionally — a frontend that keeps sampling must not be able
@@ -200,8 +285,10 @@ class SimEngine:
     def __init__(self, sim: Simulation, state: State, *,
                  delta: float = constants.DELTA,
                  check_interval: int = constants.CHECK_INTERVAL,
-                 merge_every: int = 0, radii=None):
+                 merge_every: int = 0, radii=None,
+                 snapshot_wire: str = "f32"):
         self.sim = sim
+        self._snapshot_wire = snapshot_wire
         self.exchange = Exchange(state.n, delta,
                                  initial=np.asarray(state.pos, np.float32))
         self._merge_every = merge_every
@@ -232,7 +319,7 @@ class SimEngine:
                     self.sim, self._state0, self.exchange, self._stop,
                     check_interval=self._check_interval,
                     merge_every=self._merge_every, radii=self._radii0,
-                    on_merge=on_merge,
+                    on_merge=on_merge, snapshot_wire=self._snapshot_wire,
                 )
             except BaseException as e:  # noqa: BLE001 - surfaced to the UI
                 self.error = e

@@ -143,7 +143,8 @@ def _resolve_auto_substeps(cfg: RunConfig, scene: Scene, state: State) -> State:
 
 def build_engine(cfg: RunConfig, scene: Scene, state: State) -> SimEngine:
     merge_kw = dict(merge_every=cfg.merge_collisions,
-                    radii=scene.radii if cfg.merge_collisions else None)
+                    radii=scene.radii if cfg.merge_collisions else None,
+                    snapshot_wire=cfg.snapshot_wire)
     if cfg.algorithm == "auto":
         return make_engine_for(
             state, delta=cfg.dt, theta=cfg.theta, backend=cfg.backend,

@@ -68,6 +68,7 @@ class RunConfig:
     shard: int = 0  # headless: shard bodies over a D-device mesh (0 = off)
     report_encounters: bool = False  # headless: min-separation telemetry
     merge_collisions: int = 0  # headless: steps between merge checks (0=off)
+    snapshot_wire: str = "f32"  # exchange snapshot format: f32 | u16
     profile_dir: Optional[str] = None  # jax.profiler trace directory
 
     def to_json(self) -> str:
@@ -239,6 +240,14 @@ def build_parser() -> argparse.ArgumentParser:
                         " radii = the scene's body radii; works headless"
                         " and in the interactive/offline frontends;"
                         " 0 = off)")
+    p.add_argument("--snapshot-wire", dest="snapshot_wire",
+                   choices=("f32", "u16"), default=d.snapshot_wire,
+                   help="interactive snapshot transfer format: f32 ="
+                        " full-precision (reference-parity) positions;"
+                        " u16 = per-axis 16-bit box quantization (half"
+                        " the device->host bytes — error <= box/65535,"
+                        " visible only when zooming deep into a"
+                        " subregion)")
     p.add_argument("--list-presets", action="store_true",
                    help="list available scene presets and exit")
     return p

@@ -538,3 +538,49 @@ def test_cli_sharded_checkpoint_restores_single_chip(tmp_path):
               "--dt", "1e-3", "--eps", "1e-2"]
     main(common + ["--steps", "2", "--shard", "2", "--checkpoint", ck])
     main(common + ["--steps", "2", "--restore", ck])
+
+
+def test_snapshot_wire_roundtrip_unit():
+    # _snapshot_begin/_snapshot_finish: f32 is exact; u16 reconstructs to
+    # within one quantization step of the box (<= box_extent/65535).
+    from spacetpu.engine import _snapshot_begin, _snapshot_finish
+
+    sim, state, _ = _sim_and_state(128)
+    pos = np.asarray(state.pos, np.float64)
+    exact = _snapshot_finish(_snapshot_begin(state, "f32"), "f32")
+    assert exact.dtype == np.float32
+    np.testing.assert_allclose(exact, pos, atol=0)
+    quant = _snapshot_finish(_snapshot_begin(state, "u16"), "u16")
+    assert quant.dtype == np.float32
+    step = (pos.max(axis=0) - pos.min(axis=0)) / 65535.0
+    assert (np.abs(quant - pos) <= step[None, :] * 0.75 + 1e-12).all()
+
+
+def test_run_sim_loop_rejects_unknown_wire():
+    sim, state, _ = _sim_and_state()
+    with pytest.raises(ValueError, match="snapshot wire"):
+        run_sim_loop(sim, state, Exchange(64), threading.Event(),
+                     snapshot_wire="bf8")
+
+
+def test_engine_u16_snapshot_wire_end_to_end():
+    # The quantized wire through the real sim thread: sampled positions
+    # track the simulation to display precision while it advances.
+    sim, state, _ = _sim_and_state()
+    eng = SimEngine(sim, state, delta=1e-3, snapshot_wire="u16")
+    with eng:
+        deadline = time.time() + 30
+        while eng.exchange.current_ticks() < 3 and time.time() < deadline:
+            eng.exchange.sample()
+            time.sleep(0.01)
+    eng.check_health()
+    assert eng.exchange.current_ticks() >= 3
+    snap = eng.exchange.sample()
+    final = np.asarray(eng.final_state.pos, np.float64)
+    # the snapshot lags the final state by <= check_interval ticks of a
+    # tiny dt — bound the drift loosely, the point is "right scene, right
+    # scale, finite", not bitwise trajectory match
+    assert snap.shape == final.shape
+    assert np.isfinite(snap).all()
+    box = final.max() - final.min()
+    assert np.abs(snap - final).max() < 0.2 * box
