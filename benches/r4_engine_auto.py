@@ -87,6 +87,19 @@ for scene_name, scene, dt in [
     auto_rate, auto_algo = measure(
         f"{scene_name}: auto",
         make_engine_for(st, delta=dt, **sim_kwargs))
+    if scene_name == "fixed_cloud":
+        # the snapshot-wire lever (u16 halves the 12 MB/frame ride): only
+        # meaningful where the mesh tier ticks fast enough for the
+        # transfer to be the bound
+        st = scene.state(dtype=np.float32)
+        u16_rate, _ = measure(
+            f"{scene_name}: auto wire=u16",
+            make_engine_for(st, delta=dt,
+                            engine_kwargs=dict(snapshot_wire="u16"),
+                            **sim_kwargs))
+        print(f"{scene_name}: u16/f32 tick-rate ratio "
+              f"{u16_rate / auto_rate if auto_rate else 0.0:.2f}x",
+              flush=True)
     st = scene.state(dtype=np.float32)
     tree_sim = make_simulation(scene.n, algorithm="tree", theta=0.5,
                                k_near="auto", near_mode="pairs",
