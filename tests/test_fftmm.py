@@ -9,7 +9,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from spacetpu.ops import direct, fftmm, pm
+from spacetpu.ops import fftmm, pm
 
 
 def _mesh(m, seed=0, dtype=np.float64):
@@ -114,3 +114,35 @@ def test_fft_method_resolution():
     assert pm.fft_method("auto") == "fft"
     with pytest.raises(ValueError):
         pm.fft_method("dct")
+
+
+def test_sharded_pm_matmul_method_traces_and_matches():
+    # The TPU multi-chip path routes the replicated Poisson solve through
+    # the matmul DFT (PM_FFT_METHOD auto -> matmul on TPU); trace the SAME
+    # shape on the 8-device CPU mesh with the method forced, and pin
+    # sharded == single-device under it.
+    from spacetpu import sim as sim_mod
+    from spacetpu.parallel import pmshard, ring
+    from spacetpu.state import make_state
+
+    rng = np.random.default_rng(12)
+    n = 256
+    pos = rng.normal(size=(n, 3))
+    mass = rng.uniform(0.5, 1.5, n)
+    vel = np.zeros_like(pos)
+    old = pm.PM_FFT_METHOD
+    try:
+        pm.PM_FFT_METHOD = "matmul"
+        single = sim_mod.make_simulation(n=n, algorithm="pm", backend="xla",
+                                         g=1.0, pm_grid=16)
+        s1 = single.prime(make_state(pos, vel, mass, dtype=jnp.float64))
+        s1 = single.run(s1, 1e-3, 5)
+        mesh = ring.make_mesh(8)
+        sh = pmshard.ShardedPMSimulation(mesh, n, grid=16, g=1.0)
+        ts = sh.shard_state(make_state(pos, vel, mass, dtype=jnp.float64))
+        ts = sh.prime(ts)
+        ts = sh.run(ts, 1e-3, 5)
+    finally:
+        pm.PM_FFT_METHOD = old
+    np.testing.assert_allclose(np.asarray(ts.pos), np.asarray(s1.pos),
+                               rtol=1e-8, atol=1e-12)
