@@ -44,7 +44,12 @@ from spacetpu.ops import energy
 
 N = int(os.environ.get("SPACETPU_SCORECARD_N", benchenv.size(1_000_000, 4096)))
 STEPS = int(os.environ.get("SPACETPU_SCORECARD_STEPS", benchenv.size(500, 3)))
-GRID = benchenv.size(128, 32)
+# "auto" = each solver's own default grid policy (pm: ~N^(1/3) cap 128;
+# treepm: 2 N^(1/3) cap 256 — the r4w11 A/B showed the treepm default is
+# both the accuracy and the speed choice once the matmul DFT unlocks 256)
+_grid_env = os.environ.get("SPACETPU_SCORECARD_GRID",
+                           str(benchenv.size(128, 32)))
+GRID = "auto" if _grid_env == "auto" else int(_grid_env)
 EPS = 1e-2
 DT = 1e-3
 SOLVERS = os.environ.get("SPACETPU_SCORECARD_SOLVERS", "pm,treepm,tree").split(",")
