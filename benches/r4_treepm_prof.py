@@ -39,7 +39,7 @@ from spacetpu.ops import pm as pm_ops
 from spacetpu.ops import treepm as treepm_ops
 
 N = benchenv.size(1_000_000, 16_384)
-GRID = benchenv.size(128, 32)
+GRID = int(os.environ.get("SPACETPU_TREEPM_GRID", benchenv.size(128, 32)))
 BACKEND = benchenv.size("pallas", "xla")
 REPS = 3
 
@@ -101,9 +101,14 @@ prep_fn = jax.jit(lambda p, m: treepm_ops.treepm_prep(
 timeit("prep (sort+stats+lists+tiles)", prep_fn, pos, mass)
 
 prep = jax.tree_util.tree_map(lambda x: x, prep_fn(pos, mass))
+# measure the PRODUCTION split kernel (r4w11 measured the non-default
+# Chebyshev-gauss branch here by omission: 1442 ms standalone while the
+# poly full step ran 1111 ms — the split arg must track the sim's)
+split = sim.config.resolved_treepm_split()
 short_fn = jax.jit(lambda pr: treepm_ops._short_eval(
-    pr, softening="plummer", eps=1e-3, g=scene.g, rs=rs, backend=BACKEND))
-timeit("short-range pairs (given prep)", short_fn, prep)
+    pr, softening="plummer", eps=1e-3, g=scene.g, rs=rs, rcut=rcut,
+    split=split, backend=BACKEND))
+timeit(f"short-range pairs (given prep, {split})", short_fn, prep)
 
 pm_fn = jax.jit(lambda p, m, k, b: pm_ops.acc_pm(
     p, m, kernel_hat=k, box_min=b, h=h, grid=grid))
