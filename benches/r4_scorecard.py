@@ -50,6 +50,12 @@ STEPS = int(os.environ.get("SPACETPU_SCORECARD_STEPS", benchenv.size(500, 3)))
 _grid_env = os.environ.get("SPACETPU_SCORECARD_GRID",
                            str(benchenv.size(128, 32)))
 GRID = "auto" if _grid_env == "auto" else int(_grid_env)
+# >0: call sim.maybe_recalibrate every this-many steps of the measured
+# rollout — production behavior for scenes that restructure (the r4w4
+# cluster runs ended with ~1e6 counted near-overflows against t=0 caps).
+# A recalibration retraces the step program, so ms/step includes those
+# compiles; the recal count is reported alongside.
+RECAL_EVERY = int(os.environ.get("SPACETPU_SCORECARD_RECAL_EVERY", "0"))
 EPS = 1e-2
 DT = 1e-3
 SOLVERS = os.environ.get("SPACETPU_SCORECARD_SOLVERS", "pm,treepm,tree").split(",")
@@ -127,11 +133,26 @@ for scene_name in SCENES:
                 print(f"  .. {k} steps t={time.perf_counter() - _t0:.0f}s",
                       flush=True)
 
-            st = sim.run(st, DT, steps_meas, progress=report)
+            recals = 0
+            if RECAL_EVERY > 0:
+                done = 0
+                while done < steps_meas:
+                    todo = min(RECAL_EVERY, steps_meas - done)
+                    st = sim.run(st, DT, todo, progress=None)
+                    fence(st.pos)
+                    done += todo
+                    if done < steps_meas and sim.maybe_recalibrate(st):
+                        recals += 1
+                        print(f"  .. recalibrated at {done} steps "
+                              f"(caps {sim.caps})", flush=True)
+                    report(done)
+            else:
+                st = sim.run(st, DT, steps_meas, progress=report)
             fence(st.pos)
             wall = time.perf_counter() - t0
             e1 = total_e(st, scene.g)
             h = sim.health(st)
+            h["recals"] = recals
             print(f"{solver:7s}: err med={np.median(rel):.3e} "
                   f"p99={np.quantile(rel, 0.99):.3e}  "
                   f"{wall / steps_meas * 1e3:8.1f} ms/step  "
