@@ -71,6 +71,13 @@ MESH_SOLVER_CUTOFF: int = 500_000
 #: catastrophically (median error ~1.0 — the core sits inside a single
 #: cell once outliers stretch the box). Gated scenes keep the tree.
 MESH_RESOLVE_MASS_FRAC: float = 0.1
+#: Finest mesh the interactive tier's grid ladder will climb to when the
+#: default grid fails the resolution gate. 256 became viable when the
+#: Poisson transform moved to MXU matmuls (ops/fftmm.py): the recursive
+#: FFT compile-OOM'd at 512^3, the matmul path steps PM at 228 ms at
+#: N=1M (logs/r4w11_r4_fftmm.log) — still ~4x the tree's tick rate, and
+#: halving h admits scenes 2x as concentrated before the gate trips.
+MESH_INTERACTIVE_GRID_MAX: int = 256
 #: Default Barnes-Hut opening angle theta (constants.rs:29-30).
 BARNES_HUT_THETA: float = 0.3
 

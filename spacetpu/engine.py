@@ -417,15 +417,28 @@ def make_engine_for(
     collision merging)."""
     n = scene_state.n
     substeps = sim_kwargs.get("substeps", 1)
+    pm_grid = None
     if (n > constants.MESH_SOLVER_CUTOFF
-            and not (isinstance(substeps, int) and substeps > 1)
-            and mesh_resolves(scene_state)):
+            and not (isinstance(substeps, int) and substeps > 1)):
         # multirate substeps use exact pair forces, inconsistent with the
         # mesh-softened PM law (SimConfig rejects the pair) — a multirate
-        # request keeps the tree
-        algorithm = "pm"
-    else:
-        algorithm = "tree" if n > cutoff else "direct"
+        # request keeps the tree. Grid ladder: try the default grid, then
+        # the finer tiers the matmul-DFT transform unlocked (r4w11:
+        # grid=256 compiles and steps at 228 ms at N=1M — still ~4x the
+        # tree's tick rate) — halving h admits scenes twice as
+        # concentrated before the accuracy gate trips.
+        from spacetpu.ops import pm as pm_ops
+
+        ladder = sorted({pm_ops.default_grid(n),
+                         constants.MESH_INTERACTIVE_GRID_MAX})
+        for grid_c in ladder:
+            if mesh_resolves(scene_state, grid=grid_c):
+                pm_grid = grid_c
+                break
+    algorithm = ("pm" if pm_grid is not None
+                 else "tree" if n > cutoff else "direct")
+    if algorithm == "pm":
+        sim_kwargs = dict(sim_kwargs, pm_grid=pm_grid)
     if algorithm != "tree":
         # theta is a tree knob; make_simulation rejects unknown kwargs
         # for other solvers only via config validation, but keep the call

@@ -584,3 +584,29 @@ def test_engine_u16_snapshot_wire_end_to_end():
     assert np.isfinite(snap).all()
     box = final.max() - final.min()
     assert np.abs(snap - final).max() < 0.2 * box
+
+
+def test_make_engine_for_mesh_tier_grid_ladder(monkeypatch):
+    """Scenes too concentrated for the default grid but resolvable at the
+    matmul-DFT-unlocked 256 tier get PM at grid=256 instead of falling
+    back to the tree (r4w11: PM grid=256 steps 228 ms at N=1M, ~4x the
+    tree's tick rate)."""
+    from spacetpu import constants as C
+    from spacetpu.engine import mesh_resolves
+    from spacetpu.state import make_state
+
+    monkeypatch.setattr(C, "MESH_SOLVER_CUTOFF", 1024)
+    rng = np.random.default_rng(7)
+    n = 1500
+    pos = rng.normal(size=(n, 3))
+    # two light outliers stretch the box so h(default grid) cannot
+    # resolve the 10%-mass radius (~0.8), but h(256) can
+    pos[0] = (35.0, 0.0, 0.0)
+    pos[1] = (-35.0, 0.0, 0.0)
+    st = make_state(pos, np.zeros_like(pos), np.ones(n), dtype=jnp.float32)
+    assert not mesh_resolves(st, grid=128)
+    assert mesh_resolves(st, grid=256)
+    eng = make_engine_for(st, backend="xla", g=1.0,
+                          softening="plummer", eps=1e-2)
+    assert eng.algorithm == "pm"
+    assert eng.sim.config.resolved_pm_grid() == 256
