@@ -498,6 +498,11 @@ def main(argv=None):
             num_processes=cfg.num_processes or None,
             process_id=cfg.process_id if cfg.process_id >= 0 else None,
         )
+    if cfg.pm_fft != "auto":
+        # module-level switch, resolved at trace time (ops/pm.py)
+        from spacetpu.ops import pm as _pm_ops
+
+        _pm_ops.PM_FFT_METHOD = cfg.pm_fft
     scene = build_scene(cfg)
     state, scene = resolve_state(cfg, scene)
     # device enumeration log: the analogue of the reference's adapter

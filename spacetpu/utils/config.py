@@ -43,6 +43,7 @@ class RunConfig:
     pm_rs_cells: Optional[float] = None  # TreePM split scale in cells
     pm_rcut_rs: Optional[float] = None  # TreePM cutoff in split scales
     pm_split: Optional[str] = None  # TreePM split family (poly | gauss)
+    pm_fft: str = "auto"  # Poisson transform: auto | fft | matmul
     dt: float = constants.DELTA
     auto_frame: bool = True  # frame the camera to the scene at startup
     dtype: str = "float32"
@@ -186,6 +187,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="TreePM force-split family: 'poly' (quintic"
                         " blend, cheap pair kernel; default) or 'gauss'"
                         " (classic erf/Ewald split)")
+    p.add_argument("--pm-fft", dest="pm_fft", default=d.pm_fft,
+                   choices=("auto", "fft", "matmul"),
+                   help="PM/TreePM Poisson transform: 'matmul' = exact"
+                        " DFT matmuls on the MXU (ops/fftmm.py), 'fft' ="
+                        " recursive jnp.fft (reduced precision on the"
+                        " TPU backend), 'auto' = matmul on TPU, fft"
+                        " elsewhere")
     p.add_argument("--no-auto-frame", dest="auto_frame",
                    action="store_false", default=d.auto_frame,
                    help="keep the reference's fixed camera at (0,0,2)")

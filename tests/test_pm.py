@@ -215,3 +215,18 @@ def test_default_grid_bounds():
     assert pm.default_grid(10) == pm.PM_GRID_MIN
     assert pm.default_grid(10 ** 9) == pm.PM_GRID_MAX
     assert pm.default_grid(1_000_000) == 128
+
+
+def test_cli_pm_fft_flag_sets_module_switch():
+    # --pm-fft matmul flows to pm.PM_FFT_METHOD before the engine builds
+    from spacetpu.main import main
+    from spacetpu.ops import pm as pm_mod
+
+    old = pm_mod.PM_FFT_METHOD
+    try:
+        main(["--preset", "random_cluster", "--n", "64", "--frontend",
+              "none", "--steps", "1", "--algorithm", "pm", "--pm-grid",
+              "16", "--pm-fft", "matmul", "--platform", "cpu"])
+        assert pm_mod.PM_FFT_METHOD == "matmul"
+    finally:
+        pm_mod.PM_FFT_METHOD = old
