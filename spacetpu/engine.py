@@ -60,6 +60,7 @@ class Exchange:
         self._should_sample = True
         self._tick = 0
         self._delta = delta
+        self._pending = None  # (device handle, tick, wire) — store_pending
 
     # --- dt (batch_request.rs:27-33) ---
     def delta(self) -> float:
@@ -95,15 +96,52 @@ class Exchange:
             self._sample[:] = snap
             self._tick = tick
 
+    def store_pending(self, handle, tick: int, wire: str):
+        """Publish a DEVICE-side snapshot handle (an on-device copy made
+        by the sim thread, decoupled from donated step buffers); the
+        consumer's next sample() pays the device->host ride.
+
+        Why: on a tunneled backend ANY device readback costs a full
+        round trip (~3.7x the N=1M PM step for a SCALAR —
+        constants.SYNC_EVERY's measurement), so a sim thread that
+        materializes snapshots inline stalls one round trip per sampled
+        tick no matter how small the wire format. Handing the consumer a
+        handle moves that stall to the UI thread, which is frame-rate
+        bound anyway — the sim thread's dispatch loop never blocks on
+        publishing. Latest-wins: an unconsumed handle is replaced."""
+        with self._lock:
+            self._pending = (handle, tick, wire)
+
     def sample(self) -> np.ndarray:
-        """Retrieve the latest snapshot and request a new one."""
+        """Retrieve the latest snapshot and request a new one. If the
+        sim thread left a device-side handle (store_pending), materialize
+        it here, on the consumer's clock.
+
+        Lock order: the exchange lock is NEVER held across the device
+        transfer (grab the handle, release, transfer under DEVICE_LOCK,
+        re-take to publish) — the sim thread takes DEVICE_LOCK then this
+        lock, so nesting them in the other order would deadlock."""
+        with self._lock:
+            pending, self._pending = getattr(self, "_pending", None), None
+        if pending is not None:
+            handle, tick, wire = pending
+            with DEVICE_LOCK:
+                snap = _snapshot_finish(handle, wire)
+            self.store(snap, tick)
         with self._lock:
             out = self._sample.copy()
             self._should_sample = True
         return out
 
     def current_ticks(self) -> int:
+        """Tick counter for progress displays. Includes a pending
+        device-side snapshot's tick: the sim HAS reached it (the frame
+        just hasn't ridden down to the host yet), and a frontend that
+        polls progress without sampling frames must still see the loop
+        advance."""
         with self._lock:
+            if self._pending is not None:
+                return max(self._tick, self._pending[1])
             return self._tick
 
 
@@ -145,18 +183,6 @@ def _snapshot_begin(state: State, wire: str):
     return _snap_f32(state.pos)
 
 
-def _snapshot_flight(handle) -> None:
-    """Start the device->host copy NOW, so the tunnel ride overlaps the
-    compute batch dispatched right before. Best-effort: backends without
-    copy_to_host_async just pay the transfer at _snapshot_finish."""
-    arrays = handle if isinstance(handle, tuple) else (handle,)
-    for a in arrays:
-        try:
-            a.copy_to_host_async()
-        except Exception:  # noqa: BLE001 - transport-dependent, optional
-            return
-
-
 def _snapshot_finish(handle, wire: str) -> np.ndarray:
     """Materialize the snapshot on host as (N, 3) f32."""
     if wire == "u16":
@@ -182,14 +208,15 @@ def run_sim_loop(
     """The tick loop (event_loop.rs:305-327): step check_interval ticks,
     publish a snapshot iff the UI asked, re-read dt, exit on the token.
 
-    Snapshot pipelining: on a UI request the positions are captured on
-    device at the END of the batch (a cheap on-device copy/quantize) and
-    the device->host ride (12 MB f32 at N=1M — comparable to the PM step
-    itself on the tunneled chip) is issued right after the NEXT batch is
-    dispatched, so the transfer overlaps that batch's compute instead of
-    stalling the device between batches. The frame a frontend sees
-    therefore arrives one batch late — the classic one-frame pipeline
-    latency, traded for not serializing transfer and compute."""
+    Snapshot handoff: on a UI request the positions are captured on
+    device at the END of the batch (a cheap on-device copy/quantize,
+    decoupled from the step's donated buffers) and handed to the
+    exchange as a HANDLE; the consumer's next sample() pays the
+    device->host ride on its own thread (Exchange.store_pending has the
+    measured rationale: on the tunneled backend every readback costs a
+    full round trip — ~3.7x the N=1M PM step even for a scalar — so the
+    sim thread must never materialize snapshots inline). The sim
+    thread's only synchronous readback is the SYNC_EVERY queue bound."""
     import time as _time
 
     if snapshot_wire not in SNAPSHOT_WIRES:
@@ -216,7 +243,6 @@ def run_sim_loop(
         radii_dev = jnp.asarray(radii, state.pos.dtype)
     with DEVICE_LOCK:
         state = sim.prime(state)
-    pending = None  # (device snapshot handle, tick) awaiting delivery
     while True:
         with DEVICE_LOCK:
             for _ in range(check_interval):
@@ -227,10 +253,6 @@ def run_sim_loop(
                 else:
                     state = sim.step(state, delta)
                 tick += 1
-            if pending is not None:
-                # batch is dispatched (async) — start last batch's
-                # snapshot riding device->host so it overlaps the compute
-                _snapshot_flight(pending[0])
             if radii_dev is not None and tick - last_merge_tick >= merge_every:
                 from spacetpu.ops import collisions
 
@@ -250,19 +272,13 @@ def run_sim_loop(
             # the tunneled chip (constants.SYNC_EVERY has the numbers).
             if tick % constants.SYNC_EVERY == 0:
                 np.asarray(state.pos[0, 0])
-            if pending is not None:
-                # materialize + publish (the store() of
-                # batch_request.rs:43-51); the bytes have been riding the
-                # tunnel since _snapshot_flight, so this mostly just waits
-                # out whatever the batch didn't already cover
-                exchange.store(_snapshot_finish(pending[0], snapshot_wire),
-                               pending[1])
-                pending = None
             if exchange.should_store():
                 # capture the post-batch positions on device (cheap async
-                # copy/quantize, decoupled from the donated step buffers);
-                # delivered while the NEXT batch computes
-                pending = (_snapshot_begin(state, snapshot_wire), tick)
+                # copy/quantize) and hand the HANDLE to the exchange; the
+                # consumer's sample() pays the device->host round trip
+                exchange.store_pending(
+                    _snapshot_begin(state, snapshot_wire), tick,
+                    snapshot_wire)
         # Re-read dt every batch (one locked attribute read), not only on
         # publish: a headless caller or a frontend that is not actively
         # sampling must still be able to retune dt via set_delta().
