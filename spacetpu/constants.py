@@ -32,16 +32,18 @@ COLLISION_EPSILON: float = 1e-15
 #: Interval in ticks between exchange checks in the sim loop
 #: (constants.rs:20 `CHECK_INTERVAL`).
 CHECK_INTERVAL: int = 1
-#: Interactive sim loop: force a device->host scalar readback every this
-#: many ticks. The readback bounds the async dispatch queue (so a UI
-#: framebuffer transfer never waits behind an unbounded backlog of
-#: enqueued steps), but a PER-TICK sync serializes dispatch with the
-#: device round-trip — chip-measured at N=1M (logs/r4w3_r4_engine_auto
-#: .log): the PM tick under an actively-sampling frontend ran 696 ms
-#: against a 188 ms step, most of it readback/transfer latency. Every
-#: k ticks keeps the queue bounded at k steps while letting dispatch
-#: pipeline. Sample publishes still fence naturally (the snapshot
-#: transfer itself drains the queue).
+#: Interactive sim loop: maximum ticks the async dispatch queue may run
+#: ahead of the last known device->host readback before the sim thread
+#: forces a scalar sync. The bound keeps a UI framebuffer transfer from
+#: waiting behind an unbounded backlog of enqueued steps, but a PER-TICK
+#: sync serializes dispatch with the device round-trip — chip-measured
+#: at N=1M (logs/r4w3_r4_engine_auto.log): the PM tick under an
+#: actively-sampling frontend ran 696 ms against a 188 ms step, most of
+#: it readback/transfer latency. A consumer materializing a snapshot
+#: handle (Exchange.sample) drains the queue itself and is credited via
+#: Exchange.synced_tick, so an actively-sampled loop normally never pays
+#: the sim-thread readback at all; headless/unsampled loops sync every
+#: SYNC_EVERY ticks as before.
 SYNC_EVERY: int = 8
 #: Length of the per-body position trail ring buffer (constants.rs:22-23).
 TRAIL_MAX_LENGTH: int = 5

@@ -61,6 +61,15 @@ class Exchange:
         self._tick = 0
         self._delta = delta
         self._pending = None  # (device handle, tick, wire) — store_pending
+        # Highest tick through which the device dispatch queue is known
+        # drained (a host readback completed for work enqueued at or
+        # after that tick). Written by sample()'s materialization and by
+        # the sim thread's own SYNC_EVERY scalar readback; read by the
+        # sim loop to SKIP that readback while a frontend is actively
+        # sampling — the snapshot transfer is itself a queue drain, so
+        # the extra round trip (~67 ms/tick amortized at N=1M on the
+        # tunneled chip) would be pure overhead.
+        self._synced_tick = 0
 
     # --- dt (batch_request.rs:27-33) ---
     def delta(self) -> float:
@@ -129,9 +138,27 @@ class Exchange:
                 snap = _snapshot_finish(handle, wire)
             self.store(snap, tick)
         with self._lock:
+            if pending is not None:
+                # materializing the handle drained the dispatch queue up
+                # to its capture tick — credit it as a sync so the sim
+                # thread can skip its own readback (see note_synced)
+                self._synced_tick = max(self._synced_tick, pending[1])
             out = self._sample.copy()
             self._should_sample = True
         return out
+
+    def synced_tick(self) -> int:
+        """Latest tick through which a host readback is known to have
+        drained the device dispatch queue (consumer materializations and
+        sim-thread syncs both count)."""
+        with self._lock:
+            return self._synced_tick
+
+    def note_synced(self, tick: int):
+        """Record a queue-draining host readback at ``tick`` (called by
+        the sim thread after its SYNC_EVERY scalar readback)."""
+        with self._lock:
+            self._synced_tick = max(self._synced_tick, tick)
 
     def current_ticks(self) -> int:
         """Tick counter for progress displays. Includes a pending
@@ -264,14 +291,18 @@ def run_sim_loop(
                     structure = None  # cached tree structure is stale too
                     if on_merge is not None:
                         on_merge(np.asarray(radii_dev, np.float32))
-            # Scalar readback every SYNC_EVERY ticks: bounds the async
-            # dispatch queue (so a later framebuffer transfer from the UI
-            # thread never sits behind an unbounded backlog of enqueued
-            # steps) without serializing every dispatch against a device
-            # round-trip — per-tick sync cost ~3.7x the PM step itself on
-            # the tunneled chip (constants.SYNC_EVERY has the numbers).
-            if tick % constants.SYNC_EVERY == 0:
+            # Queue bound: if nothing has drained the async dispatch
+            # queue for SYNC_EVERY ticks, pay one scalar readback (so a
+            # later framebuffer transfer from the UI thread never sits
+            # behind an unbounded backlog of enqueued steps). A frontend
+            # that samples at frame rate drains the queue through its own
+            # snapshot materializations (Exchange.sample credits them),
+            # so the interactive path normally never pays this — on the
+            # tunneled chip the round trip costs ~3.7x the N=1M PM step
+            # even for a scalar (constants.SYNC_EVERY has the numbers).
+            if tick - exchange.synced_tick() >= constants.SYNC_EVERY:
                 np.asarray(state.pos[0, 0])
+                exchange.note_synced(tick)
             if exchange.should_store():
                 # capture the post-batch positions on device (cheap async
                 # copy/quantize) and hand the HANDLE to the exchange; the

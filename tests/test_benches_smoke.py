@@ -39,6 +39,7 @@ SMOKE_SCRIPTS = [
     os.path.join("benches", "r3_tree2_prof.py"),
     os.path.join("benches", "r3_treepm.py"),
     os.path.join("benches", "r4_engine_auto.py"),
+    os.path.join("benches", "r4_engine_sync.py"),
     os.path.join("benches", "r4_fftmm.py"),
     os.path.join("benches", "r4_fused_1m.py"),
     os.path.join("benches", "r4_multirate.py"),

@@ -40,6 +40,28 @@ def test_exchange_store_sample_roundtrip():
     assert ex.current_ticks() == 17
 
 
+def test_exchange_sync_credit():
+    # The queue-bound accounting: a consumer materializing a pending
+    # device-side handle drains the dispatch queue up to the handle's
+    # tick, so sample() credits it to synced_tick and the sim thread's
+    # own SYNC_EVERY scalar readback is skipped while a frontend is
+    # actively sampling. note_synced records the sim thread's readback.
+    ex = Exchange(3)
+    assert ex.synced_tick() == 0
+    handle = jnp.arange(9, dtype=jnp.float32).reshape(3, 3)
+    ex.store_pending(handle, tick=12, wire="f32")
+    ex.sample()
+    assert ex.synced_tick() == 12
+    ex.note_synced(20)
+    assert ex.synced_tick() == 20
+    # monotone: stale credits never move it backwards
+    ex.note_synced(5)
+    assert ex.synced_tick() == 20
+    ex.store_pending(handle, tick=7, wire="f32")
+    ex.sample()
+    assert ex.synced_tick() == 20
+
+
 def test_run_sim_loop_stops_on_token():
     sim, state, _ = _sim_and_state()
     ex = Exchange(64, delta=1e-3)
