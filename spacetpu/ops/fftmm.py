@@ -76,12 +76,18 @@ def _tables(m: int, dtype):
 
 
 def _fwd_real_last(x, m: int):
-    """rDFT along the last axis: real (..., m) -> ((..., mh), (..., mh))
+    """rDFT along the last axis: real (..., n) -> ((..., mh), (..., mh))
     with mh = m//2 + 1, matching np.fft.rfft (negative-frequency rows
-    dropped by Hermitian symmetry). F = exp(-i theta) = C - i S."""
+    dropped by Hermitian symmetry). F = exp(-i theta) = C - i S.
+
+    The input may be SHORTER than ``m`` along the last axis (n < m): the
+    table is sliced to the first n source columns, equivalent to
+    zero-padding the input to length m (exact zeros contribute exactly
+    nothing) — the compact-mesh forward transform."""
     mh = m // 2 + 1
     c, s = _tables(m, x.dtype)
-    cf, sf = c[:mh], s[:mh]
+    n = x.shape[-1]
+    cf, sf = c[:mh, :n], s[:mh, :n]
     yr = jnp.einsum("abn,kn->abk", x, cf, precision=_PREC)
     yi = -jnp.einsum("abn,kn->abk", x, sf, precision=_PREC)
     return yr, yi
@@ -90,13 +96,26 @@ def _fwd_real_last(x, m: int):
 _AXIS_EINSUM = {0: "jk,kbc->jbc", 1: "jk,akc->ajc"}
 
 
-def _cplx_axis(yr, yi, m: int, axis: int, *, inverse: bool):
+def _cplx_axis(yr, yi, m: int, axis: int, *, inverse: bool,
+               n_src: int = None, out_rows=None):
     """Full complex DFT along ``axis`` (0 or 1) of (re, im) planes.
 
     Forward multiplies by C - iS; inverse by (C + iS)/m. Written as one
     signed form: y' = (C + i*sig*S)(yr + i*yi)*scale.
+
+    Structural-zero / partial-output slicing (the compact-mesh path):
+    ``n_src`` declares the input length along ``axis`` (the transform
+    behaves as if it were zero-padded to ``m`` — adding exact zeros, so
+    values are bit-compatible up to MXU accumulation order); ``out_rows``
+    (a host-side integer index array) restricts the OUTPUT to those
+    frequency/space rows. Both just slice the DFT tables, which are
+    symmetric, so (out, contract) orientation is preserved.
     """
     c, s = _tables(m, yr.dtype)
+    if n_src is not None:
+        c, s = c[:, :n_src], s[:, :n_src]
+    if out_rows is not None:
+        c, s = c[out_rows], s[out_rows]
     sig = 1.0 if inverse else -1.0
     scale = (1.0 / m) if inverse else 1.0
     eq = _AXIS_EINSUM[axis]
@@ -109,11 +128,13 @@ def _cplx_axis(yr, yi, m: int, axis: int, *, inverse: bool):
     return out_r, out_i
 
 
-def _inv_real_last(zr, zi, m: int):
+def _inv_real_last(zr, zi, m: int, out_rows=None):
     """irDFT along the last axis: Hermitian half spectrum (..., mh) ->
     real (..., m). x[n] = (1/m) * sum_k w_k * Re(X_k e^{+i theta_nk})
     with w = 1 at k=0 and k=m/2 (m even), 2 elsewhere — the dropped
-    negative frequencies folded into the weights."""
+    negative frequencies folded into the weights. ``out_rows`` (host-side
+    integer index array) restricts the output samples to those spatial
+    positions (the compact-mesh inverse)."""
     mh = m // 2 + 1
     c, s = _tables(m, zr.dtype)
     w = np.full(mh, 2.0)
@@ -123,6 +144,8 @@ def _inv_real_last(zr, zi, m: int):
     w = jnp.asarray(w / m, zr.dtype)[:, None]
     ci = c[:mh] * w  # (mh, m); theta table is symmetric
     si = s[:mh] * w
+    if out_rows is not None:
+        ci, si = ci[:, out_rows], si[:, out_rows]
     return (jnp.einsum("abk,kn->abn", zr, ci, precision=_PREC)
             - jnp.einsum("abk,kn->abn", zi, si, precision=_PREC))
 
@@ -142,6 +165,42 @@ def irfft3_matmul(yr, yi, m: int):
     yr, yi = _cplx_axis(yr, yi, m, 1, inverse=True)
     yr, yi = _cplx_axis(yr, yi, m, 0, inverse=True)
     return _inv_real_last(yr, yi, m)
+
+
+def rfft3_matmul_compact(x, m: int):
+    """Forward transform of a real (n, n, n) mesh regarded as the corner
+    of a zero-padded (m, m, m) mesh (n <= m) -> (re, im) planes of shape
+    (m, m, m//2+1). Contractions run over the n occupied source slots
+    only — the structural-zero padding never costs a MAC or a byte."""
+    n = x.shape[-1]
+    yr, yi = _fwd_real_last(x, m)
+    yr, yi = _cplx_axis(yr, yi, m, 0, inverse=False, n_src=n)
+    yr, yi = _cplx_axis(yr, yi, m, 1, inverse=False, n_src=n)
+    return yr, yi
+
+
+def irfft3_matmul_rows(yr, yi, m: int, rows):
+    """Inverse of :func:`rfft3_matmul`, evaluated ONLY at the spatial
+    positions ``rows`` (host-side integer index array) along every axis
+    -> real (len(rows),)^3. The restriction just slices the inverse DFT
+    tables, so each produced sample is the exact full-inverse value."""
+    yr, yi = _cplx_axis(yr, yi, m, 1, inverse=True, out_rows=rows)
+    yr, yi = _cplx_axis(yr, yi, m, 0, inverse=True, out_rows=rows)
+    return _inv_real_last(yr, yi, m, out_rows=rows)
+
+
+def potential_ext_matmul(mesh_c, kernel_hat, grid: int, rows):
+    """Compact-mesh Poisson solve: forward-transform the (G+1)^3 compact
+    mass mesh as the corner of the doubled mesh, multiply by the real
+    kernel spectrum, inverse-transform only at the ``rows`` window the
+    gradient/gather stage reads (pm.ext_rows: [-1 .. G+1] min-image
+    wrapped). Roughly halves the MACs of every one of the six transform
+    passes relative to the full doubled-mesh transform."""
+    m = 2 * grid
+    yr, yi = rfft3_matmul_compact(mesh_c, m)
+    yr = yr * kernel_hat
+    yi = yi * kernel_hat
+    return irfft3_matmul_rows(yr, yi, m, rows)
 
 
 def potential_mesh_matmul(mass_mesh, kernel_hat, grid: int):

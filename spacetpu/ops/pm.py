@@ -184,6 +184,79 @@ def deposit_cic(pos, mass, *, box_min, inv_h, grid: int):
     return mesh.reshape(g2, g2, g2)
 
 
+def deposit_cic_compact(pos, mass, *, box_min, inv_h, grid: int):
+    """Scatter-add masses onto the COMPACT occupied corner of the doubled
+    mesh -> (G+1, G+1, G+1).
+
+    CIC corners land in [0, grid] per axis (``_cic``'s clamp), so the
+    rest of the (2G)^3 Hockney-Eastwood mesh is structural zero — never
+    materializing it makes the scatter target 8x smaller (locality), the
+    body-sharded psum payload 8x smaller (ICI), and lets the matmul-DFT
+    forward transform contract over occupied slots only (flops). The full
+    :func:`deposit_cic` remains as the oracle form (equivalence tested).
+    """
+    gc = grid + 1
+    i0, f = _cic(pos, box_min, inv_h, grid)
+    mesh = jnp.zeros((gc * gc * gc,), mass.dtype)
+    for (dx, dy, dz), w in _corner_weights(f):
+        lin = ((i0[:, 0] + dx) * gc + (i0[:, 1] + dy)) * gc + (i0[:, 2] + dz)
+        mesh = mesh.at[lin].add(mass * w)
+    return mesh.reshape(gc, gc, gc)
+
+
+def ext_rows(grid: int) -> np.ndarray:
+    """Doubled-mesh node indices of the extended potential window
+    [-1 .. G+1] (min-image wrapped: -1 == 2G-1): every sample the
+    central-difference gradient at the gatherable cells [0 .. G] reads.
+    Extended index e maps to mesh node e-1."""
+    return np.concatenate(([2 * grid - 1], np.arange(grid + 2)))
+
+
+def potential_ext(mesh_c, kernel_hat, grid: int, *, method: str = None):
+    """Poisson solve of a COMPACT (G+1)^3 mass mesh, returning phi on the
+    extended window ext_rows x ext_rows x ext_rows -> (G+3, G+3, G+3).
+
+    matmul method: compact transforms end to end (ops/fftmm.py — the
+    padding never costs a MAC). fft method: zero-pad to the doubled mesh
+    for jnp.fft, then slice the window out (CPU path; jnp.fft is fine
+    there)."""
+    rows = ext_rows(grid)
+    if fft_method(method) == "matmul":
+        from spacetpu.ops import fftmm
+        return fftmm.potential_ext_matmul(mesh_c, kernel_hat, grid, rows)
+    g2 = 2 * grid
+    gc = grid + 1
+    full = jnp.zeros((g2, g2, g2), mesh_c.dtype)
+    full = full.at[:gc, :gc, :gc].set(mesh_c)
+    phi = jnp.fft.irfftn(jnp.fft.rfftn(full) * kernel_hat, s=(g2, g2, g2))
+    return phi[rows][:, rows][:, :, rows]
+
+
+def acc_from_mesh_compact(pos, mesh_c, *, kernel_hat, box_min, inv_h,
+                          grid: int):
+    """Solve + gather from a COMPACT (G+1)^3 mass mesh (the production
+    path; :func:`acc_from_mesh` is the full-mesh oracle). The gradient is
+    built only at the gatherable cells [0 .. G]^3 from the extended
+    potential window — slices instead of full-mesh rolls."""
+    phi_e = potential_ext(mesh_c, kernel_hat, grid)  # origin at node -1
+    half_inv = 0.5 * inv_h
+    gc = grid + 1
+    lo, mid, hi = slice(0, gc), slice(1, gc + 1), slice(2, gc + 2)
+    # a = -grad phi; central difference: a[i] = (phi[i-1] - phi[i+1])/(2h)
+    grads = jnp.stack(
+        [(phi_e[lo, mid, mid] - phi_e[hi, mid, mid]) * half_inv,
+         (phi_e[mid, lo, mid] - phi_e[mid, hi, mid]) * half_inv,
+         (phi_e[mid, mid, lo] - phi_e[mid, mid, hi]) * half_inv],
+        axis=-1,
+    ).reshape(-1, 3)  # ((G+1)^3, 3)
+    i0, f = _cic(pos, box_min, inv_h, grid)
+    acc = jnp.zeros_like(pos)
+    for (dx, dy, dz), w in _corner_weights(f):
+        lin = ((i0[:, 0] + dx) * gc + (i0[:, 1] + dy)) * gc + (i0[:, 2] + dz)
+        acc = acc + w[:, None] * grads[lin]
+    return acc
+
+
 def potential_mesh(mass_mesh, kernel_hat, grid: int, *, method: str = None):
     """phi = F^-1(F(mass) * K_hat) on the doubled mesh (circular
     convolution == open convolution under the min-image kernel).
@@ -235,10 +308,10 @@ def acc_pm(pos, mass, *, kernel_hat, box_min, h, grid: int):
     dt_r = pos.dtype
     box_min = jnp.asarray(box_min, dt_r)
     inv_h = 1.0 / jnp.asarray(h, dt_r)
-    mesh = deposit_cic(pos, jnp.asarray(mass, dt_r), box_min=box_min,
-                       inv_h=inv_h, grid=grid)
-    return acc_from_mesh(pos, mesh, kernel_hat=kernel_hat, box_min=box_min,
-                         inv_h=inv_h, grid=grid)
+    mesh = deposit_cic_compact(pos, jnp.asarray(mass, dt_r),
+                               box_min=box_min, inv_h=inv_h, grid=grid)
+    return acc_from_mesh_compact(pos, mesh, kernel_hat=kernel_hat,
+                                 box_min=box_min, inv_h=inv_h, grid=grid)
 
 
 def pm_self_kernel(h: float, *, eps: float = 0.0, g: float = None) -> float:
@@ -262,12 +335,15 @@ def potential_energy_pm(pos, mass, *, kernel_hat, box_min, h, grid: int,
     mass = jnp.asarray(mass, dt_r)
     box_min = jnp.asarray(box_min, dt_r)
     inv_h = 1.0 / jnp.asarray(h, dt_r)
-    mesh = deposit_cic(pos, mass, box_min=box_min, inv_h=inv_h, grid=grid)
-    phi = potential_mesh(mesh, kernel_hat, grid).reshape(-1)
-    g2 = 2 * grid
+    mesh = deposit_cic_compact(pos, mass, box_min=box_min, inv_h=inv_h,
+                               grid=grid)
+    gc = grid + 1
+    # phi at the gatherable cells [0..G]^3: extended-window indices 1..G+1
+    phi = potential_ext(mesh, kernel_hat, grid)[1:gc + 1, 1:gc + 1,
+                                                1:gc + 1].reshape(-1)
     i0, f = _cic(pos, box_min, inv_h, grid)
     phi_i = jnp.zeros_like(mass)
     for (dx, dy, dz), w in _corner_weights(f):
-        lin = ((i0[:, 0] + dx) * g2 + (i0[:, 1] + dy)) * g2 + (i0[:, 2] + dz)
+        lin = ((i0[:, 0] + dx) * gc + (i0[:, 1] + dy)) * gc + (i0[:, 2] + dz)
         phi_i = phi_i + w * phi[lin]
     return 0.5 * (jnp.sum(mass * phi_i) - k0 * jnp.sum(mass * mass))

@@ -87,11 +87,14 @@ class ShardedPMSimulation:
         dt_r = pos_l.dtype
         box_min = jnp.asarray(p["box_min"], dt_r)
         inv_h = jnp.asarray(1.0 / p["h"], dt_r)
-        mesh_l = pm.deposit_cic(pos_l, mass_l, box_min=box_min, inv_h=inv_h,
-                                grid=self.grid)
+        # COMPACT (G+1)^3 deposit: the psum payload is 8x smaller than
+        # the doubled mesh (structural zeros never ride the ICI)
+        mesh_l = pm.deposit_cic_compact(pos_l, mass_l, box_min=box_min,
+                                        inv_h=inv_h, grid=self.grid)
         mesh_g = jax.lax.psum(mesh_l, AXIS)
-        return pm.acc_from_mesh(pos_l, mesh_g, kernel_hat=kernel_hat,
-                                box_min=box_min, inv_h=inv_h, grid=self.grid)
+        return pm.acc_from_mesh_compact(pos_l, mesh_g, kernel_hat=kernel_hat,
+                                        box_min=box_min, inv_h=inv_h,
+                                        grid=self.grid)
 
     def _build_jits(self):
         stepper = self._stepper

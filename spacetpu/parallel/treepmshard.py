@@ -91,14 +91,17 @@ def _treepm_acc(pos_l, mass_l, kernel_hat, *, axis: str, pm_cal: dict,
     box_min = jnp.asarray(pm_cal["box_min"], dtype)
     inv_h = jnp.asarray(1.0 / pm_cal["h"], dtype)
     grid = pm_cal["grid"]
-    mesh_l = pm_ops.deposit_cic(pos_l, mass_l, box_min=box_min,
-                                inv_h=inv_h, grid=grid)
+    # COMPACT (G+1)^3 deposit: the psum payload is 8x smaller than the
+    # doubled mesh (structural zeros never ride the ICI)
+    mesh_l = pm_ops.deposit_cic_compact(pos_l, mass_l, box_min=box_min,
+                                        inv_h=inv_h, grid=grid)
     mesh_g = jax.lax.psum(mesh_l, axis)
     # kernel_hat is a traced ARGUMENT (replicated through the jits) —
     # a closed-over table would inline into the serialized HLO as a
     # literal (269 MB at grid=256, overflowing compile-RPC limits)
-    acc = pm_ops.acc_from_mesh(pos_l, mesh_g, kernel_hat=kernel_hat,
-                               box_min=box_min, inv_h=inv_h, grid=grid)
+    acc = pm_ops.acc_from_mesh_compact(pos_l, mesh_g, kernel_hat=kernel_hat,
+                                       box_min=box_min, inv_h=inv_h,
+                                       grid=grid)
 
     # short range over the halo pool (erf-complement pair tiles)
     p = pool_pos_g.shape[0]

@@ -43,6 +43,7 @@ SMOKE_SCRIPTS = [
     os.path.join("benches", "r4_fftmm.py"),
     os.path.join("benches", "r4_fused_1m.py"),
     os.path.join("benches", "r4_multirate.py"),
+    os.path.join("benches", "r4_pm_compact.py"),
     os.path.join("benches", "r4_scorecard.py"),
     os.path.join("benches", "r4_scorecard_1k.py"),
     os.path.join("benches", "r4_scorecard_plummer_tree.py"),

@@ -84,6 +84,74 @@ def test_accuracy_vs_direct_on_cloud():
     assert np.quantile(rel, 0.9) < 0.25
 
 
+def test_compact_deposit_matches_full_oracle():
+    # The compact (G+1)^3 deposit IS the occupied corner of the doubled
+    # mesh; everything outside it is structural zero.
+    pos, mass = _plummer_cloud(513, seed=7)
+    p = _grid_setup(pos, grid=16)
+    box_min = jnp.asarray(p["box_min"], jnp.float64)
+    inv_h = 1.0 / p["h"]
+    full = np.asarray(pm.deposit_cic(
+        jnp.asarray(pos), jnp.asarray(mass), box_min=box_min, inv_h=inv_h,
+        grid=16))
+    comp = np.asarray(pm.deposit_cic_compact(
+        jnp.asarray(pos), jnp.asarray(mass), box_min=box_min, inv_h=inv_h,
+        grid=16))
+    np.testing.assert_array_equal(comp, full[:17, :17, :17])
+    occupied = full[:17, :17, :17].sum()
+    np.testing.assert_allclose(full.sum(), occupied)  # nothing outside
+
+
+@pytest.mark.parametrize("method", ["fft", "matmul"])
+def test_compact_acc_matches_full_oracle(method):
+    # The production compact pipeline (compact deposit -> sliced-table
+    # transform -> windowed gradient/gather) must reproduce the full
+    # doubled-mesh pipeline: identical math, structural zeros skipped.
+    pos, mass = _plummer_cloud(513, seed=8)
+    p = _grid_setup(pos, grid=16)
+    box_min = jnp.asarray(p["box_min"], jnp.float64)
+    inv_h = 1.0 / p["h"]
+    pj, mj = jnp.asarray(pos), jnp.asarray(mass)
+    full_mesh = pm.deposit_cic(pj, mj, box_min=box_min, inv_h=inv_h, grid=16)
+    # full-mesh oracle path, forced through the requested transform
+    old = pm.PM_FFT_METHOD
+    try:
+        pm.PM_FFT_METHOD = method
+        ref = np.asarray(pm.acc_from_mesh(
+            pj, full_mesh, kernel_hat=p["kernel_hat"], box_min=box_min,
+            inv_h=inv_h, grid=16))
+        comp_mesh = pm.deposit_cic_compact(pj, mj, box_min=box_min,
+                                           inv_h=inv_h, grid=16)
+        got = np.asarray(pm.acc_from_mesh_compact(
+            pj, comp_mesh, kernel_hat=p["kernel_hat"], box_min=box_min,
+            inv_h=inv_h, grid=16))
+    finally:
+        pm.PM_FFT_METHOD = old
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-12 * scale)
+
+
+def test_potential_ext_window_matches_full():
+    # phi on the extended window [-1..G+1]^3 equals the full doubled-mesh
+    # solve sampled at those (min-image wrapped) nodes, for both methods.
+    rng = np.random.default_rng(11)
+    grid = 8
+    mesh_c = jnp.asarray(rng.uniform(size=(grid + 1,) * 3))
+    kern = pm.pm_kernel_hat(grid, h=0.5, eps=0.0, g=1.0, dtype=jnp.float64)
+    g2 = 2 * grid
+    full = jnp.zeros((g2, g2, g2), jnp.float64)
+    full = full.at[:grid + 1, :grid + 1, :grid + 1].set(mesh_c)
+    rows = pm.ext_rows(grid)
+    for method in ("fft", "matmul"):
+        phi_full = np.asarray(pm.potential_mesh(full, kern, grid,
+                                                method=method))
+        ref = phi_full[rows][:, rows][:, :, rows]
+        got = np.asarray(pm.potential_ext(mesh_c, kern, grid,
+                                          method=method))
+        np.testing.assert_allclose(got, ref, rtol=0,
+                                   atol=1e-10 * np.abs(ref).max())
+
+
 def test_out_of_box_count():
     pos, mass = _plummer_cloud(64, seed=1)
     p = _grid_setup(pos, grid=32, margin=1.5)
