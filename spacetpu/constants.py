@@ -82,6 +82,15 @@ MESH_RESOLVE_MASS_FRAC: float = 0.1
 MESH_INTERACTIVE_GRID_MAX: int = 256
 #: Default Barnes-Hut opening angle theta (constants.rs:29-30).
 BARNES_HUT_THETA: float = 0.3
+#: Opening angle for the interactive AUTO tree tier (make_engine_for when
+#: --theta is not given). Our quadrupole far field at theta=0.4 with
+#: adaptive clusters measures LOWER med/p90 force error than the
+#: reference's monopole octree at its default theta=0.3 on plummer and
+#: colliding clouds (med 3.6e-4 vs 1.3e-3; p99 within 1.8x — CPU f64
+#: probe vs exact, tools/probes/_theta_parity_probe.py), while the near
+#: volume (1+1/theta)^3 is ~1.9x smaller. Pinned solvers (--algorithm
+#: tree, --theta given) keep reference parity at 0.3.
+INTERACTIVE_TREE_THETA: float = 0.4
 
 # --- Time formatting (sim/mod.rs:129-133) ---
 SEC_PER_HOUR: float = 60.0 * 60.0

@@ -444,7 +444,7 @@ def make_engine_for(
     *,
     delta: float = constants.DELTA,
     cutoff: int = constants.BARNES_HUT_CUTOFF,
-    theta: float = constants.BARNES_HUT_THETA,
+    theta: Optional[float] = None,
     engine_kwargs: Optional[dict] = None,
     **sim_kwargs,
 ) -> SimEngine:
@@ -461,8 +461,17 @@ def make_engine_for(
     --algorithm) to pin a solver. The active solver is surfaced via
     SimEngine.algorithm and Simulation.health()['algorithm'].
     engine_kwargs are forwarded to SimEngine (merge_every/radii for
-    collision merging)."""
+    collision merging).
+
+    theta=None resolves to constants.INTERACTIVE_TREE_THETA (0.4): with
+    the quadrupole far field + adaptive clusters the auto tree tier
+    measures LOWER med/p90 force error than the reference's monopole
+    octree at its own 0.3 default (probe numbers on the constant) for
+    ~1.9x less near work — pass theta explicitly to pin (build_engine
+    forwards --theta)."""
     n = scene_state.n
+    if theta is None:
+        theta = constants.INTERACTIVE_TREE_THETA
     substeps = sim_kwargs.get("substeps", 1)
     pm_grid = None
     if (n > constants.MESH_SOLVER_CUTOFF

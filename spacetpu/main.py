@@ -23,7 +23,7 @@ from spacetpu.io import checkpoint
 from spacetpu.models import presets
 from spacetpu.sim import make_simulation
 from spacetpu.state import Scene, State
-from spacetpu.utils.config import RunConfig, parse_args
+from spacetpu.utils.config import RunConfig, parse_args, resolved_theta
 
 
 def build_scene(cfg: RunConfig) -> Scene:
@@ -121,7 +121,8 @@ def _resolve_auto_substeps(cfg: RunConfig, scene: Scene, state: State) -> State:
     probe = make_simulation(
         state.n, algorithm=cfg.algorithm, backend=cfg.backend,
         integrator=cfg.integrator, softening=cfg.softening, eps=cfg.eps,
-        theta=cfg.theta, g=scene.g, multipole_order=cfg.multipole_order,
+        theta=resolved_theta(cfg.theta), g=scene.g,
+        multipole_order=cfg.multipole_order,
         **kw,
     )
     state = probe.prime(state)
@@ -155,7 +156,8 @@ def build_engine(cfg: RunConfig, scene: Scene, state: State) -> SimEngine:
     sim = make_simulation(
         state.n, algorithm=cfg.algorithm, backend=cfg.backend,
         integrator=cfg.integrator, softening=cfg.softening, eps=cfg.eps,
-        theta=cfg.theta, g=scene.g, multipole_order=cfg.multipole_order,
+        theta=resolved_theta(cfg.theta), g=scene.g,
+        multipole_order=cfg.multipole_order,
         **_cfg_tree_kwargs(cfg),
     )
     return SimEngine(sim, state, delta=cfg.dt, **merge_kw)
@@ -212,7 +214,8 @@ def _run_headless_sharded(cfg: RunConfig, scene: Scene, state: State):
                   "tree only; the sharded tree uses LEAF-body equal-count "
                   "clusters", flush=True)
         sim = tree2.ShardedTreeSimulation(
-            mesh, n_pad, theta=cfg.theta, softening=cfg.softening,
+            mesh, n_pad, theta=resolved_theta(cfg.theta),
+            softening=cfg.softening,
             eps=cfg.eps, g=scene.g, integrator=cfg.integrator,
             backend=cfg.backend, multipole_order=cfg.multipole_order,
             far_levels=cfg.far_levels, near_mode=cfg.near_mode,
@@ -348,7 +351,8 @@ def run_headless(cfg: RunConfig, scene: Scene, state: State):
     sim = make_simulation(
         state.n, algorithm=cfg.algorithm, backend=cfg.backend,
         integrator=cfg.integrator, softening=cfg.softening, eps=cfg.eps,
-        theta=cfg.theta, g=scene.g, multipole_order=cfg.multipole_order,
+        theta=resolved_theta(cfg.theta), g=scene.g,
+        multipole_order=cfg.multipole_order,
         **_cfg_tree_kwargs(cfg),
     )
     state = sim.prime(state)

@@ -27,7 +27,8 @@ class RunConfig:
     integrator: str = "leapfrog"
     softening: str = "plummer"
     eps: Optional[float] = None
-    theta: float = constants.BARNES_HUT_THETA
+    theta: Optional[float] = None  # None = solver-tier default (see
+    # resolved_theta: 0.3 reference parity pinned / 0.4 interactive auto)
     multipole_order: str = "auto"  # 1 | 2 | auto
     k_near: str = "default"  # default | auto | <int>: tree near-list cap
     near_mode: str = "auto"  # auto | pairs | strip: tree near-phase kernel
@@ -80,6 +81,13 @@ class RunConfig:
         return RunConfig(**json.loads(s))
 
 
+def resolved_theta(theta: Optional[float]) -> float:
+    """Opening angle for PINNED-solver contexts: the user's value, else
+    reference parity (constants.rs:30). The interactive auto tier resolves
+    None to constants.INTERACTIVE_TREE_THETA instead (make_engine_for)."""
+    return constants.BARNES_HUT_THETA if theta is None else float(theta)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="spacetpu",
@@ -109,7 +117,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eps", type=float, default=None,
                    help="softening length (default: law-specific)")
     p.add_argument("--theta", type=float, default=d.theta,
-                   help="tree opening angle")
+                   help="tree opening angle (default: 0.3 reference-parity"
+                        " for pinned solvers, 0.4 quad for the interactive"
+                        " auto tier — see constants.INTERACTIVE_TREE_THETA)")
     p.add_argument("--multipole-order", default=d.multipole_order,
                    choices=["1", "2", "auto"],
                    help="tree far-field order (2 = +quadrupole)")

@@ -114,6 +114,30 @@ def test_make_engine_for_auto_select():
     assert eng2.sim.config.algorithm == "tree"
 
 
+def test_make_engine_for_interactive_theta():
+    """The auto tree tier defaults to INTERACTIVE_TREE_THETA (0.4): quad
+    + adaptive clusters at 0.4 measure LOWER med/p90 force error than the
+    reference octree at its 0.3 default for ~1.9x less near work
+    (tools/probes/_theta_parity_probe.py). Explicit theta pins; pinned
+    CLI solvers resolve to reference parity 0.3."""
+    from spacetpu import constants as C
+    from spacetpu.utils.config import resolved_theta
+
+    scene_big = presets.random_cluster(1100, seed=1)
+    eng = make_engine_for(scene_big.state(dtype=jnp.float32), backend="xla",
+                          g=1.0, softening="plummer", eps=1e-2)
+    assert eng.sim.config.algorithm == "tree"
+    assert eng.sim.config.theta == C.INTERACTIVE_TREE_THETA
+
+    eng2 = make_engine_for(scene_big.state(dtype=jnp.float32), theta=0.7,
+                           backend="xla", g=1.0, softening="plummer",
+                           eps=1e-2)
+    assert eng2.sim.config.theta == 0.7
+
+    assert resolved_theta(None) == C.BARNES_HUT_THETA
+    assert resolved_theta(0.55) == 0.55
+
+
 def test_make_engine_for_mesh_tier(monkeypatch):
     """Above MESH_SOLVER_CUTOFF the interactive auto-select picks the PM
     solver (round-4: 145 ms vs 364 ms/tick at N=1M on chip), surfaces the
