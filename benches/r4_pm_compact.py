@@ -94,55 +94,36 @@ for grid in GRIDS:
     t_sol_f = timeit("solve full matmul", solve_full, mesh_f, kern)
     t_sol_c = timeit("solve compact matmul", solve_comp, mesh_c, kern)
 
-    # The FULL (2G)^3 gradient/gather pipeline at grid>=256 is the
-    # known-bad configuration the compact path replaces: its XLA program
-    # exceeds the remote compile helper's request-body limit (HTTP 413,
-    # logs/r4w20_r4_pm_compact.log; pre-fftmm it OOM'd at 16.5 GB). Only
-    # the compact side runs there — the full side is recorded as absent.
-    full_ok = grid < 256 or jax.devices()[0].platform != "tpu"
-
-    gat_comp = jax.jit(functools.partial(
-        pm_ops.acc_from_mesh_compact, kernel_hat=kern, box_min=box_min,
-        inv_h=inv_h, grid=grid))
-    t_gat_f = None
-    if full_ok:
-        gat_full = jax.jit(functools.partial(
-            pm_ops.acc_from_mesh, kernel_hat=kern, box_min=box_min,
-            inv_h=inv_h, grid=grid))
-        t_gat_f = timeit("solve+grad+gather full", gat_full, pos, mesh_f)
-    else:
-        print("  solve+grad+gather full        SKIPPED (512^3 program "
-              "exceeds the compile helper's body limit — the compact "
-              "path's raison d'etre)", flush=True)
-    t_gat_c = timeit("solve+grad+gather compact", gat_comp, pos, mesh_c)
+    # kernel_hat rides as a TRACED ARGUMENT of every jit below, never a
+    # functools.partial closure: a closed-over table inlines into the
+    # HLO as a literal and the grid=256 program text then exceeds the
+    # remote compile helper's request-body limit (HTTP 413 — both the
+    # r4w20 run and the first r5w1 rerun died on this; the production
+    # path threads it the same way via Simulation._jit_consts).
+    gat_full = jax.jit(lambda p, m, k: pm_ops.acc_from_mesh(
+        p, m, kernel_hat=k, box_min=box_min, inv_h=inv_h, grid=grid))
+    gat_comp = jax.jit(lambda p, m, k: pm_ops.acc_from_mesh_compact(
+        p, m, kernel_hat=k, box_min=box_min, inv_h=inv_h, grid=grid))
+    t_gat_f = timeit("solve+grad+gather full", gat_full, pos, mesh_f, kern)
+    t_gat_c = timeit("solve+grad+gather compact", gat_comp, pos, mesh_c,
+                     kern)
 
     # whole-step A/B: the production acc_pm is now compact; reconstruct
     # the old full path inline for the reference side
-    def full_step(p, m):
+    def full_step(p, m, k):
         mesh = pm_ops.deposit_cic(p, m, box_min=box_min, inv_h=inv_h,
                                   grid=grid)
-        return pm_ops.acc_from_mesh(p, mesh, kernel_hat=kern,
+        return pm_ops.acc_from_mesh(p, mesh, kernel_hat=k,
                                     box_min=box_min, inv_h=inv_h, grid=grid)
 
-    acc_comp = jax.jit(functools.partial(
-        pm_ops.acc_pm, kernel_hat=kern, box_min=box_min, h=h, grid=grid))
-    t_full = None
-    if full_ok:
-        acc_full = jax.jit(full_step)
-        t_full = timeit("acc_pm full pipeline", acc_full, pos, mass)
-    else:
-        print("  acc_pm full pipeline          SKIPPED (same 512^3 "
-              "limit)", flush=True)
-    t_comp = timeit("acc_pm compact pipeline", acc_comp, pos, mass)
-    if full_ok:
-        print(f"  grid={grid}: whole-pass speedup {t_full / t_comp:.2f}x "
-              f"(deposit {t_dep_f / t_dep_c:.2f}x, solve "
-              f"{t_sol_f / t_sol_c:.2f}x, solve+gather "
-              f"{t_gat_f / t_gat_c:.2f}x)", flush=True)
-    else:
-        print(f"  grid={grid}: compact pipeline {t_comp:.2f} ms "
-              f"(deposit {t_dep_f / t_dep_c:.2f}x, solve "
-              f"{t_sol_f / t_sol_c:.2f}x vs full; full pipeline "
-              "uncompilable at this grid)", flush=True)
+    acc_full = jax.jit(full_step)
+    acc_comp = jax.jit(lambda p, m, k: pm_ops.acc_pm(
+        p, m, kernel_hat=k, box_min=box_min, h=h, grid=grid))
+    t_full = timeit("acc_pm full pipeline", acc_full, pos, mass, kern)
+    t_comp = timeit("acc_pm compact pipeline", acc_comp, pos, mass, kern)
+    print(f"  grid={grid}: whole-pass speedup {t_full / t_comp:.2f}x "
+          f"(deposit {t_dep_f / t_dep_c:.2f}x, solve "
+          f"{t_sol_f / t_sol_c:.2f}x, solve+gather "
+          f"{t_gat_f / t_gat_c:.2f}x)", flush=True)
 
 print("PM COMPACT DONE", flush=True)

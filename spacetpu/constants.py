@@ -91,6 +91,15 @@ BARNES_HUT_THETA: float = 0.3
 #: volume (1+1/theta)^3 is ~1.9x smaller. Pinned solvers (--algorithm
 #: tree, --theta given) keep reference parity at 0.3.
 INTERACTIVE_TREE_THETA: float = 0.4
+#: Mid-run solver re-check cadence for auto-selected MESH engines
+#: (make_engine_for wires it into run_sim_loop): every this-many ticks
+#: the sim thread re-checks the scene against the running solver
+#: (maybe_recalibrate + the mesh gates) and falls back to the tree tier
+#: when the calibration is degenerate. Cost per check is one telemetry
+#: readback (~one tunnel round trip, i.e. ~0.4% amortized at this
+#: cadence on a 150 ms tick); the r4w18 collapse crossed into
+#: saturation within 600 steps, so the cadence sits well under that.
+ENGINE_RECAL_EVERY: int = 400
 
 # --- Time formatting (sim/mod.rs:129-133) ---
 SEC_PER_HOUR: float = 60.0 * 60.0

@@ -220,6 +220,42 @@ def _snapshot_finish(handle, wire: str) -> np.ndarray:
     return np.asarray(handle, np.float32)
 
 
+def _recheck_solver(sim, state, fallback_factory):
+    """One mid-run solver re-check (sim loop, under DEVICE_LOCK).
+
+    Returns ``(replacement_sim_or_None, caches_stale)``. Order of
+    checks: (1) a calibration already flagged degenerate (a saturated
+    TreePM can be degenerate from prime time — the pre-check is a
+    host-side estimate); (2) the PM tier's `mesh_resolves` gate
+    re-evaluated on the evolved scene; (3) `maybe_recalibrate` for cap
+    drift, falling back iff the REBUILT calibration is degenerate —
+    r4w18 measured exactly that: a collapsing cluster recalibrating
+    into k_near ~= gg twice, step cost doubling, warning unheeded."""
+    algo = sim.config.resolved_algorithm()
+    reason = None
+    if fallback_factory is not None:
+        if getattr(sim, "degenerate", None):
+            reason = sim.degenerate
+        elif algo == "pm":
+            grid = (sim.mesh_params or {}).get("grid")
+            if grid is not None and not mesh_resolves(state, grid=grid):
+                reason = "pm-unresolved"
+    recal = False
+    if reason is None:
+        recal = sim.maybe_recalibrate(state)
+        if (recal and fallback_factory is not None
+                and getattr(sim, "degenerate", None)):
+            reason = sim.degenerate
+    if reason is not None:
+        new = fallback_factory(reason)
+        if new is not None:
+            print(f"spacetpu.engine: mid-run solver fallback {algo} -> "
+                  f"{new.config.resolved_algorithm()} (reason: {reason})",
+                  flush=True)
+            return new, True
+    return None, recal
+
+
 def run_sim_loop(
     sim: Simulation,
     state: State,
@@ -231,6 +267,9 @@ def run_sim_loop(
     radii=None,
     on_merge=None,
     snapshot_wire: str = "f32",
+    recal_every: int = 0,
+    fallback_factory=None,
+    on_swap=None,
 ) -> State:
     """The tick loop (event_loop.rs:305-327): step check_interval ticks,
     publish a snapshot iff the UI asked, re-read dt, exit on the token.
@@ -243,13 +282,30 @@ def run_sim_loop(
     measured rationale: on the tunneled backend every readback costs a
     full round trip — ~3.7x the N=1M PM step even for a scalar — so the
     sim thread must never materialize snapshots inline). The sim
-    thread's only synchronous readback is the SYNC_EVERY queue bound."""
+    thread's only synchronous readback is the SYNC_EVERY queue bound.
+
+    Mid-run solver-family fallback (round-4 verdict #2): every
+    ``recal_every`` ticks (0 = off) the loop re-checks the scene against
+    the running solver — `maybe_recalibrate` for cap drift, the
+    `mesh_resolves` gate for the PM tier — and when the rebuilt
+    calibration is DEGENERATE (`Simulation.degenerate`: a collapsing
+    scene saturating TreePM's cutoff was measured live in r4w18,
+    step cost climbing 0.85 -> 1.9 s across two futile recalibrations)
+    it swaps the whole solver family via ``fallback_factory(reason) ->
+    Simulation | None`` instead of continuing to rebuild a degenerate
+    config. The swapped-in sim is primed on the current state
+    (trajectory-continuous: pos/vel carry over, acc is recomputed) and
+    reported through ``on_swap(sim)``. The reference's analogue picks
+    the solver per scene exactly once (event_loop.rs:329-341); a
+    TPU-sized rollout lives long enough for the scene to change class.
+    """
     import time as _time
 
     if snapshot_wire not in SNAPSHOT_WIRES:
         raise ValueError(f"unknown snapshot wire {snapshot_wire!r}")
 
     tick = 0
+    last_recal_check = 0
     delta = exchange.delta()
     # Cached tree structure across ticks (tree_refresh_every > 1): rebuild
     # the sort/near lists every r ticks, step against the cache in between
@@ -300,6 +356,21 @@ def run_sim_loop(
             # so the interactive path normally never pays this — on the
             # tunneled chip the round trip costs ~3.7x the N=1M PM step
             # even for a scalar (constants.SYNC_EVERY has the numbers).
+            if recal_every and tick - last_recal_check >= recal_every:
+                last_recal_check = tick
+                new_sim, stale = _recheck_solver(sim, state,
+                                                 fallback_factory)
+                if new_sim is not None:
+                    sim = new_sim
+                    state = sim.prime(state)
+                    refresh = sim.config.tree_refresh_every
+                    use_cache = (refresh > 1 and
+                                 sim.config.resolved_algorithm()
+                                 in ("tree", "treepm"))
+                    if on_swap is not None:
+                        on_swap(sim)
+                if stale:
+                    structure = None  # recal/swap staled the cached tree
             if tick - exchange.synced_tick() >= constants.SYNC_EVERY:
                 np.asarray(state.pos[0, 0])
                 exchange.note_synced(tick)
@@ -333,9 +404,13 @@ class SimEngine:
                  delta: float = constants.DELTA,
                  check_interval: int = constants.CHECK_INTERVAL,
                  merge_every: int = 0, radii=None,
-                 snapshot_wire: str = "f32"):
+                 snapshot_wire: str = "f32",
+                 recal_every: int = 0,
+                 fallback_factory=None):
         self.sim = sim
         self._snapshot_wire = snapshot_wire
+        self._recal_every = recal_every
+        self._fallback_factory = fallback_factory
         self.exchange = Exchange(state.n, delta,
                                  initial=np.asarray(state.pos, np.float32))
         self._merge_every = merge_every
@@ -362,11 +437,18 @@ class SimEngine:
                 def on_merge(radii_np):
                     self.radii_snapshot = radii_np  # atomic reference swap
 
+                def on_swap(new_sim):
+                    # atomic reference swap: .algorithm/frontends read it
+                    self.sim = new_sim
+
                 self.final_state = run_sim_loop(
                     self.sim, self._state0, self.exchange, self._stop,
                     check_interval=self._check_interval,
                     merge_every=self._merge_every, radii=self._radii0,
                     on_merge=on_merge, snapshot_wire=self._snapshot_wire,
+                    recal_every=self._recal_every,
+                    fallback_factory=self._fallback_factory,
+                    on_swap=on_swap,
                 )
             except BaseException as e:  # noqa: BLE001 - surfaced to the UI
                 self.error = e
@@ -377,7 +459,9 @@ class SimEngine:
     @property
     def algorithm(self) -> str:
         """The solver actually ticking (telemetry for frontends/logs —
-        auto-select may have picked a mesh solver; see make_engine_for)."""
+        auto-select may have picked a mesh solver, and the mid-run
+        fallback may have swapped families since; self.sim is re-pointed
+        atomically by the sim thread on a swap)."""
         return self.sim.config.resolved_algorithm()
 
     def check_health(self):
@@ -399,6 +483,34 @@ class SimEngine:
         self.stop()
 
 
+def _scene_geometry(scene_state: State, grid: int, margin: float,
+                    mass_frac: float):
+    """Host-side (pure numpy) scene shape summary shared by the solver
+    gates: (cell size h the mesh would pick, radius around the COM
+    containing `mass_frac` of the mass). Returns None for massless
+    scenes."""
+    import numpy as np
+
+    pos = np.asarray(scene_state.pos, np.float64)
+    mass = np.asarray(scene_state.mass, np.float64)
+    if scene_state.n_active is not None:
+        k = int(scene_state.n_active)
+        pos, mass = pos[:k], mass[:k]
+    lo, hi = pos.min(axis=0), pos.max(axis=0)
+    half = max(0.5 * float((hi - lo).max()) * margin, 1e-30)
+    h = 2.0 * half / (grid - 1)  # matches pm.measure_box
+    m_tot = float(mass.sum())
+    if m_tot <= 0.0:
+        return None
+    com = (mass[:, None] * pos).sum(axis=0) / m_tot
+    r = np.linalg.norm(pos - com, axis=1)
+    order = np.argsort(r)
+    csum = np.cumsum(mass[order])
+    i = int(np.searchsorted(csum, mass_frac * m_tot))
+    r_frac = float(r[order[min(i, len(r) - 1)]])
+    return h, r_frac
+
+
 def mesh_resolves(scene_state: State, *, grid: Optional[int] = None,
                   mass_frac: float = constants.MESH_RESOLVE_MASS_FRAC,
                   margin: float = 2.0) -> bool:
@@ -413,30 +525,60 @@ def mesh_resolves(scene_state: State, *, grid: Optional[int] = None,
     stretch the box until the entire core sits inside a couple of
     cells) shows median error ~1.0, so the interactive mesh tier must
     NOT engage there."""
-    import numpy as np
-
     from spacetpu.ops import pm as pm_ops
 
-    pos = np.asarray(scene_state.pos, np.float64)
-    mass = np.asarray(scene_state.mass, np.float64)
-    if scene_state.n_active is not None:
-        k = int(scene_state.n_active)
-        pos, mass = pos[:k], mass[:k]
     if grid is None:
-        grid = pm_ops.default_grid(pos.shape[0])
-    lo, hi = pos.min(axis=0), pos.max(axis=0)
-    half = max(0.5 * float((hi - lo).max()) * margin, 1e-30)
-    h = 2.0 * half / (grid - 1)  # matches pm.measure_box
-    m_tot = float(mass.sum())
-    if m_tot <= 0.0:
+        grid = pm_ops.default_grid(scene_state.n)
+    geom = _scene_geometry(scene_state, grid, margin, mass_frac)
+    if geom is None:
         return False
-    com = (mass[:, None] * pos).sum(axis=0) / m_tot
-    r = np.linalg.norm(pos - com, axis=1)
-    order = np.argsort(r)
-    csum = np.cumsum(mass[order])
-    i = int(np.searchsorted(csum, mass_frac * m_tot))
-    r_frac = float(r[order[min(i, len(r) - 1)]])
+    h, r_frac = geom
     return h <= r_frac
+
+
+def treepm_saturates(scene_state: State, *, grid: Optional[int] = None,
+                     margin: float = 2.0) -> bool:
+    """Would TreePM's short-range cutoff cover ~the whole mass of this
+    scene? Host-side pre-check mirroring the post-calibration saturation
+    warning (sim._calibrate_treepm: measured k_near >= gg/2): when the
+    radius holding half the mass sits INSIDE r_cut = rcut_rs * rs_cells
+    * h, the cutoff near pass degenerates to all-pairs cost (measured
+    16.5 s/step at N=1M, logs/r4w2_r4_scorecard.log; r4w18 watched a
+    collapsing cluster cross this live). Used by the auto-select's
+    accuracy tier to keep clumpy scenes on the tree without paying a
+    full TreePM calibration to find out."""
+    from spacetpu.ops import treepm as treepm_ops
+
+    if grid is None:
+        grid = treepm_ops.default_grid(scene_state.n)
+    geom = _scene_geometry(scene_state, grid, margin, mass_frac=0.5)
+    if geom is None:
+        return True  # massless: no mesh source at all
+    h, r_half = geom
+    rs, rcut = treepm_ops.split_params(h, rs_cells=treepm_ops.RS_CELLS,
+                                       rcut_rs=treepm_ops.RCUT_RS)
+    return rcut >= r_half
+
+
+def resolve_interactive_theta(theta: Optional[float],
+                              softening: str = "plummer",
+                              multipole_order="auto") -> float:
+    """The theta the auto tree tier will actually run. theta=None maps
+    to constants.INTERACTIVE_TREE_THETA (0.4) ONLY when the simulation
+    will run order-2 multipoles — the accuracy probe that justified 0.4
+    (constants.INTERACTIVE_TREE_THETA docstring) measured the
+    quadrupole far field; monopole at a wider theta is strictly worse
+    than reference parity, so configs resolving to monopole (softening
+    != 'plummer' under multipole_order='auto') keep BARNES_HUT_THETA
+    (0.3). Exposed so callers probing engine behaviour (main.py's
+    --substeps auto probe) measure the SAME solver configuration the
+    engine ticks."""
+    if theta is not None:
+        return theta
+    order = (2 if softening == "plummer" else 1) \
+        if multipole_order == "auto" else int(multipole_order)
+    return (constants.INTERACTIVE_TREE_THETA if order >= 2
+            else constants.BARNES_HUT_THETA)
 
 
 def make_engine_for(
@@ -445,54 +587,91 @@ def make_engine_for(
     delta: float = constants.DELTA,
     cutoff: int = constants.BARNES_HUT_CUTOFF,
     theta: Optional[float] = None,
+    profile: str = "interactive",
     engine_kwargs: Optional[dict] = None,
     **sim_kwargs,
 ) -> SimEngine:
     """Algorithm auto-select by N, matching run_sim_loop_erased
     (event_loop.rs:329-341): tree (theta=BARNES_HUT_COEFF) iff N > cutoff,
-    else brute force — extended with an interactive mesh-solver tier the
-    reference never needed (its CPU tree tops out far below 1M bodies):
-    above constants.MESH_SOLVER_CUTOFF the engine ticks with the PM
-    solver (145 ms/step at N=1M on chip vs 364 ms for the cached tree,
-    logs/r3_pm2.log) — IF the mesh actually resolves the scene
-    (`mesh_resolves`; a Plummer core inside one cell measured median
-    force error ~1.0 on chip, logs/r4w2_r4_scorecard.log — such scenes
-    keep the tree). Pass algorithm= explicitly (build_engine does for
-    --algorithm) to pin a solver. The active solver is surfaced via
-    SimEngine.algorithm and Simulation.health()['algorithm'].
-    engine_kwargs are forwarded to SimEngine (merge_every/radii for
-    collision merging).
+    else brute force — extended with mesh-solver tiers the reference
+    never needed (its CPU tree tops out far below 1M bodies). Above
+    constants.MESH_SOLVER_CUTOFF the tier depends on `profile`:
 
-    theta=None resolves to constants.INTERACTIVE_TREE_THETA (0.4): with
-    the quadrupole far field + adaptive clusters the auto tree tier
-    measures LOWER med/p90 force error than the reference's monopole
-    octree at its own 0.3 default (probe numbers on the constant) for
-    ~1.9x less near work — pass theta explicitly to pin (build_engine
-    forwards --theta)."""
+    - ``"interactive"`` (default): the PM solver (111 ms/step at N=1M
+      grid=128 on chip vs 861 ms for the tree, logs/r4w18; tick-rate
+      2.68x the pinned tree, r4w21) — display-grade forces, med err
+      ~1.5e-2. Engages only when the mesh resolves the scene
+      (`mesh_resolves`; a Plummer core inside one cell measured median
+      force error ~1.0 on chip, logs/r4w2_r4_scorecard.log — such
+      scenes keep the tree).
+    - ``"accurate"``: TreePM at its default grid (686 ms/step at N=1M
+      grid=256 vs the tree's 861, and 4047 vs 4572 at 4M —
+      logs/r4w17_r4_treepm_largen.log — at med force delta ~8e-4), for
+      headless/batch work where force accuracy is the contract. Engages
+      only when the mesh resolves AND the short-range cutoff does not
+      saturate the scene (`treepm_saturates`; a saturated cutoff
+      degenerates to all-pairs cost, 16.5 s/step measured). Clumpy
+      scenes keep the tree.
+
+    Pass algorithm= explicitly (build_engine does for --algorithm) to
+    pin a solver. The active solver is surfaced via SimEngine.algorithm
+    and Simulation.health()['algorithm']. engine_kwargs are forwarded
+    to SimEngine (merge_every/radii for collision merging,
+    snapshot_wire).
+
+    theta=None resolves via `resolve_interactive_theta`: 0.4 with the
+    quadrupole far field (measured LOWER med/p90 force error than the
+    reference's monopole octree at its own 0.3 default for ~1.9x less
+    near work; chip tick 2225.5 vs 2992 ms at N=1M plummer, r4w21),
+    reference-parity 0.3 for monopole configs.
+
+    Mid-run fallback: the engine re-checks the scene every
+    constants.ENGINE_RECAL_EVERY ticks and swaps to the tree tier if
+    the running mesh solver degrades out of its regime (a collapsing
+    scene saturating TreePM, or PM's mesh gate flipping false) — see
+    run_sim_loop. The fallback tree runs at theta >= 0.5: the swap
+    happens on scenes measured concentrated, where theta < 0.5 risks
+    the dense-near worker-fault shape (BENCH_NOTES 'Known issue') and
+    0.5 has a chip-measured bound (med err 5.6e-5 on plummer(1M),
+    logs/r4w10)."""
     n = scene_state.n
-    if theta is None:
-        theta = constants.INTERACTIVE_TREE_THETA
+    theta = resolve_interactive_theta(
+        theta, softening=sim_kwargs.get("softening", "plummer"),
+        multipole_order=sim_kwargs.get("multipole_order", "auto"))
+    if profile not in ("interactive", "accurate"):
+        raise ValueError(f"unknown profile {profile!r}")
     substeps = sim_kwargs.get("substeps", 1)
+    algorithm = None
     pm_grid = None
     if (n > constants.MESH_SOLVER_CUTOFF
             and not (isinstance(substeps, int) and substeps > 1)):
         # multirate substeps use exact pair forces, inconsistent with the
         # mesh-softened PM law (SimConfig rejects the pair) — a multirate
-        # request keeps the tree. Grid ladder: try the default grid, then
-        # the finer tiers the matmul-DFT transform unlocked (r4w11:
-        # grid=256 compiles and steps at 228 ms at N=1M — still ~4x the
-        # tree's tick rate) — halving h admits scenes twice as
-        # concentrated before the accuracy gate trips.
-        from spacetpu.ops import pm as pm_ops
+        # request keeps the tree.
+        if profile == "accurate":
+            from spacetpu.ops import treepm as treepm_ops
 
-        ladder = sorted({pm_ops.default_grid(n),
-                         constants.MESH_INTERACTIVE_GRID_MAX})
-        for grid_c in ladder:
-            if mesh_resolves(scene_state, grid=grid_c):
-                pm_grid = grid_c
-                break
-    algorithm = ("pm" if pm_grid is not None
-                 else "tree" if n > cutoff else "direct")
+            grid_t = treepm_ops.default_grid(n)
+            if (mesh_resolves(scene_state, grid=grid_t)
+                    and not treepm_saturates(scene_state, grid=grid_t)):
+                algorithm = "treepm"
+        else:
+            # Grid ladder: try the default grid, then the finer tiers
+            # the matmul-DFT transform unlocked (r4w11: grid=256
+            # compiles and steps at 228 ms at N=1M — still ~4x the
+            # tree's tick rate) — halving h admits scenes twice as
+            # concentrated before the accuracy gate trips.
+            from spacetpu.ops import pm as pm_ops
+
+            ladder = sorted({pm_ops.default_grid(n),
+                             constants.MESH_INTERACTIVE_GRID_MAX})
+            for grid_c in ladder:
+                if mesh_resolves(scene_state, grid=grid_c):
+                    algorithm = "pm"
+                    pm_grid = grid_c
+                    break
+    if algorithm is None:
+        algorithm = "tree" if n > cutoff else "direct"
     if algorithm == "pm":
         sim_kwargs = dict(sim_kwargs, pm_grid=pm_grid)
     if algorithm != "tree":
@@ -503,4 +682,20 @@ def make_engine_for(
     else:
         sim = make_simulation(n, algorithm=algorithm, theta=theta,
                               **sim_kwargs)
-    return SimEngine(sim, scene_state, delta=delta, **(engine_kwargs or {}))
+    engine_kwargs = dict(engine_kwargs or {})
+    if algorithm in ("pm", "treepm"):
+        # the mesh tiers get the mid-run family fallback; the tree IS
+        # the fallback target and the direct solver has no failure mode
+        tree_kwargs = {k: v for k, v in sim_kwargs.items()
+                       if k not in ("pm_grid",)}
+        fb_theta = max(theta, 0.5)
+
+        def fallback_factory(reason, _n=n, _kw=tree_kwargs,
+                             _th=fb_theta):
+            return make_simulation(_n, algorithm="tree", theta=_th,
+                                   **_kw)
+
+        engine_kwargs.setdefault("recal_every",
+                                 constants.ENGINE_RECAL_EVERY)
+        engine_kwargs.setdefault("fallback_factory", fallback_factory)
+    return SimEngine(sim, scene_state, delta=delta, **engine_kwargs)

@@ -118,10 +118,24 @@ def _resolve_auto_substeps(cfg: RunConfig, scene: Scene, state: State) -> State:
     cfg.substeps = "1"  # so _cfg_tree_kwargs parses while we probe
     kw = _cfg_tree_kwargs(cfg)
     kw.update(substeps=1, fast_cap="auto")
+    # Probe the configuration the engine will ACTUALLY tick: under
+    # --algorithm auto, build_engine's make_engine_for resolves
+    # theta=None to the interactive tier's value (0.4 quad), not the
+    # pinned-solver parity 0.3 — measuring the timescale spread under a
+    # different solver config than the one that runs would skew the
+    # substep decision (round-4 advisor finding).
+    if cfg.algorithm == "auto":
+        from spacetpu.engine import resolve_interactive_theta
+
+        probe_theta = resolve_interactive_theta(
+            cfg.theta, softening=cfg.softening,
+            multipole_order=cfg.multipole_order)
+    else:
+        probe_theta = resolved_theta(cfg.theta)
     probe = make_simulation(
         state.n, algorithm=cfg.algorithm, backend=cfg.backend,
         integrator=cfg.integrator, softening=cfg.softening, eps=cfg.eps,
-        theta=resolved_theta(cfg.theta), g=scene.g,
+        theta=probe_theta, g=scene.g,
         multipole_order=cfg.multipole_order,
         **kw,
     )
@@ -148,7 +162,8 @@ def build_engine(cfg: RunConfig, scene: Scene, state: State) -> SimEngine:
                     snapshot_wire=cfg.snapshot_wire)
     if cfg.algorithm == "auto":
         return make_engine_for(
-            state, delta=cfg.dt, theta=cfg.theta, backend=cfg.backend,
+            state, delta=cfg.dt, theta=cfg.theta, profile=cfg.profile,
+            backend=cfg.backend,
             integrator=cfg.integrator, softening=cfg.softening, eps=cfg.eps,
             g=scene.g, multipole_order=cfg.multipole_order,
             engine_kwargs=merge_kw, **_cfg_tree_kwargs(cfg),

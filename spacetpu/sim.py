@@ -238,6 +238,17 @@ class Simulation:
         #: calibrated clustering choice for cluster_mode="auto" (None until
         #: calibrate() has compared the measured partitions).
         self._cluster_mode: str | None = None
+        #: set by calibrate() when the measured configuration is
+        #: DEGENERATE for this solver family — the caps are valid but the
+        #: solver is outside its efficiency/safety regime and a caller
+        #: that can switch families should (the engine's mid-run fallback
+        #: and the scorecard act on this). Values: None (healthy),
+        #: "treepm-saturated" (k_near ~ gg: the cutoff covers the scene,
+        #: pair pass degenerates to all-pairs cost — r4w18 measured the
+        #: step climbing 0.85 -> 1.9 s as a collapsing cluster crossed
+        #: this), "tree-dense-near" (measured k_near ~ gg on the TREE:
+        #: the twice-crashed r4w6 worker-fault shape).
+        self.degenerate: str | None = None
         #: PM calibration products (algorithm="pm"): box_min/h/kernel_hat.
         self._pm: dict | None = None
         # pairs/adaptive modes want measured capacities (they run with
@@ -541,6 +552,46 @@ class Simulation:
             self._k_near = m["k_near"]
         self._near_tiles = m["near_tiles"]
         self._near_tiles_q = m["near_tiles_q"]
+        # Dense-near guard (round-4 verdict #3): a MEASURED near cap that
+        # covers ~all clusters means the near phase is all-pairs-grade —
+        # and on the axon TPU runtime the shape that twice crashed the
+        # worker outright (theta=0.3 plummer at N=1M: k_near ~= gg =
+        # 3922-6400, logs/r4w6_r4_scorecard_plummer_tree.log; BENCH_NOTES
+        # "plummer x tree scorecard cell"). Flag it for family-fallback
+        # callers, warn the user, and REFUSE the exact worker-crash shape
+        # (saturated cap AND near work beyond the scan-fault tile
+        # threshold) instead of dispatching a config that kills the
+        # backend. A pinned integer k_near caps the near work by
+        # construction and is exempt. SPACETPU_ALLOW_DENSE_NEAR=1
+        # overrides the refusal (e.g. off-TPU backends, fault hunting).
+        self.degenerate = None
+        gg_run = self._gg if self._gg is not None else gg
+        if (gg_run >= 64 and not isinstance(cfg.k_near, int)
+                and (self._k_near or 0) >= gg_run // 2):
+            import os as _os
+            import warnings
+
+            self.degenerate = "tree-dense-near"
+            dense_tiles = (self._near_tiles or 0) > DENSE_TILES_SINGLE_STEP
+            msg = (
+                f"tree near lists saturate the scene: measured "
+                f"k_near={self._k_near} covers ~all {gg_run} clusters at "
+                f"theta={cfg.theta} (near work is all-pairs-grade"
+                + (f", {self._near_tiles} pair tiles" if dense_tiles else "")
+                + "). Use a wider theta (0.5 measured med err 5.6e-5 on "
+                "plummer(1M), logs/r4w10_r4_scorecard_plummer_tree.log), "
+                "adaptive clustering, or the direct solver."
+            )
+            if (dense_tiles
+                    and cfg.resolved_backend() == "pallas"
+                    and _os.environ.get("SPACETPU_ALLOW_DENSE_NEAR") != "1"):
+                raise RuntimeError(
+                    msg + " Refusing: this configuration matches the "
+                    "deterministic TPU worker-crash shape (BENCH_NOTES "
+                    "'Known issue: TPU runtime fault'); set "
+                    "SPACETPU_ALLOW_DENSE_NEAR=1 to run it anyway."
+                )
+            warnings.warn(msg, stacklevel=2)
         self._k_super = m.get("k_super")
         self._k_mid = m.get("k_mid")
         self._m1_src = m.get("m1_src_tiles")
@@ -567,6 +618,7 @@ class Simulation:
         from spacetpu.ops import pm as pm_ops
 
         cfg = self.config
+        self.degenerate = None
         grid = cfg.resolved_pm_grid()
         box_min, h = pm_ops.measure_box(state.pos, grid=grid,
                                         margin=cfg.pm_margin)
@@ -629,9 +681,11 @@ class Simulation:
             self._k_near = m["k_near"]
         # gg >= 64: at toy scales the cutoff legitimately covers the box
         # and all-pairs cost is fine — warn only where it hurts
+        self.degenerate = None
         if gg >= 64 and self._k_near >= gg // 2:
             import warnings
 
+            self.degenerate = "treepm-saturated"
             warnings.warn(
                 f"TreePM short-range cutoff saturates the scene: the "
                 f"measured near-list cap k_near={self._k_near} covers "

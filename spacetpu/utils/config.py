@@ -23,6 +23,7 @@ class RunConfig:
     n: int = 10000
     seed: int = 0
     algorithm: str = "auto"
+    profile: str = "interactive"  # auto-select tier: interactive | accurate
     backend: str = "auto"
     integrator: str = "leapfrog"
     softening: str = "plummer"
@@ -107,7 +108,21 @@ def build_parser() -> argparse.ArgumentParser:
                    help="body count for parameterized presets")
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--algorithm", default=d.algorithm,
-                   choices=["auto", "direct", "tree", "pm", "treepm"])
+                   choices=["auto", "direct", "tree", "pm", "treepm"],
+                   help="force solver. Chip-measured force-error bands at"
+                        " N=1M (vs exact all-pairs; logs in BENCH_NOTES):"
+                        " direct = exact; tree theta=0.5 quad ~ med 6e-5;"
+                        " treepm grid=256 ~ med 5e-4; pm grid=128 ~ med"
+                        " 1.5e-2 (display-grade; the interactive tier)."
+                        " auto picks by N + scene (see --profile)")
+    p.add_argument("--profile", default=d.profile,
+                   choices=["interactive", "accurate"],
+                   help="--algorithm auto tier above 500k bodies:"
+                        " 'interactive' ticks the PM mesh (med err ~1.5e-2,"
+                        " 111 ms/step at 1M) when it resolves the scene;"
+                        " 'accurate' runs TreePM (med err ~5e-4, 686"
+                        " ms/step at 1M — faster than the tree's 861)"
+                        " unless the scene saturates its cutoff")
     p.add_argument("--backend", default=d.backend,
                    choices=["auto", "xla", "pallas"])
     p.add_argument("--integrator", default=d.integrator,
@@ -176,9 +191,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="multirate fast-set capacity: 'auto' (~N/8) or an"
                         " integer body count")
     p.add_argument("--pm-grid", dest="pm_grid", default=d.pm_grid,
-                   help="particle-mesh size per axis for --algorithm pm:"
-                        " 'auto' (~N^(1/3), clamped to [32, 128]) or an"
-                        " integer (powers of two FFT fastest)")
+                   help="particle-mesh size per axis for --algorithm"
+                        " pm/treepm: 'auto' (pm ~N^(1/3) cap 128; treepm"
+                        " 2N^(1/3) cap 256) or an integer. Chip-measured"
+                        " med force error at N=1M clusters: pm 128 ~"
+                        " 1.5e-2, pm 256 ~ 8.4e-3, treepm 256 ~ 5e-4"
+                        " (logs/r4w11_r4_fftmm.log, r4w18)")
     p.add_argument("--pm-margin", dest="pm_margin", type=float,
                    default=d.pm_margin,
                    help="PM bounding-box margin factor measured at startup"

@@ -656,3 +656,215 @@ def test_make_engine_for_mesh_tier_grid_ladder(monkeypatch):
                           softening="plummer", eps=1e-2)
     assert eng.algorithm == "pm"
     assert eng.sim.config.resolved_pm_grid() == 256
+
+
+def test_resolve_interactive_theta_gates_on_multipole_order():
+    """theta=None maps to INTERACTIVE_TREE_THETA only when the tree will
+    run order-2 multipoles — the accuracy probe that justified 0.4 used
+    the quadrupole far field; monopole at a wider theta is strictly
+    worse than reference parity (round-4 advisor finding)."""
+    from spacetpu import constants as C
+    from spacetpu.engine import resolve_interactive_theta
+
+    assert resolve_interactive_theta(None) == C.INTERACTIVE_TREE_THETA
+    assert (resolve_interactive_theta(None, softening="ref")
+            == C.BARNES_HUT_THETA)  # auto order -> monopole
+    assert (resolve_interactive_theta(None, softening="ref",
+                                      multipole_order=2)
+            == C.INTERACTIVE_TREE_THETA)  # explicit quad
+    assert (resolve_interactive_theta(None, multipole_order=1)
+            == C.BARNES_HUT_THETA)
+    assert resolve_interactive_theta(0.7, softening="ref") == 0.7
+
+    scene = presets.random_cluster(1100, seed=1)
+    eng = make_engine_for(scene.state(dtype=jnp.float32), backend="xla",
+                          g=1.0, softening="ref")
+    assert eng.sim.config.theta == C.BARNES_HUT_THETA
+
+
+def test_treepm_saturates_predictor():
+    """Host-side saturation pre-check: a Plummer sphere's half-mass
+    radius sits inside r_cut (halo outliers stretch the box, the core
+    concentrates) — the config that measured 16.5 s/step all-pairs-grade
+    on chip; a quasi-uniform cloud does not."""
+    from spacetpu.engine import treepm_saturates
+
+    plum = presets.plummer_sphere(8192, seed=3)
+    assert treepm_saturates(plum.state(dtype=jnp.float32))
+    cloud = presets.random_cluster(8192, seed=3)
+    assert not treepm_saturates(cloud.state(dtype=jnp.float32))
+
+
+def test_make_engine_for_accurate_profile(monkeypatch):
+    """profile='accurate' above MESH_SOLVER_CUTOFF: TreePM when the mesh
+    resolves AND the cutoff does not saturate (it beats the tree 686 vs
+    861 ms/step at N=1M on chip, r4w17) — clumpy scenes and multirate
+    requests keep the tree, and the interactive profile still picks PM."""
+    from spacetpu import constants as C
+
+    monkeypatch.setattr(C, "MESH_SOLVER_CUTOFF", 1024)
+    cloud = presets.random_cluster(8192, seed=2)
+    st = cloud.state(dtype=jnp.float32)
+    eng = make_engine_for(st, backend="xla", g=1.0, profile="accurate",
+                          softening="plummer", eps=1e-2)
+    assert eng.algorithm == "treepm"
+    # the mesh tiers carry the mid-run fallback wiring
+    assert eng._recal_every > 0 and eng._fallback_factory is not None
+
+    plum = presets.plummer_sphere(8192, seed=2)
+    eng2 = make_engine_for(plum.state(dtype=jnp.float32), backend="xla",
+                           g=1.0, profile="accurate",
+                           softening="plummer", eps=1e-2)
+    assert eng2.algorithm == "tree"
+
+    eng3 = make_engine_for(cloud.state(dtype=jnp.float32), backend="xla",
+                           g=1.0, profile="accurate",
+                           softening="plummer", eps=1e-2, substeps=4)
+    assert eng3.algorithm == "tree"
+
+    eng4 = make_engine_for(cloud.state(dtype=jnp.float32), backend="xla",
+                           g=1.0, softening="plummer", eps=1e-2)
+    assert eng4.algorithm == "pm"
+
+    with pytest.raises(ValueError):
+        make_engine_for(st, profile="nope")
+
+
+def test_recheck_solver_swaps_on_degenerate():
+    """_recheck_solver unit: a sim whose calibration is flagged
+    degenerate is replaced via the fallback factory; healthy sims are
+    left alone (and their recalibration result propagates)."""
+    from spacetpu.engine import _recheck_solver
+
+    sim, state, _ = _sim_and_state(64)
+    state = sim.prime(state)
+    replacement, _, _ = _sim_and_state(64)
+    calls = []
+
+    def factory(reason):
+        calls.append(reason)
+        return replacement
+
+    # healthy: no swap, no factory call
+    new, stale = _recheck_solver(sim, state, factory)
+    assert new is None and calls == []
+
+    sim.degenerate = "treepm-saturated"
+    new, stale = _recheck_solver(sim, state, factory)
+    assert new is replacement and stale
+    assert calls == ["treepm-saturated"]
+
+    # factory may decline (returns None): no swap
+    sim2, state2, _ = _sim_and_state(64)
+    state2 = sim2.prime(state2)
+    sim2.degenerate = "treepm-saturated"
+    new, stale = _recheck_solver(sim2, state2, lambda r: None)
+    assert new is None
+
+
+def test_engine_midrun_family_fallback(monkeypatch):
+    """A mesh engine whose solver is degenerate migrates to the tree
+    tier mid-run with trajectory continuity (round-4 verdict #2: r4w18
+    watched a collapsing cluster saturate TreePM through two futile
+    recalibrations with nothing acting on the warning). Here the
+    degenerate flag is set at prime time (a saturated TreePM measures
+    k_near ~ gg immediately on a concentrated scene); the engine's
+    periodic recheck must swap families, keep ticking, and keep the
+    same trajectory (state carries over, acc is re-primed)."""
+    from spacetpu import constants as C
+
+    monkeypatch.setattr(C, "MESH_SOLVER_CUTOFF", 1024)
+    # concentrated-but-mesh-resolvable is hard to build tiny, so pin the
+    # treepm sim directly and wire the engine the way make_engine_for
+    # does: same fallback factory, short recheck cadence.
+    cloud = presets.random_cluster(2048, seed=5)
+    st = cloud.state(dtype=jnp.float32)
+    sim = make_simulation(2048, algorithm="treepm", backend="xla",
+                          softening="plummer", eps=1e-2, g=1.0)
+    # calibrate + prime NOW so the loop's own prime() is a no-op
+    # recalibration-wise, then force the degenerate flag — the loop must
+    # see it at its first recheck (a genuinely saturated scene sets it
+    # inside calibrate the same way; building one above gg>=64 is too
+    # heavy for a unit test)
+    st = sim.prime(st)
+
+    def factory(reason):
+        assert reason == "treepm-saturated"
+        return make_simulation(2048, algorithm="tree", theta=0.5,
+                               backend="xla", softening="plummer",
+                               eps=1e-2, g=1.0)
+
+    eng = SimEngine(sim, st, delta=1e-4, recal_every=3,
+                    fallback_factory=factory)
+    sim.degenerate = "treepm-saturated"
+    p0 = np.asarray(st.pos, np.float64).copy()
+    with eng:
+        t0 = time.time()
+        while eng.algorithm != "tree" and time.time() - t0 < 120:
+            eng.check_health()
+            time.sleep(0.02)
+        assert eng.algorithm == "tree", "engine never swapped families"
+        tick_at_swap = eng.exchange.current_ticks()
+        while (eng.exchange.current_ticks() < tick_at_swap + 3
+               and time.time() - t0 < 120):
+            eng.check_health()
+            time.sleep(0.02)
+    st1 = eng.final_state
+    assert st1 is not None
+    assert eng.sim.config.resolved_algorithm() == "tree"
+    assert bool(jnp.all(jnp.isfinite(st1.pos)))
+    # trajectory continuity: tiny dt, so the swapped-in solver continued
+    # from the mesh solver's state instead of re-initializing the scene
+    drift = np.abs(np.asarray(st1.pos, np.float64) - p0).max()
+    assert drift < 1e-1
+
+
+def test_tree_dense_near_guard(monkeypatch):
+    """Tree calibration flags (and on the pallas backend refuses) the
+    measured-near-saturation shape: k_near ~ gg is the configuration
+    that twice crashed the TPU worker (r4w6, theta=0.3 plummer at 1M).
+    On XLA backends it degrades gracefully with a warning + the
+    degenerate flag for family-fallback callers."""
+    import warnings
+
+    import spacetpu.sim as sim_mod
+    from spacetpu.state import make_state
+
+    rng = np.random.default_rng(11)
+    n = 17000  # gg >= 64 at the default leaf (255)
+    pos = rng.normal(size=(n, 3)) * 1e-6  # everything near everything
+    st = make_state(pos, np.zeros_like(pos), np.ones(n),
+                    dtype=jnp.float32)
+    sim = make_simulation(n, algorithm="tree", theta=0.3, k_near="auto",
+                          backend="xla", softening="plummer", eps=1e-2,
+                          g=1.0)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        sim.calibrate(st)
+    assert sim.degenerate == "tree-dense-near"
+    assert any("saturate" in str(w.message) for w in rec)
+
+    # the worker-crash shape proper (dense cap AND heavy tile count, on
+    # the pallas backend) REFUSES instead of dispatching
+    monkeypatch.setattr(sim_mod, "DENSE_TILES_SINGLE_STEP", 1)
+    sim2 = make_simulation(n, algorithm="tree", theta=0.3, k_near="auto",
+                           backend="pallas", softening="plummer",
+                           eps=1e-2, g=1.0)
+    with pytest.raises(RuntimeError, match="worker-crash"):
+        sim2.calibrate(st)
+    # the escape hatch runs it anyway (warning only)
+    monkeypatch.setenv("SPACETPU_ALLOW_DENSE_NEAR", "1")
+    sim3 = make_simulation(n, algorithm="tree", theta=0.3, k_near="auto",
+                           backend="pallas", softening="plummer",
+                           eps=1e-2, g=1.0)
+    with warnings.catch_warnings(record=True) as rec3:
+        warnings.simplefilter("always")
+        sim3.calibrate(st)
+    assert sim3.degenerate == "tree-dense-near"
+
+    # a pinned integer cap bounds the near work by construction: exempt
+    sim4 = make_simulation(n, algorithm="tree", theta=0.3, k_near=8,
+                           backend="xla", softening="plummer", eps=1e-2,
+                           g=1.0)
+    sim4.calibrate(st)
+    assert sim4.degenerate is None
