@@ -1,0 +1,106 @@
+"""Accuracy-profile auto-select at N=1M: TreePM as the accurate tier.
+
+Round-4 verdict #4: TreePM grid=256 beats the tree at 1M (686 vs 861
+ms/step) and 4M (4047 vs 4572) at med force delta ~8e-4 (r4w17), but
+only the CLI could pick it. make_engine_for(profile='accurate') now
+promotes it, gated on mesh_resolves AND the treepm_saturates host
+pre-check. This measures the REAL SimEngine tick rate of that tier
+against the pinned tree at matched accuracy-grade settings:
+
+  fixed_cloud 1M — accurate auto = treepm, target >= 1.2x pinned tree
+  plummer 1M     — saturation gate rejects: accurate auto = tree
+
+Run detached: nohup python benches/r5_engine_accurate.py > log 2>&1 &
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+from spacetpu.utils import benchenv
+
+benchenv.force_platform()
+
+import numpy as np
+
+from spacetpu import make_simulation
+from spacetpu.engine import (SimEngine, make_engine_for, mesh_resolves,
+                             treepm_saturates)
+from spacetpu.models import presets
+
+N = benchenv.size(1_000_000, 4096)
+WINDOW_S = benchenv.size(60.0, 2.0)
+FIRST_TICK_TIMEOUT_S = benchenv.size(1800.0, 180.0)
+
+print(f"platform={jax.devices()[0].platform} N={N} window={WINDOW_S}s",
+      flush=True)
+
+
+def measure(name, engine):
+    engine.start()
+    t0 = time.perf_counter()
+    while True:
+        engine.check_health()
+        engine.exchange.sample()
+        if engine.exchange.current_ticks() > 0:
+            break
+        if time.perf_counter() - t0 > FIRST_TICK_TIMEOUT_S:
+            engine.stop()
+            raise SystemExit(f"{name}: no tick within "
+                             f"{FIRST_TICK_TIMEOUT_S}s")
+        time.sleep(0.5)
+    warm = time.perf_counter() - t0
+    tick0 = engine.exchange.current_ticks()
+    t1 = time.perf_counter()
+    while time.perf_counter() - t1 < WINDOW_S:
+        engine.check_health()
+        engine.exchange.sample()
+        time.sleep(0.05)
+    engine.exchange.sample()
+    time.sleep(0.5)
+    ticks = engine.exchange.current_ticks() - tick0
+    dt_w = time.perf_counter() - t1
+    engine.stop(timeout=600.0)
+    rate = ticks / dt_w if dt_w > 0 else 0.0
+    ms = 1e3 / rate if rate else float("inf")
+    print(f"{name:34s} algo={engine.algorithm:6s} first-tick {warm:6.1f}s "
+          f"{ticks:6d} ticks in {dt_w:5.1f}s = {rate:7.2f} ticks/s "
+          f"({ms:8.1f} ms/tick)", flush=True)
+    return rate, engine.algorithm
+
+
+results = {}
+for scene_name, scene, dt in [
+    ("fixed_cloud", presets.fixed_cloud(N), 10.0),
+    ("plummer", presets.plummer_sphere(N), 1e-3),
+]:
+    sim_kwargs = dict(softening="plummer", eps=1e-2, g=scene.g,
+                      integrator="leapfrog", tree_refresh_every=8)
+    st = scene.state(dtype=np.float32)
+    print(f"=== {scene_name}(n={scene.n}): mesh_resolves="
+          f"{mesh_resolves(st)} treepm_saturates={treepm_saturates(st)} "
+          f"===", flush=True)
+    auto_rate, auto_algo = measure(
+        f"{scene_name}: accurate auto",
+        make_engine_for(st, delta=dt, profile="accurate", **sim_kwargs))
+    st = scene.state(dtype=np.float32)
+    tree_sim = make_simulation(scene.n, algorithm="tree", theta=0.5,
+                               k_near="auto", near_mode="pairs",
+                               **sim_kwargs)
+    tree_rate, _ = measure(f"{scene_name}: tree (pinned)",
+                           SimEngine(tree_sim, st, delta=dt))
+    ratio = auto_rate / tree_rate if tree_rate else float("inf")
+    results[scene_name] = (ratio, auto_algo)
+    print(f"{scene_name}: accurate-auto/tree tick-rate ratio {ratio:.2f}x "
+          f"(auto={auto_algo})", flush=True)
+
+cloud_ratio, cloud_algo = results.get("fixed_cloud", (0.0, "?"))
+plum_ratio, plum_algo = results.get("plummer", (0.0, "?"))
+ok = cloud_algo == "treepm" and cloud_ratio >= 1.2 and plum_algo == "tree"
+print(f"accurate tier: fixed_cloud {cloud_ratio:.2f}x via {cloud_algo} "
+      f"(target >=1.2x), plummer gated to {plum_algo} "
+      f"-> {'PASS' if ok else 'MISS'}", flush=True)
+print("ENGINE ACCURATE DONE", flush=True)

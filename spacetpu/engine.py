@@ -484,11 +484,16 @@ class SimEngine:
 
 
 def _scene_geometry(scene_state: State, grid: int, margin: float,
-                    mass_frac: float):
+                    frac: float, weight: str = "mass"):
     """Host-side (pure numpy) scene shape summary shared by the solver
     gates: (cell size h the mesh would pick, radius around the COM
-    containing `mass_frac` of the mass). Returns None for massless
-    scenes."""
+    containing `frac` of the mass — weight="mass" — or of the BODIES —
+    weight="count"). Mass weighting suits the mesh-accuracy gate (where
+    does the force-generating mass sit); count weighting suits the
+    saturation gate (near-list sizes follow body density: fixed_cloud's
+    single 1e7-mass center would put the half-MASS radius at zero while
+    its measured near cap is a healthy 502 of 3922, r4w17). Returns
+    None for massless scenes."""
     import numpy as np
 
     pos = np.asarray(scene_state.pos, np.float64)
@@ -504,9 +509,10 @@ def _scene_geometry(scene_state: State, grid: int, margin: float,
         return None
     com = (mass[:, None] * pos).sum(axis=0) / m_tot
     r = np.linalg.norm(pos - com, axis=1)
+    w = mass if weight == "mass" else np.ones_like(mass)
     order = np.argsort(r)
-    csum = np.cumsum(mass[order])
-    i = int(np.searchsorted(csum, mass_frac * m_tot))
+    csum = np.cumsum(w[order])
+    i = int(np.searchsorted(csum, frac * float(w.sum())))
     r_frac = float(r[order[min(i, len(r) - 1)]])
     return h, r_frac
 
@@ -551,7 +557,8 @@ def treepm_saturates(scene_state: State, *, grid: Optional[int] = None,
 
     if grid is None:
         grid = treepm_ops.default_grid(scene_state.n)
-    geom = _scene_geometry(scene_state, grid, margin, mass_frac=0.5)
+    geom = _scene_geometry(scene_state, grid, margin, frac=0.5,
+                           weight="count")
     if geom is None:
         return True  # massless: no mesh source at all
     h, r_half = geom
