@@ -588,6 +588,52 @@ def resolve_interactive_theta(theta: Optional[float],
             else constants.BARNES_HUT_THETA)
 
 
+def select_solver(scene_state: State, *, profile: str = "interactive",
+                  cutoff: int = constants.BARNES_HUT_CUTOFF,
+                  substeps: int = 1) -> tuple[str, dict]:
+    """The auto-select policy as a pure function of the scene: returns
+    ``(algorithm, extra_sim_kwargs)``. Shared by `make_engine_for` and
+    the headless --profile accurate path (main.run_headless) so both
+    surfaces apply identical gates. Tiers above
+    constants.MESH_SOLVER_CUTOFF (multirate requests always keep the
+    tree — the mesh-softened force law is inconsistent with the exact
+    pair substeps):
+
+    - interactive: PM on a mesh_resolves grid ladder (display-grade,
+      fastest tick);
+    - accurate: TreePM at its default grid when the mesh resolves AND
+      the cutoff doesn't saturate (treepm_saturates).
+
+    Below the mesh cutoff: the reference's tree-iff-N>cutoff parity
+    (event_loop.rs:334-341)."""
+    if profile not in ("interactive", "accurate"):
+        raise ValueError(f"unknown profile {profile!r}")
+    n = scene_state.n
+    if (n > constants.MESH_SOLVER_CUTOFF
+            and not (isinstance(substeps, int) and substeps > 1)):
+        if profile == "accurate":
+            from spacetpu.ops import treepm as treepm_ops
+
+            grid_t = treepm_ops.default_grid(n)
+            if (mesh_resolves(scene_state, grid=grid_t)
+                    and not treepm_saturates(scene_state, grid=grid_t)):
+                return "treepm", {}
+        else:
+            # Grid ladder: try the default grid, then the finer tiers
+            # the matmul-DFT transform unlocked (r4w11: grid=256
+            # compiles and steps at 228 ms at N=1M — still ~4x the
+            # tree's tick rate) — halving h admits scenes twice as
+            # concentrated before the accuracy gate trips.
+            from spacetpu.ops import pm as pm_ops
+
+            ladder = sorted({pm_ops.default_grid(n),
+                             constants.MESH_INTERACTIVE_GRID_MAX})
+            for grid_c in ladder:
+                if mesh_resolves(scene_state, grid=grid_c):
+                    return "pm", {"pm_grid": grid_c}
+    return ("tree" if n > cutoff else "direct"), {}
+
+
 def make_engine_for(
     scene_state: State,
     *,
@@ -645,42 +691,10 @@ def make_engine_for(
     theta = resolve_interactive_theta(
         theta, softening=sim_kwargs.get("softening", "plummer"),
         multipole_order=sim_kwargs.get("multipole_order", "auto"))
-    if profile not in ("interactive", "accurate"):
-        raise ValueError(f"unknown profile {profile!r}")
-    substeps = sim_kwargs.get("substeps", 1)
-    algorithm = None
-    pm_grid = None
-    if (n > constants.MESH_SOLVER_CUTOFF
-            and not (isinstance(substeps, int) and substeps > 1)):
-        # multirate substeps use exact pair forces, inconsistent with the
-        # mesh-softened PM law (SimConfig rejects the pair) — a multirate
-        # request keeps the tree.
-        if profile == "accurate":
-            from spacetpu.ops import treepm as treepm_ops
-
-            grid_t = treepm_ops.default_grid(n)
-            if (mesh_resolves(scene_state, grid=grid_t)
-                    and not treepm_saturates(scene_state, grid=grid_t)):
-                algorithm = "treepm"
-        else:
-            # Grid ladder: try the default grid, then the finer tiers
-            # the matmul-DFT transform unlocked (r4w11: grid=256
-            # compiles and steps at 228 ms at N=1M — still ~4x the
-            # tree's tick rate) — halving h admits scenes twice as
-            # concentrated before the accuracy gate trips.
-            from spacetpu.ops import pm as pm_ops
-
-            ladder = sorted({pm_ops.default_grid(n),
-                             constants.MESH_INTERACTIVE_GRID_MAX})
-            for grid_c in ladder:
-                if mesh_resolves(scene_state, grid=grid_c):
-                    algorithm = "pm"
-                    pm_grid = grid_c
-                    break
-    if algorithm is None:
-        algorithm = "tree" if n > cutoff else "direct"
-    if algorithm == "pm":
-        sim_kwargs = dict(sim_kwargs, pm_grid=pm_grid)
+    algorithm, extra = select_solver(
+        scene_state, profile=profile, cutoff=cutoff,
+        substeps=sim_kwargs.get("substeps", 1))
+    sim_kwargs = dict(sim_kwargs, **extra)
     if algorithm != "tree":
         # theta is a tree knob; make_simulation rejects unknown kwargs
         # for other solvers only via config validation, but keep the call

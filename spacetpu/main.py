@@ -363,12 +363,29 @@ def run_headless(cfg: RunConfig, scene: Scene, state: State):
     if cfg.shard:
         return _run_headless_sharded(cfg, scene, state)
 
+    algorithm = cfg.algorithm
+    extra_kwargs = {}
+    if cfg.algorithm == "auto" and cfg.profile == "accurate":
+        # explicit opt-in (the default headless auto keeps the
+        # reference's tree-iff-N>1000 parity and never switches
+        # silently): the accurate tier runs TreePM where it beats the
+        # tree at matched accuracy (686 vs 861 ms/step at 1M, r4w17),
+        # same gates as the engine path
+        from spacetpu.engine import select_solver
+
+        algorithm, extra_kwargs = select_solver(
+            state, profile="accurate",
+            substeps=int(cfg.substeps) if cfg.substeps.isdigit() else 1)
+        if algorithm == "treepm":
+            print("profile=accurate: auto-selected treepm "
+                  "(mesh resolves, cutoff unsaturated)", flush=True)
+
     sim = make_simulation(
-        state.n, algorithm=cfg.algorithm, backend=cfg.backend,
+        state.n, algorithm=algorithm, backend=cfg.backend,
         integrator=cfg.integrator, softening=cfg.softening, eps=cfg.eps,
         theta=resolved_theta(cfg.theta), g=scene.g,
         multipole_order=cfg.multipole_order,
-        **_cfg_tree_kwargs(cfg),
+        **dict(_cfg_tree_kwargs(cfg), **extra_kwargs),
     )
     state = sim.prime(state)
     eps_diag = cfg.eps if cfg.eps is not None else 0.0
@@ -450,6 +467,25 @@ def run_headless(cfg: RunConfig, scene: Scene, state: State):
                         else f"k_near={sim.caps['k_near']}")
                 print(f"  ... step {done}: scene outgrew the calibrated "
                       f"caps — re-measured ({what})", flush=True)
+            if (getattr(sim, "degenerate", None)
+                    and cfg.algorithm == "auto"):
+                # auto-selected mesh solver degraded out of its regime
+                # mid-rollout (e.g. a collapsing scene saturating the
+                # TreePM cutoff, r4w18) — swap families like the engine
+                # loop does; a PINNED algorithm only warns (calibrate
+                # already did)
+                reason = sim.degenerate
+                sim = make_simulation(
+                    state.n, algorithm="tree", backend=cfg.backend,
+                    integrator=cfg.integrator, softening=cfg.softening,
+                    eps=cfg.eps, theta=max(resolved_theta(cfg.theta), 0.5),
+                    g=scene.g, multipole_order=cfg.multipole_order,
+                    **_cfg_tree_kwargs(cfg),
+                )
+                state = sim.prime(state)
+                print(f"  ... step {done}: FAMILY FALLBACK -> tree "
+                      f"(reason: {reason}; caps k_near="
+                      f"{sim.caps['k_near']})", flush=True)
         if cfg.checkpoint_every and done % cfg.checkpoint_every == 0:
             checkpoint.save(f"{cfg.checkpoint or 'state'}_{done}.npz", state,
                             scene=scene)

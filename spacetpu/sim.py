@@ -61,7 +61,18 @@ def _platform() -> str:
 
 
 def default_backend() -> str:
-    """Pallas kernels on TPU; plain XLA elsewhere (CPU tests/virtual mesh)."""
+    """Pallas kernels on TPU; plain XLA elsewhere (CPU tests/virtual mesh).
+
+    LOAD-BEARING ASSUMPTION (engine.Exchange's sync credit): every
+    backend this selects executes its per-device dispatch queue
+    IN ORDER — a host readback of a buffer captured at tick T implies
+    all work enqueued up to T has drained. True for current PJRT
+    TPU/CPU streams. A future out-of-order or multi-stream backend
+    would silently unbound the sim loop's dispatch queue (the
+    SYNC_EVERY fallback in run_sim_loop caps the damage to
+    constants.SYNC_EVERY ticks, but the UI-latency bound assumes the
+    stronger property). If such a backend lands, revisit
+    Exchange.sample()/note_synced."""
     return "pallas" if _platform() == "tpu" else "xla"
 
 
