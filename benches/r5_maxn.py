@@ -58,14 +58,17 @@ for n_req in NS:
         state = sim.prime(state)
         fence(state.pos)
         t_prime = time.perf_counter() - t0
+        print(f"  .. primed in {t_prime:.0f}s", flush=True)
         t0 = time.perf_counter()
         state = sim.step(state, 10.0)
         fence(state.pos)
         t_first = time.perf_counter() - t0
+        print(f"  .. first step (+compile) {t_first:.0f}s", flush=True)
         t0 = time.perf_counter()
-        for _ in range(REPS):
+        for i in range(REPS):
             state = sim.step(state, 10.0)
-        fence(state.pos)
+            fence(state.pos)
+            print(f"  .. rep {i + 1}/{REPS}", flush=True)
         ms = (time.perf_counter() - t0) / REPS * 1e3
         h = sim.health(state)
         print(f"  prime {t_prime:.0f}s  first(+compile) {t_first:.0f}s  "
