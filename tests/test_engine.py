@@ -358,8 +358,12 @@ def test_cli_config_parsing():
     assert cfg.n == 123
     assert cfg.steps == 7
     assert cfg.dt == 2.5
+    assert cfg.profile == "interactive"  # default
     round_trip = type(cfg).from_json(cfg.to_json())
     assert round_trip == cfg
+
+    cfg2 = parse_args(["--profile", "accurate"])
+    assert cfg2.profile == "accurate"
 
 
 def test_checkpoint_orbax_sharded_roundtrip(tmp_path):
