@@ -14,15 +14,54 @@ production scale. Momentum drift is the conservation check (exact,
 O(N)); total-energy drift needs all-pairs potential, which at 2.5e14
 pairs is measured at N=1M instead (benches/r5_scorecard.py rows).
 
-Env knobs: SPACETPU_16M_N, SPACETPU_16M_GRID, SPACETPU_16M_STEPS.
+Harness caveat: this machine exposes ONE physical core, and XLA's CPU
+in-process collectives carry a stuck-detector that hard-aborts (CHECK
+failure in AwaitAndLogIfStuck) when one rank waits too long at a
+rendezvous while the core timeslices the other seven ranks' local
+phases — at 16M the bitonic-sort ppermutes sit minutes apart and trip
+it. That is a limit of the 1-core TEST HARNESS, not of the sharding
+program (the same program executes at 16M tiny-shape via
+dryrun_multichip, and the real chip runs 16M single-chip —
+logs/r5w1_r5_maxn.log). So without SPACETPU_16M_N this script climbs a
+ladder of N rungs, each in its OWN subprocess (the abort kills the
+process), and reports the largest N the harness completes.
+
+Env knobs: SPACETPU_16M_N (single-rung mode), SPACETPU_16M_GRID,
+SPACETPU_16M_STEPS.
 Run: nohup python benches/r5_16m_treepm_mesh.py > log 2>&1 &
 """
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+if "SPACETPU_16M_N" not in os.environ and __name__ == "__main__":
+    # ladder driver: one subprocess per rung; a stuck-detector abort
+    # fails the rung, not the ladder
+    rungs = [2_000_000, 4_000_000, 8_000_000, 16_000_000]
+    if os.environ.get("SPACETPU_BENCH_SCALE") == "smoke":
+        rungs = [100_000]
+        os.environ.setdefault("SPACETPU_16M_GRID", "32")
+        os.environ.setdefault("SPACETPU_16M_STEPS", "2")
+    best = None
+    for n in rungs:
+        print(f"===== rung N={n} =====", flush=True)
+        env = dict(os.environ, SPACETPU_16M_N=str(n))
+        rc = subprocess.call([sys.executable, os.path.abspath(__file__)],
+                             env=env)
+        if rc != 0:
+            print(f"rung N={n} FAILED rc={rc} (1-core harness collective "
+                  f"stall at scale — see header)", flush=True)
+            break
+        best = n
+    if best:
+        print(f"16M MESH LADDER: largest harness-complete rung N={best}",
+              flush=True)
+    print("16M MESH LADDER DONE", flush=True)
+    raise SystemExit(0)
 
 import jax
 

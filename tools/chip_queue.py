@@ -134,9 +134,13 @@ def main() -> int:
                          "(seconds; 0 disables)")
     ap.add_argument("--no-tunnel-check", action="store_true",
                     help="skip the between-jobs tunnel health probe")
-    ap.add_argument("--probe-timeout", type=float, default=300.0)
-    ap.add_argument("--probe-retries", type=int, default=8)
-    ap.add_argument("--probe-backoff", type=float, default=180.0)
+    ap.add_argument("--probe-timeout", type=float, default=240.0)
+    ap.add_argument("--probe-retries", type=int, default=10)
+    ap.add_argument("--probe-backoff", type=float, default=120.0)
+    ap.add_argument("--settle", type=float, default=75.0,
+                    help="wait this long after a job exits before probing:"
+                         " the tunnel holds the old session briefly and a"
+                         " too-eager probe just burns a timeout cycle")
     args = ap.parse_args()
 
     os.makedirs(LOGS, exist_ok=True)
@@ -157,6 +161,9 @@ def main() -> int:
     need_gate = not args.no_tunnel_check
     for i, script in enumerate(args.scripts):
         if need_gate:
+            if i > 0 and args.settle > 0:
+                say(args.tag, f"settling {args.settle:.0f}s before probe")
+                time.sleep(args.settle)
             tunnel_gate(args.tag, probe_timeout_s=args.probe_timeout,
                         retries=args.probe_retries,
                         backoff_s=args.probe_backoff)
