@@ -134,8 +134,14 @@ def main() -> int:
                          "(seconds; 0 disables)")
     ap.add_argument("--no-tunnel-check", action="store_true",
                     help="skip the between-jobs tunnel health probe")
-    ap.add_argument("--probe-timeout", type=float, default=240.0)
-    ap.add_argument("--probe-retries", type=int, default=10)
+    # Patient probe: a wedged tunnel holds stale sessions for ~5-10 min
+    # and KILLING a hung probe leaves another stale session behind — the
+    # r5w2 feedback loop (3+ consecutive 305s probe kills). One attempt
+    # that simply outwaits the expiry beats many short killed attempts;
+    # a healthy probe still returns in ~25 s, so the long timeout is
+    # free when nothing is wrong.
+    ap.add_argument("--probe-timeout", type=float, default=600.0)
+    ap.add_argument("--probe-retries", type=int, default=5)
     ap.add_argument("--probe-backoff", type=float, default=120.0)
     ap.add_argument("--settle", type=float, default=75.0,
                     help="wait this long after a job exits before probing:"
