@@ -98,6 +98,7 @@ def _cfg_tree_kwargs(cfg: RunConfig) -> dict:
         tree_refresh_every=cfg.tree_refresh_every,
         run_chunk=cfg.run_chunk or None,
         substeps=int(cfg.substeps), fast_cap=fast_cap,
+        pallas_method=cfg.pallas_method,
         pm_grid=(cfg.pm_grid if cfg.pm_grid == "auto" else int(cfg.pm_grid)),
         pm_margin=cfg.pm_margin,
         pm_rs_cells=cfg.pm_rs_cells, pm_rcut_rs=cfg.pm_rcut_rs,

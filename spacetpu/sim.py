@@ -87,6 +87,15 @@ class SimConfig:
     g: float = constants.G
     theta: float = constants.BARNES_HUT_THETA
     chunk: int | None = None  # i-chunk for the XLA path (None = dense)
+    # direct-solver Pallas kernel variant: "vpu" (exact pairwise
+    # differences, fully vector-unit-bound — the default, ~1e-7 relative
+    # force error) or "mxu" (expanded-form distances + force accumulation
+    # as systolic-array matmuls, ops/pallas_direct._kernel_mxu — routes
+    # ~2/3 of the per-pair arithmetic through the otherwise-idle MXU;
+    # loses ~|x|^2*eps_f32/d2 relative accuracy on the closest pairs, so
+    # it requires plummer softening with eps > 0. Chip A/B:
+    # benches/r5_direct_mxu.py).
+    pallas_method: str = "vpu"
     # tree far-field order: 1 = monopole, 2 = +quadrupole, "auto" = 2 for
     # plummer softening (5-10x force accuracy for ~20% cost), 1 for "ref"
     multipole_order: object = "auto"
@@ -284,6 +293,22 @@ class Simulation:
                 "substeps > 1 is unsupported with algorithm='pm': the "
                 "multirate fast-set substeps use exact pair forces, which "
                 "are inconsistent with the mesh-softened PM force law"
+            )
+        if config.pallas_method not in ("vpu", "mxu"):
+            raise ValueError(
+                f"unknown pallas_method {config.pallas_method!r} "
+                "(want 'vpu' or 'mxu')"
+            )
+        if (config.pallas_method == "mxu"
+                and config.resolved_algorithm() == "direct"
+                and config.resolved_backend() == "pallas"
+                and (config.softening != "plummer"
+                     or config.resolved_eps() <= 0.0)):
+            raise ValueError(
+                "pallas_method='mxu' requires softening='plummer' with "
+                "eps > 0: the expanded-form distances are cancellation "
+                "noise on the diagonal, so a real softening floor is the "
+                "self-pair guard (ops/pallas_direct.acc_cross_pallas)"
             )
         #: Large device arrays threaded through the jitted entry points
         #: as ARGUMENTS (a dict pytree; empty for non-mesh solvers).
@@ -1087,6 +1112,7 @@ def _build_acc_fn(config: SimConfig, k_near: int | None = None, *,
                 softening=config.softening,
                 eps=eps,
                 g=config.g,
+                method=config.pallas_method,
             )
         if config.chunk:
             return functools.partial(
@@ -1152,6 +1178,7 @@ def make_simulation(
     pm_rs_cells: float | None = None,
     pm_rcut_rs: float | None = None,
     pm_split: str | None = None,
+    pallas_method: str = "vpu",
 ) -> Simulation:
     return Simulation(
         SimConfig(
@@ -1179,6 +1206,7 @@ def make_simulation(
             pm_rs_cells=pm_rs_cells,
             pm_rcut_rs=pm_rcut_rs,
             pm_split=pm_split,
+            pallas_method=pallas_method,
         )
     )
 

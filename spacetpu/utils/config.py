@@ -25,6 +25,7 @@ class RunConfig:
     algorithm: str = "auto"
     profile: str = "interactive"  # auto-select tier: interactive | accurate
     backend: str = "auto"
+    pallas_method: str = "vpu"  # direct Pallas kernel: vpu | mxu
     integrator: str = "leapfrog"
     softening: str = "plummer"
     eps: Optional[float] = None
@@ -125,6 +126,14 @@ def build_parser() -> argparse.ArgumentParser:
                         " unless the scene saturates its cutoff")
     p.add_argument("--backend", default=d.backend,
                    choices=["auto", "xla", "pallas"])
+    p.add_argument("--pallas-method", dest="pallas_method",
+                   default=d.pallas_method, choices=["vpu", "mxu"],
+                   help="direct-solver Pallas kernel: 'vpu' (exact"
+                        " pairwise differences, ~1e-7 rel force error —"
+                        " default) or 'mxu' (systolic-array distances +"
+                        " accumulation — faster, requires plummer eps>0,"
+                        " rel err on closest pairs ~|x|^2*1e-7/eps^2;"
+                        " chip A/B: benches/r5_direct_mxu.py)")
     p.add_argument("--integrator", default=d.integrator,
                    choices=["leapfrog", "euler", "yoshida4"])
     p.add_argument("--softening", default=d.softening,

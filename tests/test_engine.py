@@ -365,6 +365,10 @@ def test_cli_config_parsing():
     cfg2 = parse_args(["--profile", "accurate"])
     assert cfg2.profile == "accurate"
 
+    cfg3 = parse_args(["--pallas-method", "mxu"])
+    assert cfg3.pallas_method == "mxu"
+    assert cfg.pallas_method == "vpu"  # default
+
 
 def test_checkpoint_orbax_sharded_roundtrip(tmp_path):
     """Sharded save/restore without host gather: each shard written from

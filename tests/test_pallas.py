@@ -63,6 +63,35 @@ def test_pallas_ref_softening_zero_eps_finite():
                                atol=1e-6)
 
 
+def test_sim_pallas_method_mxu():
+    """make_simulation(pallas_method='mxu') wires the MXU kernel into the
+    direct solver; forces stay within the expanded-form error band of the
+    exact vpu path at production softening."""
+    from spacetpu import make_simulation
+
+    pos, mass = _bodies(256, seed=7)
+    kw = dict(algorithm="direct", backend="pallas", softening="plummer",
+              eps=1e-2, g=1.0)
+    a_vpu = make_simulation(256, pallas_method="vpu", **kw).acc_fn(pos, mass)
+    a_mxu = make_simulation(256, pallas_method="mxu", **kw).acc_fn(pos, mass)
+    scale = np.linalg.norm(np.asarray(a_vpu), axis=1).max()
+    err = np.linalg.norm(np.asarray(a_mxu) - np.asarray(a_vpu), axis=1)
+    assert err.max() / scale < 2e-3
+
+
+def test_sim_pallas_method_mxu_validation():
+    from spacetpu import make_simulation
+
+    with pytest.raises(ValueError, match="mxu"):
+        make_simulation(128, algorithm="direct", backend="pallas",
+                        softening="ref", pallas_method="mxu")
+    with pytest.raises(ValueError, match="mxu"):
+        make_simulation(128, algorithm="direct", backend="pallas",
+                        softening="plummer", eps=0.0, pallas_method="mxu")
+    with pytest.raises(ValueError, match="pallas_method"):
+        make_simulation(128, pallas_method="tensor")
+
+
 def test_mxu_requires_positive_eps():
     pos, mass = _bodies(64, seed=6)
     with pytest.raises(ValueError, match="eps > 0"):
