@@ -39,8 +39,23 @@ from spacetpu.state import State
 #: particular) deadlock on concurrent host->device/device->host transfers
 #: from different Python threads. Every device touchpoint in the engine and
 #: the viewers takes this lock; dispatch stays async underneath so the sim
-#: thread still overlaps compute with the UI thread's rendering.
+#: thread still overlaps compute with the UI thread's rendering. One
+#: measured exception: the consumer's snapshot materialization rides under
+#: the narrower TRANSFER_LOCK below.
 DEVICE_LOCK = threading.RLock()
+
+#: Serializes device->host READBACKS against each other only. The r5
+#: overlap probe (benches/r5_overlap_probe.py, logs/r5w2) measured that a
+#: consumer's snapshot materialization runs CONCURRENTLY with the sim
+#: thread's dispatches without deadlock on the tunneled PJRT backend
+#: (steps+rides 250.3 -> 114.2 ms/step, 56% of ride time recovered), so
+#: Exchange.sample() rides under this narrower lock instead of
+#: DEVICE_LOCK — the sim thread keeps feeding the device queue while the
+#: frame rides down. Concurrent transfer+transfer was NOT probed, hence
+#: this lock still exists: any host readback outside DEVICE_LOCK must
+#: take it. Lock order: DEVICE_LOCK then TRANSFER_LOCK (the sim loop's
+#: SYNC_EVERY readback nests that way); never the reverse.
+TRANSFER_LOCK = threading.Lock()
 
 
 class Exchange:
@@ -127,14 +142,21 @@ class Exchange:
         it here, on the consumer's clock.
 
         Lock order: the exchange lock is NEVER held across the device
-        transfer (grab the handle, release, transfer under DEVICE_LOCK,
-        re-take to publish) — the sim thread takes DEVICE_LOCK then this
-        lock, so nesting them in the other order would deadlock."""
+        transfer (grab the handle, release, transfer, re-take to
+        publish) — the sim thread takes DEVICE_LOCK then this lock, so
+        nesting them in the other order would deadlock.
+
+        The ride happens under TRANSFER_LOCK, not DEVICE_LOCK: the r5
+        overlap probe measured that the transfer overlaps the sim
+        thread's dispatches safely, so blocking the whole device for the
+        ride duration (the round-4 behavior — the residual 1.3x sampled
+        tick of r4w12) is pure loss. Readbacks still serialize against
+        each other through TRANSFER_LOCK."""
         with self._lock:
             pending, self._pending = getattr(self, "_pending", None), None
         if pending is not None:
             handle, tick, wire = pending
-            with DEVICE_LOCK:
+            with TRANSFER_LOCK:
                 snap = _snapshot_finish(handle, wire)
             self.store(snap, tick)
         with self._lock:
@@ -372,7 +394,11 @@ def run_sim_loop(
                 if stale:
                     structure = None  # recal/swap staled the cached tree
             if tick - exchange.synced_tick() >= constants.SYNC_EVERY:
-                np.asarray(state.pos[0, 0])
+                # TRANSFER_LOCK inside DEVICE_LOCK (documented order):
+                # this scalar readback must not run concurrently with a
+                # consumer's lock-free snapshot ride.
+                with TRANSFER_LOCK:
+                    np.asarray(state.pos[0, 0])
                 exchange.note_synced(tick)
             if exchange.should_store():
                 # capture the post-batch positions on device (cheap async

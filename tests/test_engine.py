@@ -62,6 +62,41 @@ def test_exchange_sync_credit():
     assert ex.synced_tick() == 20
 
 
+def test_sample_ride_does_not_hold_device_lock(monkeypatch):
+    """The consumer's snapshot materialization rides under TRANSFER_LOCK,
+    not DEVICE_LOCK (r5 overlap probe: the ride overlaps dispatches
+    safely), so the sim thread can keep dispatching while a frame rides
+    down. Regression: sample() blocking DEVICE_LOCK for the ride was the
+    residual 1.3x sampled tick of r4w12."""
+    from spacetpu import engine as eng_mod
+
+    ex = Exchange(3)
+    ex.store_pending(jnp.zeros((3, 3), jnp.float32), tick=4, wire="f32")
+
+    riding = threading.Event()
+    release = threading.Event()
+    real_finish = eng_mod._snapshot_finish
+
+    def slow_finish(handle, wire):
+        riding.set()
+        assert release.wait(5.0)
+        return real_finish(handle, wire)
+
+    monkeypatch.setattr(eng_mod, "_snapshot_finish", slow_finish)
+    t = threading.Thread(target=ex.sample, daemon=True)
+    t.start()
+    assert riding.wait(5.0)
+    # mid-ride, the device must be available to the sim thread
+    got = eng_mod.DEVICE_LOCK.acquire(timeout=2.0)
+    try:
+        assert got, "sample() held DEVICE_LOCK across the ride"
+    finally:
+        if got:
+            eng_mod.DEVICE_LOCK.release()
+        release.set()
+        t.join(5.0)
+
+
 def test_run_sim_loop_stops_on_token():
     sim, state, _ = _sim_and_state()
     ex = Exchange(64, delta=1e-3)
