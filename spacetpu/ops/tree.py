@@ -1399,6 +1399,78 @@ def _kernel_pairs(tgt_ref, vfirst_ref, tcols_ref, strip_ref, accin_ref,
     _pairs_prologue(vfirst_ref, accin_ref, out_ref, tile.T)
 
 
+def _kernel_pairs_hybrid(tgt_ref, vfirst_ref, tcols_ref, strip_ref,
+                         accin_ref, out_ref, *, softening: str, eps: float):
+    """`_kernel_pairs` with the accumulation routed through the MXU.
+
+    The pair weights are computed from EXACT pairwise differences (same
+    arithmetic, same accuracy as the vpu kernel — this is NOT the
+    expanded-distance form of `pallas_direct._kernel_mxu`); only the
+    O(TI*TJ) force accumulation moves to the systolic array:
+
+        sum_j w_j d_j = W @ [x_j - c | 1] - (sum_j w_j) * (x_i - c)
+
+    which replaces 12 of the 22 per-pair VPU ops with two small matmuls
+    the otherwise-idle MXU absorbs. Sources and targets are centered on
+    the tile's first target ``c`` before the rank-1 split: near tiles are
+    spatially local, so |x - c| ~ cluster radius and the cancellation
+    between the two matmul terms stays ~eps_f32 * r_cluster^2 / d^2 —
+    negligible where the uncentered form (|x| ~ scene size) would eat
+    the tree's error budget on close pairs."""
+    del tgt_ref  # consumed by the index maps
+    tc = tcols_ref[:, :].T  # (block, 8)
+    xi = tc[:, 0:1]
+    yi = tc[:, 1:2]
+    zi = tc[:, 2:3]
+    xj = strip_ref[0:1, :]
+    yj = strip_ref[1:2, :]
+    zj = strip_ref[2:3, :]
+    gmj = strip_ref[3:4, :]
+    dx = xj - xi
+    dy = yj - yi
+    dz = zj - zi
+    r2 = dx * dx + dy * dy + dz * dz
+    if softening == "plummer":
+        d2 = r2 + eps * eps
+        inv = jax.lax.rsqrt(d2)
+        w = gmj * (inv * inv * inv)
+        if eps == 0.0:
+            w = jnp.where(d2 > 0.0, w, 0.0)
+    elif softening == "ref":
+        denom = r2 * jnp.sqrt(r2) + eps
+        w = gmj / denom
+        if eps == 0.0:
+            w = jnp.where(denom > 0.0, w, 0.0)
+    else:
+        raise ValueError(f"unknown softening {softening!r}")
+    # Self/coincident pairs contribute w * 0 = 0 exactly in the scalar
+    # kernel; in the rank-1 matmul split the huge self weight (1/eps^3)
+    # would instead ride BOTH terms and cancel at f32 (the dominant error
+    # term measured in /tmp-scale tests: ~3e-3 relative). Masking it is
+    # exactly equivalent: any r2 == 0 pair has zero contribution.
+    w = jnp.where(r2 > 0.0, w, 0.0)
+    cx = tc[0:1, 0:1]  # (1, 1) — the tile's first target
+    cy = tc[0:1, 1:2]
+    cz = tc[0:1, 2:3]
+    jc = jnp.concatenate([
+        (xj - cx).T, (yj - cy).T, (zj - cz).T, jnp.ones_like(xj).T,
+    ], axis=1)  # (TJ, 4) [x_j - c | 1]
+    acc4 = jnp.dot(w, jc, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)  # (block, 4)
+    s = acc4[:, 3:4]
+    ax = acc4[:, 0:1] - s * (xi - cx)
+    ay = acc4[:, 1:2] - s * (yi - cy)
+    az = acc4[:, 2:3] - s * (zi - cz)
+    zero = jnp.zeros_like(ax)
+    tile = jnp.concatenate([ax, ay, az, zero, zero, zero, zero, zero], axis=1)
+    _pairs_prologue(vfirst_ref, accin_ref, out_ref, tile.T)
+
+
+#: near-pair accumulation variants (thread via acc_tree(pairs_accum=...)):
+#: "vpu" = scalar accumulation (default), "mxu" = `_kernel_pairs_hybrid`.
+PAIRS_ACCUMS = ("vpu", "mxu")
+
+
 def _kernel_quad_pairs(tgt_ref, vfirst_ref, tcols_ref, strip_ref, accin_ref,
                        out_ref, *, eps: float):
     """Pair-list analogue of `pallas_direct._kernel_quad` (used with
@@ -1575,15 +1647,17 @@ def _append_dummy_block_t(tcols_t, block):
 
 
 def _near_pairs_direct_pallas(pos_g, srows, flat_src, tile_tgt, *,
-                              softening, eps, interpret, n_tiles=None):
+                              softening, eps, interpret, n_tiles=None,
+                              accum="vpu"):
     """Pair-list direct(-minus-monopole) correction. srows from
     _pack_augmented (null cluster included). Returns (G, leaf, 3)."""
     gg, leaf = pos_g.shape[:2]
     block = leaf + 1
     tcols_ext = _append_dummy_block_t(_pack_targets_t(pos_g), block)
     srows3 = srows.reshape(8, srows.shape[1] // block, block)
+    kern = _kernel_pairs_hybrid if accum == "mxu" else _kernel_pairs
     acc = _near_pairs_call(
-        functools.partial(_kernel_pairs, softening=softening, eps=float(eps)),
+        functools.partial(kern, softening=softening, eps=float(eps)),
         tcols_ext, srows3, flat_src, tile_tgt,
         block=block, rows=8, interpret=bool(interpret),
         chunk=NEAR_PAIRS_CHUNK, n_tiles=n_tiles,
@@ -1872,7 +1946,8 @@ def tree_structure(pos, mass, *, theta: float, k_near: int, gg: int,
 
 def tree_eval(prep: dict, c0, n_clusters: int, *, softening: str,
               eps, g, backend: str, interpret, multipole_order: int = 1,
-              far_levels: int = 2, near_mode: str = "strip"):
+              far_levels: int = 2, near_mode: str = "strip",
+              pairs_accum: str = "vpu"):
     """Phases 2+3 for target clusters [c0, c0 + n_clusters): far-field
     multipoles plus near correction, returning the slot-order acceleration
     block of shape (n_clusters * leaf, 3). n_clusters is static; c0 may be
@@ -1992,7 +2067,7 @@ def tree_eval(prep: dict, c0, n_clusters: int, *, softening: str,
             prep["m_tot"], prep["near_flat"], prep["near_tile_tgt"],
             softening=softening, eps=eps, g=g, backend=backend,
             interpret=interpret, monopole_pseudo=monopole_pseudo,
-            n_tiles=prep.get("near_ntiles"),
+            n_tiles=prep.get("near_ntiles"), accum=pairs_accum,
         )
         if multipole_order == 2:
             corr = corr + near_pairs_multipole_subtraction(
@@ -2104,7 +2179,7 @@ def near_multipole_subtraction(pos_g_t, summaries, idx, *, eps, backend,
 def near_pairs_correction(pos_g_t, pool_pos_g, pool_mass_g, pool_com,
                           pool_m_tot, flat_src, tile_tgt, *, softening, eps,
                           g, backend, interpret, monopole_pseudo: bool,
-                          n_tiles=None):
+                          n_tiles=None, accum="vpu"):
     """Pair-tile analogue of `near_direct_correction` (same source-pool
     contract; flat_src/tile_tgt from near_pair_segments over pool slots).
     Returns (G_t * leaf, 3)."""
@@ -2122,6 +2197,7 @@ def near_pairs_correction(pos_g_t, pool_pos_g, pool_mass_g, pool_com,
         return _near_pairs_direct_pallas(
             pos_g_t, srows, flat_src, tile_tgt, softening=softening,
             eps=float(eps), interpret=bool(interpret), n_tiles=n_tiles,
+            accum=accum,
         ).reshape(n_t * leaf, 3)
     aug_pos = jnp.concatenate([pool_pos_g, pool_com[:, None, :]], axis=1)
     pseudo_gm = (-pool_m_tot[:, None] * g_arr if monopole_pseudo
@@ -2203,6 +2279,7 @@ def acc_tree(
     k_mid: int | None = None,
     m1_src_tiles: int | None = None,
     m2_src_tiles: int | None = None,
+    pairs_accum: str = "vpu",
 ):
     """Clustered Barnes-Hut acceleration: (N, 3), (N,) -> (N, 3)."""
     if softening not in direct.SOFTENINGS:
@@ -2227,7 +2304,7 @@ def acc_tree(
     acc = tree_eval(prep, 0, gg, softening=softening, eps=eps, g=g,
                     backend=backend, interpret=interpret,
                     multipole_order=multipole_order, far_levels=far_levels,
-                    near_mode=near_mode)
+                    near_mode=near_mode, pairs_accum=pairs_accum)
     # Unsort back to the caller's body order (gather via the inverse
     # permutation — gathers are far cheaper than scatters on TPU).
     return cluster_ops.unsort_slots(acc, prep["clusters"], prep["inv"])
@@ -2235,7 +2312,8 @@ def acc_tree(
 
 def acc_tree_cached(pos, mass, structure, *, softening: str, eps, g,
                     backend: str, interpret=None, multipole_order: int = 1,
-                    far_levels: int = 2, near_mode: str = "strip"):
+                    far_levels: int = 2, near_mode: str = "strip",
+                    pairs_accum: str = "vpu"):
     """acc_tree with a cached `tree_structure` dict: statistics are
     recomputed from the current positions, the sort/clustering/near lists
     are reused (rollouts refresh them every few steps — see
@@ -2248,5 +2326,5 @@ def acc_tree_cached(pos, mass, structure, *, softening: str, eps, g,
     acc = tree_eval(prep, 0, gg, softening=softening, eps=eps, g=g,
                     backend=backend, interpret=interpret,
                     multipole_order=multipole_order, far_levels=far_levels,
-                    near_mode=near_mode)
+                    near_mode=near_mode, pairs_accum=pairs_accum)
     return cluster_ops.unsort_slots(acc, clusters, inv)

@@ -373,6 +373,21 @@ def _kernel_pairs_short(tgt_ref, vfirst_ref, tcols_ref, strip_ref, accin_ref,
     dy = yj - yi
     dz = zj - zi
     r2 = dx * dx + dy * dy + dz * dz
+    w = gmj * _w_short_tile(r2, softening=softening, eps=eps, rs=rs,
+                            rcut=rcut, split=split)
+    ax = jnp.sum(w * dx, axis=1, keepdims=True)
+    ay = jnp.sum(w * dy, axis=1, keepdims=True)
+    az = jnp.sum(w * dz, axis=1, keepdims=True)
+    zero = jnp.zeros_like(ax)
+    tile = jnp.concatenate([ax, ay, az, zero, zero, zero, zero, zero], axis=1)
+    tree_ops._pairs_prologue(vfirst_ref, accin_ref, out_ref, tile.T)
+
+
+def _w_short_tile(r2, *, softening: str, eps: float, rs: float,
+                  rcut: float, split: str):
+    """Per-pair short-range weight (without the g*m_j factor) — shared by
+    the vpu and hybrid pair kernels so the force arithmetic is identical
+    by construction."""
     if softening == "plummer":
         d2 = r2 + eps * eps
         inv = jax.lax.rsqrt(d2)
@@ -391,20 +406,57 @@ def _kernel_pairs_short(tgt_ref, vfirst_ref, tcols_ref, strip_ref, accin_ref,
         y = jnp.minimum(yc, 1.0)
         gp = y * y * y * (10.0 + y * (-15.0 + 6.0 * y))
         w_long = gp * (inv_r * inv_r * inv_r)
-        w = gmj * jnp.where(yc < 1.0, w_pair - w_long, 0.0)
-    elif split == "gauss":
+        return jnp.where(yc < 1.0, w_pair - w_long, 0.0)
+    if split == "gauss":
         inv4rs2 = 1.0 / (4.0 * rs * rs)
         v = r2 * inv4rs2
         x = jnp.minimum(v * (2.0 / _HLONG_VMAX) - 1.0, 1.0)
         w_in = _h_long_cheb(x) * (inv4rs2 * (0.5 / rs))
         w_out = inv_r * inv_r * inv_r
         w_long = jnp.where(v <= _HLONG_VMAX, w_in, w_out)
-        w = gmj * (w_pair - w_long)
-    else:
-        raise ValueError(f"unknown treepm split {split!r}")
-    ax = jnp.sum(w * dx, axis=1, keepdims=True)
-    ay = jnp.sum(w * dy, axis=1, keepdims=True)
-    az = jnp.sum(w * dz, axis=1, keepdims=True)
+        return w_pair - w_long
+    raise ValueError(f"unknown treepm split {split!r}")
+
+
+def _kernel_pairs_short_hybrid(tgt_ref, vfirst_ref, tcols_ref, strip_ref,
+                               accin_ref, out_ref, *, softening: str,
+                               eps: float, rs: float, rcut: float = 0.0,
+                               split: str = "gauss"):
+    """`_kernel_pairs_short` with the accumulation routed through the MXU
+    (tree._kernel_pairs_hybrid has the scheme and the per-tile centering
+    rationale); the pair weights come from the same exact-difference
+    arithmetic via `_w_short_tile`."""
+    del tgt_ref  # consumed by the index maps
+    tc = tcols_ref[:, :].T  # (block, 8)
+    xi = tc[:, 0:1]
+    yi = tc[:, 1:2]
+    zi = tc[:, 2:3]
+    xj = strip_ref[0:1, :]
+    yj = strip_ref[1:2, :]
+    zj = strip_ref[2:3, :]
+    gmj = strip_ref[3:4, :]
+    dx = xj - xi
+    dy = yj - yi
+    dz = zj - zi
+    r2 = dx * dx + dy * dy + dz * dz
+    w = gmj * _w_short_tile(r2, softening=softening, eps=eps, rs=rs,
+                            rcut=rcut, split=split)
+    # mask exact-coincidence pairs: zero contribution either way, but the
+    # huge self weight would cancel catastrophically in the rank-1 split
+    # (see tree._kernel_pairs_hybrid)
+    w = jnp.where(r2 > 0.0, w, 0.0)
+    cx = tc[0:1, 0:1]
+    cy = tc[0:1, 1:2]
+    cz = tc[0:1, 2:3]
+    jc = jnp.concatenate([
+        (xj - cx).T, (yj - cy).T, (zj - cz).T, jnp.ones_like(xj).T,
+    ], axis=1)  # (TJ, 4)
+    acc4 = jnp.dot(w, jc, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    sw = acc4[:, 3:4]
+    ax = acc4[:, 0:1] - sw * (xi - cx)
+    ay = acc4[:, 1:2] - sw * (yi - cy)
+    az = acc4[:, 2:3] - sw * (zi - cz)
     zero = jnp.zeros_like(ax)
     tile = jnp.concatenate([ax, ay, az, zero, zero, zero, zero, zero], axis=1)
     tree_ops._pairs_prologue(vfirst_ref, accin_ref, out_ref, tile.T)
@@ -412,7 +464,7 @@ def _kernel_pairs_short(tgt_ref, vfirst_ref, tcols_ref, strip_ref, accin_ref,
 
 def _near_pairs_short_pallas(pos_g, srows, flat_src, tile_tgt, *, softening,
                              eps, rs, rcut=0.0, split="gauss", interpret,
-                             n_tiles=None):
+                             n_tiles=None, accum="vpu"):
     """Short-range pair-tile pass on the Pallas path. srows from
     tree._pack_augmented(monopole_pseudo=False) — raw bodies with
     g-scaled masses and a massless pseudo slot. Returns (G, leaf, 3)."""
@@ -422,8 +474,10 @@ def _near_pairs_short_pallas(pos_g, srows, flat_src, tile_tgt, *, softening,
         tree_ops._pack_targets_t(pos_g), block
     )
     srows3 = srows.reshape(8, srows.shape[1] // block, block)
+    kern = (_kernel_pairs_short_hybrid if accum == "mxu"
+            else _kernel_pairs_short)
     acc = tree_ops._near_pairs_call(
-        functools.partial(_kernel_pairs_short, softening=softening,
+        functools.partial(kern, softening=softening,
                           eps=float(eps), rs=float(rs), rcut=float(rcut),
                           split=split),
         tcols_ext, srows3, flat_src, tile_tgt,
@@ -466,7 +520,7 @@ def _near_pairs_short_xla(pos_g, aug_pos, aug_gm, flat_src, tile_tgt, *,
 def near_pairs_short(pos_g_t, pool_pos_g, pool_mass_g, pool_com, flat_src,
                      tile_tgt, *, softening, eps, rs, g, backend: str,
                      rcut=None, split: str = "gauss",
-                     interpret=None, n_tiles=None):
+                     interpret=None, n_tiles=None, accum="vpu"):
     """Short-range pair pass with SEPARATE target and source cluster
     tables — the sharded TreePM's near phase, where sources are the
     [local | halo | null] pool from tree2's halo exchange and flat_src
@@ -486,7 +540,7 @@ def near_pairs_short(pos_g_t, pool_pos_g, pool_mass_g, pool_com, flat_src,
         return _near_pairs_short_pallas(
             pos_g_t, srows, flat_src, tile_tgt, softening=softening,
             eps=eps, rs=rs, rcut=0.0 if rcut is None else rcut,
-            split=split, interpret=interpret, n_tiles=n_tiles,
+            split=split, interpret=interpret, n_tiles=n_tiles, accum=accum,
         )
     aug_pos = jnp.concatenate([pool_pos_g, pool_com[:, None, :]], axis=1)
     aug_gm = jnp.concatenate(
@@ -653,7 +707,7 @@ def treepm_structure(pos, mass, *, rcut: float, k_near: int, gg: int,
 
 def _short_eval(prep: dict, *, softening: str, eps, g, rs: float,
                 rcut=None, split: str = "gauss",
-                backend: str, interpret=None):
+                backend: str, interpret=None, accum="vpu"):
     """Short-range pair pass over the prep's tile list -> (G, leaf, 3)
     accelerations in slot order."""
     pos_g, mass_g = prep["pos_g"], prep["mass_g"]
@@ -670,7 +724,7 @@ def _short_eval(prep: dict, *, softening: str, eps, g, rs: float,
             pos_g, srows, prep["near_flat"], prep["near_tile_tgt"],
             softening=softening, eps=eps, rs=rs,
             rcut=0.0 if rcut is None else rcut, split=split,
-            interpret=interpret, n_tiles=prep["near_ntiles"],
+            interpret=interpret, n_tiles=prep["near_ntiles"], accum=accum,
         )
     aug_pos = jnp.concatenate([pos_g, prep["com"][:, None, :]], axis=1)
     aug_gm = jnp.concatenate(
@@ -687,7 +741,8 @@ def acc_treepm(pos, mass, *, kernel_hat, box_min, h, grid: int, rs: float,
                softening: str = "plummer", eps=None, g=None,
                k_near: int = 64, gg: int | None = None,
                leaf: int = None, near_tiles: int | None = None,
-               backend: str = "xla", interpret=None):
+               backend: str = "xla", interpret=None,
+               pairs_accum: str = "vpu"):
     """TreePM acceleration: (N, 3), (N,) -> (N, 3).
 
     kernel_hat must be the LONG-RANGE kernel of the SAME split family
@@ -707,7 +762,7 @@ def acc_treepm(pos, mass, *, kernel_hat, box_min, h, grid: int, rs: float,
     prep = treepm_prep(pos, mass, rcut=rcut, k_near=k_near, gg=gg,
                        leaf=leaf, near_tiles=near_tiles)
     acc_short = _short_eval(prep, softening=softening, eps=eps, g=g, rs=rs,
-                            rcut=rcut, split=split,
+                            rcut=rcut, split=split, accum=pairs_accum,
                             backend=backend, interpret=interpret)
     acc_short = cluster_ops.unsort_slots(
         acc_short.reshape(gg * leaf, 3), prep["clusters"], prep["inv"]
@@ -721,7 +776,7 @@ def acc_treepm_cached(pos, mass, structure, *, kernel_hat, box_min, h,
                       grid: int, rs: float, rcut: float = 0.0,
                       split: str = "gauss", softening: str = "plummer",
                       eps=None, g=None, backend: str = "xla",
-                      interpret=None):
+                      interpret=None, pairs_accum: str = "vpu"):
     """acc_treepm with a cached `treepm_structure` dict: the sort and
     cutoff pair tiles are reused, cluster statistics track the current
     positions (Simulation tree_refresh_every semantics)."""
@@ -735,7 +790,7 @@ def acc_treepm_cached(pos, mass, structure, *, kernel_hat, box_min, h,
                                        leaf)
     prep = dict(structure, **stats)
     acc_short = _short_eval(prep, softening=softening, eps=eps, g=g, rs=rs,
-                            rcut=rcut, split=split,
+                            rcut=rcut, split=split, accum=pairs_accum,
                             backend=backend, interpret=interpret)
     acc_short = cluster_ops.unsort_slots(
         acc_short.reshape(gg * leaf, 3), clusters, structure["inv"]

@@ -745,6 +745,7 @@ class Simulation:
             eps=cfg.resolved_eps(), g=cfg.g, k_near=self._k_near, gg=gg,
             leaf=leaf, near_tiles=self._near_tiles,
             backend=cfg.resolved_backend(),
+            pairs_accum=cfg.pallas_method,
         )
         self._jit_consts = dict(kernel_hat=kernel_hat,
                                 box_min=jnp.asarray(box_min))
@@ -755,6 +756,7 @@ class Simulation:
             softening=cfg.softening, eps=cfg.resolved_eps(), g=cfg.g,
             k_near=self._k_near, gg=gg, leaf=leaf,
             near_tiles=self._near_tiles, backend=cfg.resolved_backend(),
+            pairs_accum=cfg.pallas_method,
         )
         self._build_jits()
         self._needs_calibration = False
@@ -1036,6 +1038,7 @@ class Simulation:
                 softening=self.config.softening,
                 eps=self.config.resolved_eps(), g=self.config.g,
                 backend=self.config.resolved_backend(),
+                pairs_accum=self.config.pallas_method,
             )
         p = self._tree_params()
         return _ft.partial(
@@ -1043,6 +1046,7 @@ class Simulation:
             softening=self.config.softening, eps=p["eps"], g=self.config.g,
             backend=p["backend"], multipole_order=p["order"],
             far_levels=p["far_levels"], near_mode=p["nmode"],
+            pairs_accum=self.config.pallas_method,
         )
 
     def _step_cached(self, state: State, structure, dt, consts) -> State:
@@ -1148,6 +1152,7 @@ def _build_acc_fn(config: SimConfig, k_near: int | None = None, *,
             k_mid=k_mid,
             m1_src_tiles=m1_src_tiles,
             m2_src_tiles=m2_src_tiles,
+            pairs_accum=config.pallas_method,
         )
     raise ValueError(f"unknown algorithm {algo!r}")
 

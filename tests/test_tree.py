@@ -678,3 +678,27 @@ def test_near_lists_t0_alignment_gate(monkeypatch):
             want = set(np.nonzero(accept[t0 + i])[0])
             got = set(int(j) for j in idx[i] if j < gg)
             assert got == want, f"t0={t0} target {t0 + i}"
+
+
+def test_pairs_accum_mxu_matches_vpu(monkeypatch):
+    """The hybrid (MXU-accumulation) near-pair kernel computes the same
+    weights from the same exact differences; only the summation is
+    restructured (tile-centered rank-1 split), so forces must agree with
+    the vpu kernel to accumulation roundoff."""
+    monkeypatch.setattr(tree, "NEAR_PAIRS_CHUNK", 16)
+    rng = np.random.default_rng(11)
+    leaf, gg = 15, 16
+    n = gg * leaf - 5
+    pos = jnp.asarray(rng.standard_normal((n, 3)) * 2.0, jnp.float32)
+    mass = jnp.asarray(rng.uniform(0.5, 1.5, n) / n, jnp.float32)
+    # multipole_order=1: the hybrid kernel only replaces the DIRECT pair
+    # pass, and the monopole config routes the NEGATIVE-mass pseudo slot
+    # through it (the -M direct-minus-monopole trick) — the interesting
+    # sign edge; order=2's separate quad subtraction is untouched code.
+    kw = dict(theta=0.5, softening="plummer", eps=1e-2, g=1.0,
+              backend="pallas", interpret=True, multipole_order=1,
+              leaf=leaf, gg=gg, k_near=16, near_mode="pairs")
+    a_vpu = np.asarray(tree.acc_tree(pos, mass, pairs_accum="vpu", **kw))
+    a_mxu = np.asarray(tree.acc_tree(pos, mass, pairs_accum="mxu", **kw))
+    scale = np.linalg.norm(a_vpu, axis=-1).mean()
+    np.testing.assert_allclose(a_mxu, a_vpu, atol=2e-5 * scale)

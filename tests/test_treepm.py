@@ -360,3 +360,20 @@ def test_saturated_cutoff_warns():
                           g=1.0, pm_grid=32)
     with pytest.warns(UserWarning, match="saturates"):
         sim.prime(scene.state(dtype=jnp.float32))
+
+
+def test_pairs_accum_mxu_matches_vpu_poly(monkeypatch):
+    """Hybrid MXU accumulation in the short-range pair pass: same
+    weights (shared `_w_short_tile`), restructured summation — must
+    agree with the vpu kernel to accumulation roundoff."""
+    monkeypatch.setattr(tree_ops, "NEAR_PAIRS_CHUNK", 16)
+    pos, mass = _cloud(1024, seed=5, dtype=jnp.float32)
+    kw = _calibrated(pos, mass, grid=32, gg=5, dtype=jnp.float32,
+                     split="poly")
+    common = dict(softening="plummer", eps=np.float32(1e-2),
+                  backend="pallas", interpret=True, **kw)
+    a_vpu = treepm.acc_treepm(pos, mass, pairs_accum="vpu", **common)
+    a_mxu = treepm.acc_treepm(pos, mass, pairs_accum="mxu", **common)
+    scale = float(jnp.max(jnp.abs(a_vpu)))
+    np.testing.assert_allclose(np.asarray(a_mxu), np.asarray(a_vpu),
+                               atol=2e-5 * scale)
