@@ -88,13 +88,16 @@ class SimConfig:
     theta: float = constants.BARNES_HUT_THETA
     chunk: int | None = None  # i-chunk for the XLA path (None = dense)
     # direct-solver Pallas kernel variant: "vpu" (exact pairwise
-    # differences, fully vector-unit-bound — the default, ~1e-7 relative
-    # force error) or "mxu" (expanded-form distances + force accumulation
-    # as systolic-array matmuls, ops/pallas_direct._kernel_mxu — routes
-    # ~2/3 of the per-pair arithmetic through the otherwise-idle MXU;
-    # loses ~|x|^2*eps_f32/d2 relative accuracy on the closest pairs, so
-    # it requires plummer softening with eps > 0. Chip A/B:
-    # benches/r5_direct_mxu.py).
+    # differences, fully vector-unit-bound — the default) or "mxu"
+    # (expanded-form distances + force accumulation as systolic-array
+    # matmuls, ops/pallas_direct._kernel_mxu; requires plummer softening
+    # with eps > 0). Chip A/B (logs/r5w3_r5_direct_mxu.log, N=256k):
+    # vpu 1.67e11 pairs/s at med rel err 1.3e-7; mxu 6.0e10 (2.8x
+    # SLOWER — f32-faithful MXU needs the 6-pass HIGHEST emulation and
+    # the K=8 / width-8 matmuls pad 16x on the 128-lane array) at med
+    # rel err 4.8e-6. The knob also routes the tree/treepm near-pair
+    # accumulation through the hybrid kernels (tree._kernel_pairs_hybrid)
+    # — same measured-A/B surface, benches/r5_pairs_mxu.py.
     pallas_method: str = "vpu"
     # tree far-field order: 1 = monopole, 2 = +quadrupole, "auto" = 2 for
     # plummer softening (5-10x force accuracy for ~20% cost), 1 for "ref"

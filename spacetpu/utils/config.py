@@ -130,10 +130,13 @@ def build_parser() -> argparse.ArgumentParser:
                    default=d.pallas_method, choices=["vpu", "mxu"],
                    help="direct-solver Pallas kernel: 'vpu' (exact"
                         " pairwise differences, ~1e-7 rel force error —"
-                        " default) or 'mxu' (systolic-array distances +"
-                        " accumulation — faster, requires plummer eps>0,"
-                        " rel err on closest pairs ~|x|^2*1e-7/eps^2;"
-                        " chip A/B: benches/r5_direct_mxu.py)")
+                        " the default AND the measured winner) or 'mxu'"
+                        " (systolic-array distances + accumulation;"
+                        " requires plummer eps>0; chip-measured 2.8x"
+                        " SLOWER at f32-faithful precision — the 6-pass"
+                        " HIGHEST emulation + 16x lane padding on K=8"
+                        " matmuls — at med rel err 4.8e-6;"
+                        " logs/r5w3_r5_direct_mxu.log)")
     p.add_argument("--integrator", default=d.integrator,
                    choices=["leapfrog", "euler", "yoshida4"])
     p.add_argument("--softening", default=d.softening,
