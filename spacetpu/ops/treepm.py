@@ -195,10 +195,50 @@ def pm_kernel_hat_poly(grid: int, h: float, rcut: float, *, g: float = None,
     return jnp.asarray(k_hat, real_dtype)
 
 
+#: grid at or above which the poly split builds its kernel spectrum ON
+#: DEVICE (fftmm.kernel_hat_from_corner) instead of a host f64 rfftn of
+#: the mirrored (2G)^3 mesh. Host cost at grid=512 measured on this
+#: box: ~204 s for the 1024^3 rfftn alone + the elementwise kernel
+#: build + a 2.15 GB host->device kernel ride — the dominant share of
+#: the 1683 s prime in logs/r5w3_r5_treepm_finegrid.log. The device
+#: build is ~1-2 s of MXU contractions and never ships the table.
+KERNEL_DEVICE_MIN_GRID = 384
+
+
+def pm_kernel_hat_poly_device(grid: int, h: float, rcut: float, *,
+                              g: float = None, dtype=jnp.float32):
+    """Device-built poly long-range kernel spectrum: evaluate the
+    closed-form phi_long on the (G+1)^3 min-image corner (the kernel is
+    even in every axis, so the corner determines the doubled mesh) and
+    fold it to the (2G, 2G, G+1) rFFT table with fftmm's cosine
+    contractions. Value-equivalent to `pm_kernel_hat_poly` up to
+    f32-transform roundoff (pinned by tests/test_fftmm.py)."""
+    from spacetpu.ops import fftmm
+
+    if g is None:
+        g = constants.G
+    d = jnp.arange(grid + 1, dtype=dtype)
+    r = jnp.asarray(h, dtype) * jnp.sqrt(
+        d[:, None, None] ** 2 + d[None, :, None] ** 2
+        + d[None, None, :] ** 2
+    )
+    rc = jnp.asarray(rcut, dtype)
+    inside = (
+        (-32.0 / 21.0) / rc + 2.0 * r ** 5 / rc ** 6
+        - (15.0 / 7.0) * r ** 7 / rc ** 8 + (2.0 / 3.0) * r ** 9 / rc ** 10
+    )
+    outside = -1.0 / jnp.where(r > 0.0, r, 1.0)
+    corner = jnp.asarray(g, dtype) * jnp.where(r < rc, inside, outside)
+    return fftmm.kernel_hat_from_corner(corner, grid)
+
+
 def make_kernel_hat(split: str, grid: int, h: float, rs: float, rcut: float,
                     *, g: float = None, dtype=jnp.float32):
     """Long-range mesh kernel for the chosen split family."""
     if split == "poly":
+        if grid >= KERNEL_DEVICE_MIN_GRID:
+            return pm_kernel_hat_poly_device(grid, h, rcut, g=g,
+                                             dtype=dtype)
         return pm_kernel_hat_poly(grid, h, rcut, g=g, dtype=dtype)
     if split == "gauss":
         return pm_kernel_hat_long(grid, h, rs, g=g, dtype=dtype)

@@ -146,3 +146,51 @@ def test_sharded_pm_matmul_method_traces_and_matches():
         pm.PM_FFT_METHOD = old
     np.testing.assert_allclose(np.asarray(ts.pos), np.asarray(s1.pos),
                                rtol=1e-8, atol=1e-12)
+
+
+def test_kernel_hat_from_corner_matches_rfftn():
+    """The cosine-fold spectrum of an even kernel equals np.fft.rfftn of
+    the mirrored doubled mesh (the host construction it replaces)."""
+    grid = 8
+    m = 2 * grid
+    rng = np.random.default_rng(3)
+    corner = rng.standard_normal((grid + 1,) * 3)
+    # mirror to the even (m, m, m) mesh: x[d] with d -> min(d, m - d)
+    idx = np.minimum(np.arange(m), m - np.arange(m))
+    full = corner[np.ix_(idx, idx, idx)]
+    want = np.fft.rfftn(full).real
+    got = np.asarray(fftmm.kernel_hat_from_corner(
+        jnp.asarray(corner, jnp.float64), grid))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-9 * np.abs(
+        want).max())
+
+
+def test_poly_kernel_device_matches_host():
+    """The device-built poly kernel spectrum tracks the host f64 path to
+    transform roundoff at the dtype in use."""
+    from spacetpu.ops import treepm
+
+    grid, h = 16, 0.37
+    rs, rcut = treepm.split_params(h)
+    host = np.asarray(treepm.pm_kernel_hat_poly(grid, h, rcut, g=1.0,
+                                                dtype=jnp.float64))
+    dev = np.asarray(treepm.pm_kernel_hat_poly_device(grid, h, rcut, g=1.0,
+                                                      dtype=jnp.float64))
+    np.testing.assert_allclose(dev, host, rtol=0,
+                               atol=1e-9 * np.abs(host).max())
+
+
+def test_make_kernel_hat_device_routing(monkeypatch):
+    """make_kernel_hat routes poly to the device build at large grids;
+    the two constructions agree through the public entry."""
+    from spacetpu.ops import treepm
+
+    grid, h = 16, 0.5
+    rs, rcut = treepm.split_params(h)
+    host = np.asarray(treepm.make_kernel_hat("poly", grid, h, rs, rcut,
+                                             g=1.0, dtype=jnp.float64))
+    monkeypatch.setattr(treepm, "KERNEL_DEVICE_MIN_GRID", 16)
+    dev = np.asarray(treepm.make_kernel_hat("poly", grid, h, rs, rcut,
+                                            g=1.0, dtype=jnp.float64))
+    np.testing.assert_allclose(dev, host, rtol=0,
+                               atol=1e-9 * np.abs(host).max())

@@ -377,3 +377,21 @@ def test_pairs_accum_mxu_matches_vpu_poly(monkeypatch):
     scale = float(jnp.max(jnp.abs(a_vpu)))
     np.testing.assert_allclose(np.asarray(a_mxu), np.asarray(a_vpu),
                                atol=2e-5 * scale)
+
+
+def test_device_kernel_forces_match_host_kernel(monkeypatch):
+    """TreePM forces with the device-built poly kernel spectrum (f32
+    cosine fold) track the host-f64-rfftn kernel to well below the
+    solver's own error band."""
+    pos, mass = _cloud(2048, seed=9, dtype=jnp.float32)
+    kw_host = _calibrated(pos, mass, grid=32, gg=9, dtype=jnp.float32,
+                          split="poly")
+    monkeypatch.setattr(treepm, "KERNEL_DEVICE_MIN_GRID", 32)
+    kw_dev = _calibrated(pos, mass, grid=32, gg=9, dtype=jnp.float32,
+                         split="poly")
+    common = dict(softening="plummer", eps=np.float32(1e-2), backend="xla")
+    a_h = np.asarray(treepm.acc_treepm(pos, mass, **common, **kw_host))
+    a_d = np.asarray(treepm.acc_treepm(pos, mass, **common, **kw_dev))
+    scale = np.linalg.norm(a_h, axis=1).max()
+    err = np.linalg.norm(a_d - a_h, axis=1) / scale
+    assert err.max() < 5e-6, err.max()
