@@ -113,15 +113,31 @@ SPLIT = "poly"
 TREEPM_GRID_MIN = 32
 TREEPM_GRID_MAX = 256
 
+#: above this N the auto grid unclamps to 512: chip-measured
+#: (logs/r5w3_r5_treepm_finegrid.log) 8M steps 1.67x faster at grid=512
+#: (7.1 vs 11.9 s) and 16M 1.79x (20.9 vs 37.5 s) — the finer mesh
+#: shrinks the cutoff near volume where the near pass dominates. Below
+#: 8M the 512 mesh is unmeasured and the 256 clamp stands (its own
+#: measured basis is the r4w5 sweep). The once-prohibitive grid=512
+#: calibration cost (host rfftn of the mirrored 1024^3 mesh + a 2.15 GB
+#: kernel ride) is gone: large-grid poly kernels build on device
+#: (KERNEL_DEVICE_MIN_GRID).
+TREEPM_GRID_LARGE_N = 8_000_000
+TREEPM_GRID_MAX_LARGE = 512
+
 
 def default_grid(n: int) -> int:
     """Power-of-two TreePM mesh: ~2 cells per body-spacing
-    (grid ~ 2 N^(1/3)), clamped to [TREEPM_GRID_MIN, TREEPM_GRID_MAX]."""
+    (grid ~ 2 N^(1/3)), clamped to [TREEPM_GRID_MIN, TREEPM_GRID_MAX]
+    (TREEPM_GRID_MAX_LARGE above TREEPM_GRID_LARGE_N bodies — the
+    chip-measured capacity regime)."""
     g = 1
     target = 2.0 * n ** (1.0 / 3.0)
     while g < target:
         g *= 2
-    return max(TREEPM_GRID_MIN, min(TREEPM_GRID_MAX, g))
+    cap = (TREEPM_GRID_MAX_LARGE if n >= TREEPM_GRID_LARGE_N
+           else TREEPM_GRID_MAX)
+    return max(TREEPM_GRID_MIN, min(cap, g))
 
 
 def split_params(h: float, *, rs_cells: float = RS_CELLS,

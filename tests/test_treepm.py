@@ -395,3 +395,13 @@ def test_device_kernel_forces_match_host_kernel(monkeypatch):
     scale = np.linalg.norm(a_h, axis=1).max()
     err = np.linalg.norm(a_d - a_h, axis=1) / scale
     assert err.max() < 5e-6, err.max()
+
+
+def test_default_grid_large_n_policy():
+    """Auto grid: 256 cap below 8M bodies (r4w5 sweep), 512 at and above
+    (chip-measured 1.67x at 8M / 1.79x at 16M, r5w3 finegrid ladder)."""
+    assert treepm.default_grid(1_000_000) == 256
+    assert treepm.default_grid(4_000_000) == 256
+    assert treepm.default_grid(treepm.TREEPM_GRID_LARGE_N) == 512
+    assert treepm.default_grid(16_000_000) == 512
+    assert treepm.default_grid(1000) == 32  # min clamp unchanged
