@@ -856,10 +856,15 @@ def test_engine_midrun_family_fallback(monkeypatch):
     assert st1 is not None
     assert eng.sim.config.resolved_algorithm() == "tree"
     assert bool(jnp.all(jnp.isfinite(st1.pos)))
-    # trajectory continuity: tiny dt, so the swapped-in solver continued
-    # from the mesh solver's state instead of re-initializing the scene
+    # trajectory continuity: the swapped-in solver continued from the
+    # mesh solver's state. The bound must not depend on exactly how many
+    # ticks slip in around the swap (machine-timing sensitive — measured
+    # up to ~0.19 of motion on a contended host): the guarded failure
+    # mode (state reset to zeros/garbage on swap) shows drift at scene
+    # scale (~2+), so an order-of-magnitude margin below that is the
+    # honest invariant.
     drift = np.abs(np.asarray(st1.pos, np.float64) - p0).max()
-    assert drift < 1e-1
+    assert drift < 0.5
 
 
 def test_tree_dense_near_guard(monkeypatch):
