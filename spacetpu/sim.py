@@ -96,8 +96,10 @@ class SimConfig:
     # SLOWER — f32-faithful MXU needs the 6-pass HIGHEST emulation and
     # the K=8 / width-8 matmuls pad 16x on the 128-lane array) at med
     # rel err 4.8e-6. The knob also routes the tree/treepm near-pair
-    # accumulation through the hybrid kernels (tree._kernel_pairs_hybrid)
-    # — same measured-A/B surface, benches/r5_pairs_mxu.py.
+    # accumulation through the hybrid kernels (tree._kernel_pairs_hybrid);
+    # chip A/B logs/r5w5_r5_pairs_mxu.log: tree 0.68x, treepm 0.81x —
+    # same width-8/HIGHEST padding economics, same verdict. vpu is the
+    # measured speed of light for the pair pipeline on this hardware.
     pallas_method: str = "vpu"
     # tree far-field order: 1 = monopole, 2 = +quadrupole, "auto" = 2 for
     # plummer softening (5-10x force accuracy for ~20% cost), 1 for "ref"
