@@ -99,8 +99,12 @@ for scene_name, scene, dt in [
 
 cloud_ratio, cloud_algo = results.get("fixed_cloud", (0.0, "?"))
 plum_ratio, plum_algo = results.get("plummer", (0.0, "?"))
-ok = cloud_algo == "treepm" and cloud_ratio >= 1.2 and plum_algo == "tree"
+# Post-r5w2 policy (constants.TREEPM_PROFILE_CUTOFF): at 1M the accurate
+# tier KEEPS the tree (the r5w2 run of this bench measured treepm 0.60x
+# the structure-cached tree here — the promotion premise didn't survive
+# caching); treepm promotes at >=4M (benches/r5_engine_accurate_4m.py).
+ok = cloud_algo == "tree" and cloud_ratio >= 0.9 and plum_algo == "tree"
 print(f"accurate tier: fixed_cloud {cloud_ratio:.2f}x via {cloud_algo} "
-      f"(target >=1.2x), plummer gated to {plum_algo} "
-      f"-> {'PASS' if ok else 'MISS'}", flush=True)
+      f"(expect tree, ~1.0x vs the pinned tree), plummer gated to "
+      f"{plum_algo} -> {'PASS' if ok else 'MISS'}", flush=True)
 print("ENGINE ACCURATE DONE", flush=True)

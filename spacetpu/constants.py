@@ -64,6 +64,17 @@ BARNES_HUT_CUTOFF: int = 1000
 #: and never switch silently. Frontends surface the active solver via
 #: `SimEngine.algorithm` + `Simulation.health()['algorithm']`.
 MESH_SOLVER_CUTOFF: int = 500_000
+#: N-gate for the ACCURATE profile's TreePM promotion. Chip-measured at
+#: the ENGINE level (real SimEngine + sampling frontend,
+#: tree_refresh_every=8): at 1M the pinned tree ticks 383.5 ms vs
+#: treepm's 644 (logs/r5w2_r5_engine_accurate.log — the r4w17
+#: step-level premise did not survive structure caching), while at 4M
+#: treepm ticks 4018 ms vs the tree's 19,774 under the same harness
+#: (logs/r5w6_r5_engine_accurate_4m.log; even against the tree's
+#: harness-independent 4572 ms standalone step, r4w17, treepm still
+#: wins). The crossover sits between 1M and 4M; the gate is placed at
+#: the measured-win end.
+TREEPM_PROFILE_CUTOFF: int = 4_000_000
 #: Mesh-resolution gate for the interactive PM tier: PM is only picked
 #: when the would-be mesh cell h resolves the scene's mass
 #: concentration, h <= r(MESH_RESOLVE_MASS_FRAC) (the radius around the

@@ -641,7 +641,8 @@ def select_solver(scene_state: State, *, profile: str = "interactive",
             from spacetpu.ops import treepm as treepm_ops
 
             grid_t = treepm_ops.default_grid(n)
-            if (mesh_resolves(scene_state, grid=grid_t)
+            if (n >= constants.TREEPM_PROFILE_CUTOFF
+                    and mesh_resolves(scene_state, grid=grid_t)
                     and not treepm_saturates(scene_state, grid=grid_t)):
                 return "treepm", {}
         else:

@@ -121,9 +121,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="--algorithm auto tier above 500k bodies:"
                         " 'interactive' ticks the PM mesh (med err ~1.5e-2,"
                         " 111 ms/step at 1M) when it resolves the scene;"
-                        " 'accurate' runs TreePM (med err ~5e-4, 686"
-                        " ms/step at 1M — faster than the tree's 861)"
-                        " unless the scene saturates its cutoff")
+                        " 'accurate' keeps the tree (engine tick 383.5 ms"
+                        " at 1M with structure caching — it beats treepm's"
+                        " 644 there, med err 6e-5) and promotes TreePM at"
+                        " >=4M bodies where it wins (4.0 vs >=4.6 s/tick"
+                        " at 4M, med err ~5e-4) unless the scene saturates"
+                        " its cutoff")
     p.add_argument("--backend", default=d.backend,
                    choices=["auto", "xla", "pallas"])
     p.add_argument("--pallas-method", dest="pallas_method",

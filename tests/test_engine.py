@@ -739,13 +739,15 @@ def test_treepm_saturates_predictor():
 
 
 def test_make_engine_for_accurate_profile(monkeypatch):
-    """profile='accurate' above MESH_SOLVER_CUTOFF: TreePM when the mesh
-    resolves AND the cutoff does not saturate (it beats the tree 686 vs
-    861 ms/step at N=1M on chip, r4w17) — clumpy scenes and multirate
-    requests keep the tree, and the interactive profile still picks PM."""
+    """profile='accurate' above MESH_SOLVER_CUTOFF: TreePM when N is at
+    or above TREEPM_PROFILE_CUTOFF (engine-level chip A/Bs: the cached
+    tree wins at 1M, treepm at 4M) AND the mesh resolves AND the cutoff
+    does not saturate — clumpy scenes and multirate requests keep the
+    tree, and the interactive profile still picks PM."""
     from spacetpu import constants as C
 
     monkeypatch.setattr(C, "MESH_SOLVER_CUTOFF", 1024)
+    monkeypatch.setattr(C, "TREEPM_PROFILE_CUTOFF", 4096)
     cloud = presets.random_cluster(8192, seed=2)
     st = cloud.state(dtype=jnp.float32)
     eng = make_engine_for(st, backend="xla", g=1.0, profile="accurate",
@@ -916,3 +918,31 @@ def test_tree_dense_near_guard(monkeypatch):
                            g=1.0)
     sim4.calibrate(st)
     assert sim4.degenerate is None
+
+
+def test_accurate_profile_n_gate():
+    """The accurate profile promotes TreePM only at/above
+    constants.TREEPM_PROFILE_CUTOFF: engine-level chip A/Bs show the
+    structure-cached tree wins at 1M (383.5 vs 644 ms/tick, r5w2) and
+    TreePM wins at 4M (r5w6)."""
+    from spacetpu import constants as C
+    from spacetpu.engine import select_solver
+
+    scene = presets.random_cluster(4096, seed=3)
+    st = scene.state(dtype=jnp.float32)
+
+    class _FakeN:
+        def __init__(self, st, n):
+            self.pos, self.mass, self.n_active = st.pos, st.mass, None
+            self.n = n
+
+    import unittest.mock as mock
+    with mock.patch.object(C, "MESH_SOLVER_CUTOFF", 1024):
+        # below the cutoff: tree even when the mesh resolves
+        algo, _ = select_solver(_FakeN(st, 100_000), profile="accurate")
+        assert algo == "tree"
+        # at/above: treepm (this uniform cloud resolves + unsaturated)
+        with mock.patch.object(C, "TREEPM_PROFILE_CUTOFF", 2048):
+            algo2, _ = select_solver(_FakeN(st, 100_000),
+                                     profile="accurate")
+            assert algo2 == "treepm"
