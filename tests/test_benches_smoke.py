@@ -55,6 +55,7 @@ SMOKE_SCRIPTS = [
     os.path.join("benches", "r5_engine_accurate_4m.py"),
     os.path.join("benches", "r5_pairs_mxu.py"),
     os.path.join("benches", "r5_kernel_device.py"),
+    os.path.join("benches", "r5_tree_largen.py"),
     os.path.join("benches", "r5_16m_treepm_mesh.py"),
     os.path.join("benches", "r5_overlap_probe.py"),
     os.path.join("benches", "r5_scorecard.py"),
