@@ -182,12 +182,21 @@ class Exchange:
         with self._lock:
             self._synced_tick = max(self._synced_tick, tick)
 
+    def note_ticks(self, tick: int):
+        """Publish the loop's tick count WITHOUT a snapshot. The sim loop
+        calls this every batch: a frontend that polls progress without
+        sampling frames must still see the loop advance (the r5w8 probe
+        caught the gap — with no consumer, should_store stays false
+        after the first batch, no store ever runs, and current_ticks
+        froze at the first batch while the loop ticked on)."""
+        with self._lock:
+            self._tick = max(self._tick, tick)
+
     def current_ticks(self) -> int:
         """Tick counter for progress displays. Includes a pending
         device-side snapshot's tick: the sim HAS reached it (the frame
-        just hasn't ridden down to the host yet), and a frontend that
-        polls progress without sampling frames must still see the loop
-        advance."""
+        just hasn't ridden down to the host yet). Kept current even
+        without a sampling consumer via note_ticks."""
         with self._lock:
             if self._pending is not None:
                 return max(self._tick, self._pending[1])
@@ -407,6 +416,8 @@ def run_sim_loop(
                 exchange.store_pending(
                     _snapshot_begin(state, snapshot_wire), tick,
                     snapshot_wire)
+            # progress telemetry advances every batch, sampled or not
+            exchange.note_ticks(tick)
         # Re-read dt every batch (one locked attribute read), not only on
         # publish: a headless caller or a frontend that is not actively
         # sampling must still be able to retune dt via set_delta().

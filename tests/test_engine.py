@@ -946,3 +946,22 @@ def test_accurate_profile_n_gate():
             algo2, _ = select_solver(_FakeN(st, 100_000),
                                      profile="accurate")
             assert algo2 == "treepm"
+
+
+def test_current_ticks_advances_without_consumer():
+    """A frontend that polls progress but never samples must still see
+    the loop advance (r5w8 probe: current_ticks froze at the first
+    batch without a consumer — fixed by note_ticks per batch)."""
+    sim, state, _ = _sim_and_state()
+    eng = SimEngine(sim, state, delta=1e-3)
+    with eng:
+        deadline = time.time() + 60
+        seen = 0
+        while time.time() < deadline:
+            eng.check_health()
+            seen = eng.exchange.current_ticks()
+            # strictly past the first batch, with zero sample() calls
+            if seen > 2 * eng._check_interval:
+                break
+            time.sleep(0.02)
+    assert seen > 2 * eng._check_interval, seen
