@@ -64,17 +64,18 @@ BARNES_HUT_CUTOFF: int = 1000
 #: and never switch silently. Frontends surface the active solver via
 #: `SimEngine.algorithm` + `Simulation.health()['algorithm']`.
 MESH_SOLVER_CUTOFF: int = 500_000
-#: N-gate for the ACCURATE profile's TreePM promotion. Chip-measured at
-#: the ENGINE level (real SimEngine + sampling frontend,
-#: tree_refresh_every=8): at 1M the pinned tree ticks 383.5 ms vs
-#: treepm's 644 (logs/r5w2_r5_engine_accurate.log — the r4w17
-#: step-level premise did not survive structure caching), while at 4M
-#: treepm ticks 4018 ms vs the tree's 19,774 under the same harness
-#: (logs/r5w6_r5_engine_accurate_4m.log; even against the tree's
-#: harness-independent 4572 ms standalone step, r4w17, treepm still
-#: wins). The crossover sits between 1M and 4M; the gate is placed at
-#: the measured-win end.
-TREEPM_PROFILE_CUTOFF: int = 4_000_000
+#: Structure-refresh cadence for AUTO-selected tree tiers (pinned
+#: solvers keep reference parity 1 = rebuild every tick,
+#: barnes_hut/mod.rs:13-14). With the cache the tree wins the accurate
+#: tier at EVERY single-chip scale measured — tree vs TreePM(grid=auto):
+#: 1M 383.5 vs 644 ms (r5w2), 4M 1890 vs 4018 (r5w8/r5w6), 8M 4129 vs
+#: 7109 (r5w9/r5w3), 16M 10,378 vs 20,916 (r5w9/r5w3) — which is why
+#: the accurate profile keeps the tree (the round-4 TreePM promotion
+#: was based on UNCACHED per-step A/Bs, r4w17, where TreePM does win;
+#: pinned --algorithm treepm and the sharded mesh families keep that
+#: role). Accuracy at refresh=8 is drift-equivalent (round-3
+#: measurement; cluster statistics always track current positions).
+INTERACTIVE_TREE_REFRESH: int = 8
 #: Mesh-resolution gate for the interactive PM tier: PM is only picked
 #: when the would-be mesh cell h resolves the scene's mass
 #: concentration, h <= r(MESH_RESOLVE_MASS_FRAC) (the radius around the

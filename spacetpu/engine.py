@@ -649,13 +649,12 @@ def select_solver(scene_state: State, *, profile: str = "interactive",
     if (n > constants.MESH_SOLVER_CUTOFF
             and not (isinstance(substeps, int) and substeps > 1)):
         if profile == "accurate":
-            from spacetpu.ops import treepm as treepm_ops
-
-            grid_t = treepm_ops.default_grid(n)
-            if (n >= constants.TREEPM_PROFILE_CUTOFF
-                    and mesh_resolves(scene_state, grid=grid_t)
-                    and not treepm_saturates(scene_state, grid=grid_t)):
-                return "treepm", {}
+            # The accurate tier keeps the structure-cached tree: it beats
+            # TreePM at every single-chip scale measured (1M/4M/8M/16M —
+            # constants.INTERACTIVE_TREE_REFRESH has the numbers) at ~7x
+            # better med force error (6e-5 vs 4e-4). TreePM remains the
+            # pinned/sharded/mesh-scaling family (--algorithm treepm).
+            pass
         else:
             # Grid ladder: try the default grid, then the finer tiers
             # the matmul-DFT transform unlocked (r4w11: grid=256
@@ -733,6 +732,11 @@ def make_engine_for(
         scene_state, profile=profile, cutoff=cutoff,
         substeps=sim_kwargs.get("substeps", 1))
     sim_kwargs = dict(sim_kwargs, **extra)
+    if not sim_kwargs.get("tree_refresh_every"):
+        # auto tiers run the measured cadence (pinned solvers built via
+        # make_simulation directly keep reference parity 1); applies to
+        # the selected tree AND the mid-run fallback target below
+        sim_kwargs["tree_refresh_every"] =             constants.INTERACTIVE_TREE_REFRESH
     if algorithm != "tree":
         # theta is a tree knob; make_simulation rejects unknown kwargs
         # for other solvers only via config validation, but keep the call

@@ -369,17 +369,20 @@ def run_headless(cfg: RunConfig, scene: Scene, state: State):
     if cfg.algorithm == "auto" and cfg.profile == "accurate":
         # explicit opt-in (the default headless auto keeps the
         # reference's tree-iff-N>1000 parity and never switches
-        # silently): the accurate tier runs TreePM where it beats the
-        # tree at matched accuracy (686 vs 861 ms/step at 1M, r4w17),
-        # same gates as the engine path
+        # silently): the accurate tier runs the structure-cached tree —
+        # chip-measured faster than TreePM at every single-chip scale
+        # (constants.INTERACTIVE_TREE_REFRESH) — via the same
+        # select_solver the engine path uses
+        from spacetpu import constants as _C
         from spacetpu.engine import select_solver
 
         algorithm, extra_kwargs = select_solver(
             state, profile="accurate",
             substeps=int(cfg.substeps) if cfg.substeps.isdigit() else 1)
-        if algorithm == "treepm":
-            print("profile=accurate: auto-selected treepm "
-                  "(mesh resolves, cutoff unsaturated)", flush=True)
+        if algorithm == "tree" and not cfg.tree_refresh_every:
+            extra_kwargs = dict(
+                extra_kwargs,
+                tree_refresh_every=_C.INTERACTIVE_TREE_REFRESH)
 
     sim = make_simulation(
         state.n, algorithm=algorithm, backend=cfg.backend,

@@ -1202,7 +1202,10 @@ def make_simulation(
             theta=theta,
             chunk=chunk,
             multipole_order=multipole_order,
-            tree_refresh_every=tree_refresh_every,
+            # 0 = unset (the CLI's "auto" sentinel): reference-parity
+            # rebuild-every-tick here; make_engine_for's auto tiers
+            # resolve 0 to INTERACTIVE_TREE_REFRESH before calling
+            tree_refresh_every=tree_refresh_every or 1,
             k_near=k_near,
             leaf=leaf,
             cluster_mode=cluster_mode,

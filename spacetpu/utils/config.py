@@ -37,7 +37,7 @@ class RunConfig:
     cluster_mode: str = "auto"  # auto | equal | adaptive: tree partition
     leaf: str = "auto"  # auto | <int>: bodies per tree leaf cluster
     far_levels: str = "auto"  # auto | 2 | 3: tree far-field levels
-    tree_refresh_every: int = 1  # steps between tree structure rebuilds
+    tree_refresh_every: int = 0  # 0 = auto (8 for auto tree tiers, 1 pinned)
     run_chunk: int = 0  # max device-scan length per run() call (0 = auto)
     substeps: str = "1"  # multirate KDK substeps per outer dt (auto | <int>)
     fast_cap: str = "auto"  # multirate fast-set capacity (auto | <int>)
@@ -121,12 +121,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="--algorithm auto tier above 500k bodies:"
                         " 'interactive' ticks the PM mesh (med err ~1.5e-2,"
                         " 111 ms/step at 1M) when it resolves the scene;"
-                        " 'accurate' keeps the tree (engine tick 383.5 ms"
-                        " at 1M with structure caching — it beats treepm's"
-                        " 644 there, med err 6e-5) and promotes TreePM at"
-                        " >=4M bodies where it wins (4.0 vs >=4.6 s/tick"
-                        " at 4M, med err ~5e-4) unless the scene saturates"
-                        " its cutoff")
+                        " 'accurate' runs the structure-cached tree (med"
+                        " err 6e-5; chip-measured faster than TreePM at"
+                        " every single-chip scale — 383.5 vs 644 ms at 1M"
+                        " through 10.4 vs 20.9 s at 16M). Pin --algorithm"
+                        " treepm for the mesh-split family (sharded"
+                        " scaling, uncached rollouts)")
     p.add_argument("--backend", default=d.backend,
                    choices=["auto", "xla", "pallas"])
     p.add_argument("--pallas-method", dest="pallas_method",
@@ -178,8 +178,12 @@ def build_parser() -> argparse.ArgumentParser:
                         " above 4096 clusters)")
     p.add_argument("--tree-refresh-every", dest="tree_refresh_every",
                    type=int, default=d.tree_refresh_every,
-                   help="steps between tree sort/near-list rebuilds inside"
-                        " run() (1 = every step)")
+                   help="steps between tree sort/near-list rebuilds"
+                        " (1 = every step, reference parity; 0 = auto:"
+                        " auto-selected tree tiers run 8 — chip-measured"
+                        " 383.5 ms/tick vs 861 uncached at 1M, and the"
+                        " cadence that beats TreePM at every single-chip"
+                        " scale — while pinned solvers keep 1)")
     p.add_argument("--shard", type=int, default=d.shard,
                    help="headless: run body-sharded over a D-device mesh"
                         " (direct -> ppermute ring, tree -> the O(N/D)"

@@ -739,22 +739,23 @@ def test_treepm_saturates_predictor():
 
 
 def test_make_engine_for_accurate_profile(monkeypatch):
-    """profile='accurate' above MESH_SOLVER_CUTOFF: TreePM when N is at
-    or above TREEPM_PROFILE_CUTOFF (engine-level chip A/Bs: the cached
-    tree wins at 1M, treepm at 4M) AND the mesh resolves AND the cutoff
-    does not saturate — clumpy scenes and multirate requests keep the
-    tree, and the interactive profile still picks PM."""
+    """profile='accurate' above MESH_SOLVER_CUTOFF: the structure-cached
+    tree at the measured refresh cadence (chip A/Bs 1M-16M: it beats
+    TreePM at every single-chip scale) — multirate requests keep the
+    tree too, and the interactive profile still picks PM."""
     from spacetpu import constants as C
 
     monkeypatch.setattr(C, "MESH_SOLVER_CUTOFF", 1024)
-    monkeypatch.setattr(C, "TREEPM_PROFILE_CUTOFF", 4096)
     cloud = presets.random_cluster(8192, seed=2)
     st = cloud.state(dtype=jnp.float32)
     eng = make_engine_for(st, backend="xla", g=1.0, profile="accurate",
                           softening="plummer", eps=1e-2)
-    assert eng.algorithm == "treepm"
-    # the mesh tiers carry the mid-run fallback wiring
-    assert eng._recal_every > 0 and eng._fallback_factory is not None
+    assert eng.algorithm == "tree"
+    # the auto tier runs the measured cadence; pinned keeps parity 1
+    assert (eng.sim.config.tree_refresh_every
+            == C.INTERACTIVE_TREE_REFRESH)
+    assert make_simulation(64, algorithm="direct",
+                           backend="xla").config.tree_refresh_every == 1
 
     plum = presets.plummer_sphere(8192, seed=2)
     eng2 = make_engine_for(plum.state(dtype=jnp.float32), backend="xla",
@@ -920,11 +921,11 @@ def test_tree_dense_near_guard(monkeypatch):
     assert sim4.degenerate is None
 
 
-def test_accurate_profile_n_gate():
-    """The accurate profile promotes TreePM only at/above
-    constants.TREEPM_PROFILE_CUTOFF: engine-level chip A/Bs show the
-    structure-cached tree wins at 1M (383.5 vs 644 ms/tick, r5w2) and
-    TreePM wins at 4M (r5w6)."""
+def test_accurate_profile_keeps_tree():
+    """The accurate profile keeps the structure-cached tree at every N:
+    engine-level chip A/Bs (1M r5w2, 4M r5w8, 8M/16M r5w9) show it
+    beats TreePM at each single-chip scale — the round-4 promotion
+    premise (uncached per-step A/Bs) did not survive caching."""
     from spacetpu import constants as C
     from spacetpu.engine import select_solver
 
@@ -938,14 +939,9 @@ def test_accurate_profile_n_gate():
 
     import unittest.mock as mock
     with mock.patch.object(C, "MESH_SOLVER_CUTOFF", 1024):
-        # below the cutoff: tree even when the mesh resolves
-        algo, _ = select_solver(_FakeN(st, 100_000), profile="accurate")
-        assert algo == "tree"
-        # at/above: treepm (this uniform cloud resolves + unsaturated)
-        with mock.patch.object(C, "TREEPM_PROFILE_CUTOFF", 2048):
-            algo2, _ = select_solver(_FakeN(st, 100_000),
-                                     profile="accurate")
-            assert algo2 == "treepm"
+        for n in (100_000, 20_000_000):
+            algo, _ = select_solver(_FakeN(st, n), profile="accurate")
+            assert algo == "tree", (n, algo)
 
 
 def test_current_ticks_advances_without_consumer():
