@@ -99,12 +99,15 @@ for scene_name, scene, dt in [
 
 cloud_ratio, cloud_algo = results.get("fixed_cloud", (0.0, "?"))
 plum_ratio, plum_algo = results.get("plummer", (0.0, "?"))
-# Post-r5w2 policy (constants.TREEPM_PROFILE_CUTOFF): at 1M the accurate
-# tier KEEPS the tree (the r5w2 run of this bench measured treepm 0.60x
-# the structure-cached tree here — the promotion premise didn't survive
-# caching); treepm promotes at >=4M (benches/r5_engine_accurate_4m.py).
-ok = cloud_algo == "tree" and cloud_ratio >= 0.9 and plum_algo == "tree"
+# Final round-5 policy: the accurate tier keeps the structure-cached
+# tree at EVERY single-chip scale (r5w2/r5w8/r5w9 — treepm measured
+# 0.60x the cached tree here at 1M). The auto tier runs theta=0.4 quad
+# (reference-beating accuracy) which costs ~1.33x over the pinned
+# theta=0.5 comparison row (r4w21/r5w10: 0.75x ratio measured), so the
+# PASS band is the documented accuracy-premium window, not ~1.0.
+ok = cloud_algo == "tree" and cloud_ratio >= 0.6 and plum_algo == "tree"
 print(f"accurate tier: fixed_cloud {cloud_ratio:.2f}x via {cloud_algo} "
-      f"(expect tree, ~1.0x vs the pinned tree), plummer gated to "
+      f"(expect tree at the theta=0.4 premium, >=0.6x of the pinned "
+      f"theta=0.5 row), plummer gated to "
       f"{plum_algo} -> {'PASS' if ok else 'MISS'}", flush=True)
 print("ENGINE ACCURATE DONE", flush=True)
