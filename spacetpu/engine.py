@@ -694,14 +694,14 @@ def make_engine_for(
       (`mesh_resolves`; a Plummer core inside one cell measured median
       force error ~1.0 on chip, logs/r4w2_r4_scorecard.log — such
       scenes keep the tree).
-    - ``"accurate"``: TreePM at its default grid (686 ms/step at N=1M
-      grid=256 vs the tree's 861, and 4047 vs 4572 at 4M —
-      logs/r4w17_r4_treepm_largen.log — at med force delta ~8e-4), for
-      headless/batch work where force accuracy is the contract. Engages
-      only when the mesh resolves AND the short-range cutoff does not
-      saturate the scene (`treepm_saturates`; a saturated cutoff
-      degenerates to all-pairs cost, 16.5 s/step measured). Clumpy
-      scenes keep the tree.
+    - ``"accurate"``: the structure-cached tree (refresh cadence
+      constants.INTERACTIVE_TREE_REFRESH), med force err ~6e-5. The
+      round-4 TreePM promotion was reversed by engine-level chip A/Bs:
+      with the cache the tree wins at EVERY single-chip scale (1M
+      383.5 vs 644 ms/tick, 4M 1.9 vs 4.0 s, 8M 4.1 vs 7.1, 16M 10.4
+      vs 20.9 — r5w2/r5w8/r5w9 vs the treepm ladder; the r4w17
+      per-step wins only hold UNCACHED). Pin --algorithm treepm for
+      the mesh-split family (sharded scaling, uncached rollouts).
 
     Pass algorithm= explicitly (build_engine does for --algorithm) to
     pin a solver. The active solver is surfaced via SimEngine.algorithm
